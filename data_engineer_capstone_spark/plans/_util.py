@@ -1,0 +1,70 @@
+"""Shared expression helpers for oracle-checked queries.
+
+Two cross-engine determinism problems and their fixes:
+
+1. **Partition-order float addition.** A parallel SUM over doubles is not
+   bit-stable against a single-threaded oracle. Every money aggregate
+   routes through an exact DECIMAL(18,4) sum (associative, overflow-checked)
+   and is rounded *while still decimal* — decimal ROUND(x, 2) is exact
+   ties-away-from-zero in both Spark and DuckDB — then cast to double.
+   Decimal partial aggregates are Tungsten-native and keep map-side combine,
+   so this is also the right call at 100 TB.
+
+2. **ROUND-on-double divergence.** For an *identical* double input, Spark's
+   ``round(x, 2)`` rounds the exact decimal expansion (BigDecimal HALF_UP)
+   while DuckDB scales by 100 in floating point first — they disagree near
+   .xx5 boundaries. Wherever a computed double must be rounded per-row (or a
+   quotient after an exact sum), we instead emit ``floor(x*100 + 0.5)/100``:
+   plain IEEE ops that produce bit-identical results in any engine. (Ties
+   round toward +inf rather than away from zero — a documented, deterministic
+   choice.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def round_det(expr: Column, digits: int = 2) -> Column:
+    """Deterministic cross-engine rounding of a double: floor(x*s + .5)/s."""
+    scale = 10**digits
+    return (F.floor(expr * scale + F.lit(0.5)) / scale).alias(f"_r{digits}")
+
+
+def sql_round_det(expr: str, digits: int = 2) -> str:
+    scale = 10**digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def _dec4(expr: Column) -> Column:
+    """Double -> exact DECIMAL(18,4), with a floor-trick pre-round so the
+    double→decimal cast itself cannot land on a rounding boundary (the two
+    engines disagree on cast-rounding of raw doubles near .xxxx5)."""
+    return (F.floor(expr * 10000 + F.lit(0.5)) / 10000).cast(DEC)
+
+
+def _sql_dec4(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))"
+
+
+def money_sum(expr: Column, alias: str) -> Column:
+    """Exact decimal sum, rounded as decimal, cast to double."""
+    return F.round(F.sum(_dec4(expr)), 2).cast("double").alias(alias)
+
+
+def money_avg(expr: Column, alias: str) -> Column:
+    """Exact decimal numerator / count, deterministically rounded."""
+    q = F.sum(_dec4(expr)).cast("double") / F.count(expr)
+    return round_det(q, 2).alias(alias)
+
+
+def sql_money_sum(expr: str, alias: str) -> str:
+    return f"CAST(ROUND(SUM({_sql_dec4(expr)}), 2) AS DOUBLE) AS {alias}"
+
+
+def sql_money_avg(expr: str, alias: str) -> str:
+    q = f"CAST(SUM({_sql_dec4(expr)}) AS DOUBLE) / COUNT({expr})"
+    return f"{sql_round_det(q, 2)} AS {alias}"

@@ -1,0 +1,229 @@
+"""Aggregation surface (SURVEY.md §2.9 Q30-Q36): hash aggregation with
+map-side partials, HAVING, rollup/cube/grouping sets, distinct aggregates,
+min/max over strings and dates.
+
+Scale notes: every groupBy here compiles to partial + final HashAggregate —
+the map-side combine keeps the shuffle proportional to group count, not row
+count. Money aggregates use exact decimal sums (_util) so results are
+independent of partition merge order — mandatory for a 1000-executor run to
+match a single-node oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import money_avg, money_sum, sql_money_avg, sql_money_sum
+from .registry import query
+
+
+@query(
+    "q30_tpch_q1_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_money_sum('l_quantity', 'sum_qty')},
+           {sql_money_sum('l_extendedprice', 'sum_base_price')},
+           {sql_money_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_money_avg('l_quantity', 'avg_qty')},
+           {sql_money_avg('l_extendedprice', 'avg_price')},
+           COUNT(*) AS count_order,
+           COUNT(DISTINCT l_orderkey) AS distinct_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: the flagship aggregation query.
+
+    Filter sits on the scan (parquet row-group pushdown on l_shipdate);
+    6 aggregates + a distinct count in one pass over ~97% of lineitem.
+    """
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity"), "sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            money_avg(F.col("l_quantity"), "avg_qty"),
+            money_avg(F.col("l_extendedprice"), "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("distinct_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q31_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           {sql_money_avg('c_acctbal', 'avg_bal')}
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 40
+    ORDER BY c_nationkey
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING: filter on an aggregate after grouping."""
+    c = load_table(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            money_avg(F.col("c_acctbal"), "avg_bal"),
+        )
+        .filter(F.col("n_cust") >= 40)
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q32_rollup",
+    oracle=f"""
+    SELECT n_regionkey, n_nationkey,
+           GROUPING(n_regionkey) * 2 + GROUPING(n_nationkey) AS grp,
+           COUNT(*) AS n_cust,
+           {sql_money_sum('c_acctbal', 'sum_bal')}
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(n_regionkey, n_nationkey)
+    ORDER BY grp, n_regionkey NULLS LAST, n_nationkey NULLS LAST
+    """,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP with GROUPING() disambiguation."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n_cust"),
+            money_sum(F.col("c_acctbal"), "sum_bal"),
+        )
+        .select("n_regionkey", "n_nationkey", "grp", "n_cust", "sum_bal")
+        .orderBy(
+            "grp",
+            F.col("n_regionkey").asc_nulls_last(),
+            F.col("n_nationkey").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "q33_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grp,
+           COUNT(*) AS n,
+           {sql_money_sum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY grp, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY CUBE over the lineitem status flags."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp", "n", "sum_qty")
+        .orderBy(
+            "grp",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "q34_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS grp,
+           COUNT(*) AS n,
+           {sql_money_sum('c_acctbal', 'sum_bal')}
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY grp, c_mktsegment NULLS LAST, c_nationkey NULLS LAST
+    """,
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (registered temp view)."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS grp,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY grp, c_mktsegment NULLS LAST, c_nationkey NULLS LAST
+        """
+    )
+
+
+@query(
+    "q35_distinct_count_per_group",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple distinct aggregates per group (expand + two-phase agg)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q36_minmax_strings_dates",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max over strings and dates (binary-comparable orderings)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("c_name").alias("min_name"),
+            F.max("c_name").alias("max_name"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,414 @@
+"""Relational core: scans, projection, filters, the full join family,
+sorts/limits, and set operations (SURVEY.md §2.9 Q1-Q4, Q20-Q27, Q50-Q56).
+
+Every query is a declarative DataFrame plan: filters and projections sit
+directly on the parquet scan so Catalyst pushes them into the reader
+(PushedFilters / ReadSchema), dimension joins are explicitly broadcast
+(reference J1 pattern, `/root/reference/scripts/pyspark.py:359-373` — tiny
+code-lookup dims joined to a large fact), and large-large joins shuffle on
+their equi-keys where AQE can re-plan them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import money_sum, round_det, sql_money_sum, sql_round_det
+from .registry import query
+
+
+# ---------------------------------------------------------------- scans ----
+@query(
+    "q01_full_scan",
+    oracle="SELECT * FROM region ORDER BY r_regionkey",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Full scan + total order (S5/P1, ref pyspark.py:222,67)."""
+    return load_table(spark, sf, "region").orderBy("r_regionkey")
+
+
+@query(
+    "q02_projection_arithmetic",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_round_det('l_extendedprice * (1 - l_discount)')} AS rev
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + row-level arithmetic; scan reads only 4 columns (P2/P3)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round_det(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q03_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+      AND o_orderstatus IN ('O', 'F')
+      AND (o_orderpriority LIKE '%HIGH%' OR o_totalprice > 200000)
+      AND o_custkey IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Compound predicates: AND/OR, BETWEEN on dates, IN, LIKE, IS NULL (F1-kit)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between("1996-01-01", "1999-12-31")
+            & F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_orderpriority").like("%HIGH%") | (F.col("o_totalprice") > 200000))
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q04_compound_gate",
+    oracle="""
+    SELECT * FROM customer
+    WHERE length(c_mktsegment) > 0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY c_custkey
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] The reference's row-alignment gate F1: length + set membership
+    conjunction (ref pyspark.py:280-286)."""
+    c = load_table(spark, sf, "customer")
+    return c.filter(
+        (F.length("c_mktsegment") > 0) & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------- joins ----
+@query(
+    "q20_broadcast_code_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, n_name AS nation_name
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ORDER BY c_custkey
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] Code-lookup join J1 (ref pyspark.py:359-373): tiny dim inner-joined
+    to the fact, key columns dropped after. Explicit broadcast — at 100 TB a
+    25-row nation table must never shuffle the fact side."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q21_star_join_revenue",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_money_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way star join + grouped revenue. lineitem⋈orders shuffles on the
+    orderkey; customer is small relative to the fact and broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q22_left_outer_null_probe",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderkey IS NULL
+    ORDER BY c_custkey
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + null probe: customers with no orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q23_full_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM customer FULL JOIN orders ON o_custkey = c_custkey
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join (covers the right-outer case by symmetry)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q24_left_semi",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey
+                  AND l_quantity > 45)
+    ORDER BY s_suppkey
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi join (EXISTS): suppliers with any high-quantity shipment."""
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q25_left_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey
+                      AND l_quantity > 45)
+    ORDER BY p_partkey
+    """,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): parts never shipped in high quantity."""
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q26_range_join",
+    oracle="""
+    SELECT o_orderkey, band
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                 ('high', 150000.0, 1e12)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    ORDER BY o_orderkey, band
+    """,
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (range/theta) join: orders banded by price range. The band
+    table is a literal — broadcast nested-loop, the only sane physical plan
+    for a theta join against a 3-row side at any scale."""
+    o = load_table(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .select("o_orderkey", "band")
+        .orderBy("o_orderkey", "band")
+    )
+
+
+@query(
+    "q27_cross_join",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    ORDER BY r1, r2
+    """,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded cross join."""
+    r = load_table(spark, sf, "region")
+    a = r.select(F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b).orderBy("r1", "r2")
+
+
+# ------------------------------------------------------- sorts / limits ----
+@query(
+    "q50_multi_col_sort_nulls",
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer
+    ORDER BY seg NULLS LAST, c_acctbal DESC, c_custkey
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-column ORDER BY with NULLS FIRST/LAST (nulls derived via nullif)."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    ).orderBy(F.col("seg").asc_nulls_last(), F.col("c_acctbal").desc(), "c_custkey")
+
+
+@query(
+    "q51_topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k after a total order. Spark plans this as TakeOrderedAndProject —
+    a per-partition top-k plus a tiny driver merge, no global sort at scale."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q52_expr_sort",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_round_det('l_extendedprice * (1 - l_discount)')} AS rev
+    FROM lineitem
+    ORDER BY rev DESC, l_orderkey, l_linenumber LIMIT 50
+    """,
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY computed expression DESC with tie-break + LIMIT."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            round_det(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .orderBy(F.col("rev").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------------------- set ops ----
+@query(
+    "q53_union_all_vs_distinct",
+    oracle="""
+    SELECT 'union_all' AS which, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_distinct' AS which, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+    ORDER BY which
+    """,
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL vs UNION(distinct) row counts."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    ua = c.unionAll(s).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_all").alias("which"), "n"
+    )
+    ud = c.union(s).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_distinct").alias("which"), "n"
+    )
+    return ua.unionByName(ud).orderBy("which")
+
+
+@query(
+    "q54_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY op, k
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT on projected nation keys."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "k")
+    exc = c.subtract(s).select(F.lit("except").alias("op"), "k")
+    return inter.unionByName(exc).orderBy("op", "k")
+
+
+@query(
+    "q55_select_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] Full-row dedup on a projection (A1, ref pyspark.py:178,197,222 —
+    `dropDuplicates()` = distinct hash-agg with map-side partials)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q56_union_alignment",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal FROM supplier
+    UNION ALL
+    SELECT s_suppkey, CAST(NULL AS VARCHAR) AS s_name, s_acctbal FROM supplier
+    ORDER BY s_suppkey, s_name NULLS LAST
+    """,
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] Union-alignment U2 (ref _fill_missing_columns pyspark.py:388-413):
+    disjoint projections unioned by NAME with typed null fill —
+    `unionByName(allowMissingColumns=True)` replaces the reference's
+    26-line positional-union helper."""
+    s = load_table(spark, sf, "supplier")
+    left = s.select("s_suppkey", "s_name")
+    right = s.select("s_suppkey", "s_acctbal")
+    return left.unionByName(right, allowMissingColumns=True).orderBy(
+        "s_suppkey", F.col("s_name").asc_nulls_last()
+    )

@@ -1,0 +1,257 @@
+"""Scalar-function surface (SURVEY.md §2.9 Q60-Q68): strings, dates, math,
+conditionals, arrays, map/struct access, JSON extraction — all JVM-side
+``pyspark.sql.functions`` builtins inside whole-stage codegen; zero Python
+UDFs anywhere on this path.
+
+Reference semantics reproduced natively:
+- E5 canonicalizer `lower(regexp_replace(c, ' ', '_'))`
+  (ref pyspark.py:349-356) — q60.
+- E6/E7 split+index `split(c, ',')[0]` (ref pyspark.py:269-272) — q61.
+- UA2 SAS-epoch date `1960-01-01 + n days` (ref pyspark.py:376-385,
+  README.md:102-103) — q62, as a native date_add, not a Python UDF.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+SAS_EPOCH = datetime.date(1960, 1, 1)
+
+
+@query(
+    "q60_string_kit",
+    oracle="""
+    SELECT c_custkey,
+           lower(replace(c_name, ' ', '_')) AS canon,
+           trim(c_mktsegment) AS seg_trim,
+           substr(c_name, 1, 8) AS name8,
+           concat(c_mktsegment, '#', c_name) AS tagged,
+           length(c_name) AS name_len,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nk_pad,
+           upper(c_mktsegment) AS seg_upper
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] String kit incl. the reference canonicalizer E5."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.regexp_replace("c_name", " ", "_")).alias("canon"),
+        F.trim("c_mktsegment").alias("seg_trim"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.concat("c_mktsegment", F.lit("#"), "c_name").alias("tagged"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nk_pad"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q61_split_index",
+    oracle="""
+    SELECT p_partkey,
+           str_split(p_name, ' ')[1] AS first_tok,
+           str_split(p_name, ' ')[2] AS second_tok,
+           len(str_split(p_name, ' ')) AS n_toks
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] split + array index (E6/E7; DuckDB lists are 1-based — dialect
+    adapter is just the +1 in the oracle)."""
+    p = load_table(spark, sf, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        toks.getItem(0).alias("first_tok"),
+        toks.getItem(1).alias("second_tok"),
+        F.size(toks).alias("n_toks"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q62_sas_epoch_date",
+    oracle="""
+    SELECT event_id,
+           DATE '1960-01-01' + CAST(user_id AS INT) AS sas_date
+    FROM events ORDER BY event_id
+    """,
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """[R] UA2 replacement: SAS epoch (days since 1960-01-01) as a native
+    date_add — the reference's Python UDF (pyspark.py:376-385) eliminated."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.date_add(F.lit(SAS_EPOCH), F.col("user_id").cast("int")).alias("sas_date"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q63_date_kit",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS wd_iso0
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Date kit; weekday as ISO number 0=Monday (SURVEY §7.3 — never the
+    locale-dependent date_format 'E' of ref pyspark.py:202,248,294)."""
+    o = load_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(d, F.lit(datetime.date(1995, 1, 1))).alias("since_95"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").cast("int").alias("wd_iso0"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q64_math_kit",
+    oracle="""
+    SELECT p_partkey,
+           floor(p_retailprice * 10 + 0.5) / 10 AS price1,
+           ABS(p_size - 25) AS dist25,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p,
+           p_size % 5 AS size_mod5,
+           CAST(POWER(p_size, 2) AS DOUBLE) AS size_sq,
+           CAST(SIGN(p_size - 25) AS DOUBLE) AS side
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Math kit: round/abs/ceil/floor/mod/power/sign."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        (F.floor(F.col("p_retailprice") * 10 + 0.5) / 10).alias("price1"),
+        F.abs(F.col("p_size") - 25).alias("dist25"),
+        F.ceil("p_retailprice").alias("ceil_p"),
+        F.floor("p_retailprice").alias("floor_p"),
+        (F.col("p_size") % 5).alias("size_mod5"),
+        F.pow("p_size", 2).alias("size_sq"),
+        F.signum(F.col("p_size") - 25).alias("side"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q65_conditional_kit",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_nationkey, 10) AS nk_cap10
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditionals: CASE WHEN, coalesce, nullif, greatest/least."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_nationkey", F.lit(10)).alias("nk_cap10"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q66_array_kit",
+    oracle="""
+    SELECT p_partkey, elem, n_elems, has14
+    FROM (
+        SELECT p_partkey,
+               unnest([p_size, p_size * 2, 7]) AS elem,
+               len([p_size, p_size * 2, 7]) AS n_elems,
+               list_contains([p_size, p_size * 2, 7], 14) AS has14
+        FROM part)
+    ORDER BY p_partkey, elem
+    """,
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Array kit: construct, size, contains, explode/unnest."""
+    p = load_table(spark, sf, "part")
+    arr = F.array(F.col("p_size"), F.col("p_size") * 2, F.lit(7))
+    return (
+        p.select(
+            "p_partkey",
+            F.explode(arr).alias("elem"),
+            F.size(arr).alias("n_elems"),
+            F.array_contains(arr, 14).alias("has14"),
+        )
+        .orderBy("p_partkey", "elem")
+    )
+
+
+@query(
+    "q67_map_struct_kit",
+    oracle="""
+    SELECT p_partkey,
+           map_extract(map(['sz', 'dbl'], [p_size, p_size * 2]), 'sz')[1] AS m_sz,
+           struct_pack(b := p_brand, s := p_size).b AS st_brand
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Map/struct literals + field access, extracted back to scalars."""
+    p = load_table(spark, sf, "part")
+    m = F.create_map(
+        F.lit("sz"), F.col("p_size"), F.lit("dbl"), F.col("p_size") * 2
+    )
+    st = F.struct(F.col("p_brand").alias("b"), F.col("p_size").alias("s"))
+    return p.select(
+        "p_partkey",
+        m.getItem("sz").alias("m_sz"),
+        st.getField("b").alias("st_brand"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q68_json_kit",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events ORDER BY event_id
+    """,
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction over the events payload column (get_json_object vs
+    DuckDB json_extract_string — dialect adapter in the oracle only)."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+    ).orderBy("event_id")
