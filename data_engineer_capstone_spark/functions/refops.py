@@ -1,0 +1,192 @@
+"""The reference ETL vocabulary re-expressed as native Spark expressions.
+
+Each op names the reference construct it generalizes (file:line cites into
+/root/reference/). None of them uses a Python UDF — the reference's two UDFs
+(`_abbreviate_state` pyspark.py:325-347, `_convert_to_date` pyspark.py:376-385)
+become pure Catalyst expressions, so pipelines stay inside whole-stage
+codegen and parquet pushdown survives. At 100 TB this is the difference
+between a scan-speed job and a pickle-bound one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 50 two-letter state codes used by the reference's row-alignment gate
+# (ref pyspark.py:277-286). Note: DC deliberately absent, as in the reference.
+VALID_STATES = (
+    "AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD MA MI MN MS "
+    "MO MT NE NV NH NJ NM NY NC ND OH OK OR PA RI SC SD TN TX UT VT VA WA WV "
+    "WI WY"
+).split()
+
+# Full-name -> USPS abbreviation (ref pyspark.py:332-343; includes DC there).
+STATE_ABBREVIATIONS: dict[str, str] = {
+    "alabama": "AL", "alaska": "AK", "arizona": "AZ", "arkansas": "AR",
+    "california": "CA", "colorado": "CO", "connecticut": "CT",
+    "delaware": "DE", "florida": "FL", "georgia": "GA", "hawaii": "HI",
+    "idaho": "ID", "illinois": "IL", "indiana": "IN", "iowa": "IA",
+    "kansas": "KS", "kentucky": "KY", "louisiana": "LA", "maine": "ME",
+    "maryland": "MD", "massachusetts": "MA", "michigan": "MI",
+    "minnesota": "MN", "mississippi": "MS", "missouri": "MO",
+    "montana": "MT", "nebraska": "NE", "nevada": "NV",
+    "new hampshire": "NH", "new jersey": "NJ", "new mexico": "NM",
+    "new york": "NY", "north carolina": "NC", "north dakota": "ND",
+    "ohio": "OH", "oklahoma": "OK", "oregon": "OR", "pennsylvania": "PA",
+    "rhode island": "RI", "south carolina": "SC", "south dakota": "SD",
+    "tennessee": "TN", "texas": "TX", "utah": "UT", "vermont": "VT",
+    "virginia": "VA", "washington": "WA", "west virginia": "WV",
+    "wisconsin": "WI", "wyoming": "WY", "district of columbia": "DC",
+}
+
+SAS_EPOCH = "1960-01-01"
+
+
+def clean_string(col: Column | str) -> Column:
+    """E5 canonicalizer (ref _clean_string_column pyspark.py:349-356):
+    lowercase + spaces→underscores."""
+    return F.lower(F.regexp_replace(col, " ", "_"))
+
+
+def abbreviate_state(col: Column | str) -> Column:
+    """UA1 replacement (ref _abbreviate_state pyspark.py:325-347) as a map
+    literal + coalesce — no Python UDF.
+
+    Faithful to the reference's sharp edge: the input is assumed to carry a
+    leading character from the `split(',')` (a space), stripped via
+    ``substr(2)`` before the lowercase lookup; on a miss the ORIGINAL value
+    (leading space and all) passes through; null stays null.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    pairs: list[Column] = []
+    for full, abbr in STATE_ABBREVIATIONS.items():
+        pairs.append(F.lit(full))
+        pairs.append(F.lit(abbr))
+    lookup = F.create_map(*pairs)
+    key = F.lower(F.substring(col, 2, 1000))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(F.element_at(lookup, key), col)
+    )
+
+
+def sas_epoch_to_date(col: Column | str) -> Column:
+    """UA2 replacement (ref _convert_to_date pyspark.py:376-385): days since
+    1960-01-01; null/0 → 1960-01-01 (reference semantics, README.md:102-103)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.date_add(
+        F.lit(SAS_EPOCH).cast("date"), F.coalesce(col.cast("int"), F.lit(0))
+    )
+
+
+def date_parts(
+    df: DataFrame, src: str, prefix: str, weekday: str = "iso"
+) -> DataFrame:
+    """E2-E4 bundle (ref pyspark.py:198-202,244-248,290-294): decompose a
+    date column into {prefix}_year/month/day/weekday and drop the source.
+
+    weekday='iso' → integer 0=Monday (oracle-safe, SURVEY §7.3);
+    weekday='abbrev' → lower-cased locale-pinned English abbreviation, the
+    reference's presentation semantics (date_format 'E' + clean_string).
+    """
+    if weekday == "iso":
+        wd = F.weekday(src).cast("int")
+    elif weekday == "abbrev":
+        # deterministic English weekday (no JVM locale dependence):
+        # index an array literal by ISO weekday number
+        names = F.array(*[F.lit(x) for x in ("mon", "tue", "wed", "thu", "fri", "sat", "sun")])
+        wd = F.element_at(names, F.weekday(src).cast("int") + 1)
+    else:
+        raise ValueError(f"weekday mode {weekday!r}")
+    return df.withColumns(
+        {
+            f"{prefix}_year": F.year(src).cast("int"),
+            f"{prefix}_month": F.month(src).cast("int"),
+            f"{prefix}_day": F.dayofmonth(src).cast("int"),
+            f"{prefix}_weekday": wd,
+        }
+    ).drop(src)
+
+
+def code_lookup(
+    lookup: DataFrame,
+    main_df: DataFrame,
+    renames: Mapping[str, str],
+    code_col: str,
+    lookup_key: str = "code",
+    how: str = "inner",
+) -> DataFrame:
+    """J1 code-lookup join (ref _code_lookup pyspark.py:359-373): project the
+    lookup dim to {key, renamed labels}, broadcast-join on the code column,
+    drop both key columns.
+
+    ``how='inner'`` replicates the reference's silent row-drop on missing
+    codes (SURVEY §7.6); pass ``how='left'`` for the engine's documented
+    default of keeping unmatched rows with null labels.
+    """
+    proj = [F.col(lookup_key)] + [F.col(src).alias(dst) for src, dst in renames.items()]
+    dim = lookup.select(*proj)
+    joined = main_df.join(
+        F.broadcast(dim), dim[lookup_key] == main_df[code_col], how
+    )
+    return joined.drop(lookup_key, code_col)
+
+
+def conform_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Typed replacement for the reference's empty-df-union conformance
+    (ref make_empty_df + union, pyspark.py:159-167,182 — which silently
+    *widened* types, SURVEY §1.2). Projects to schema order and casts every
+    column to its declared type, failing analysis if a column is missing."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def union_align(dfs: Iterable[DataFrame]) -> DataFrame:
+    """U2 replacement (ref _fill_missing_columns pyspark.py:388-413):
+    union by NAME with typed null fill for missing columns."""
+    dfs = list(dfs)
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    return out
+
+
+def deterministic_id(
+    df: DataFrame, order_by: list[str], name: str = "id", nulls_first: bool = True
+) -> DataFrame:
+    """Deterministic surrogate keys (SURVEY §7.1): row_number over a stable
+    natural-key ORDER BY, replacing the reference's partition-layout-dependent
+    `monotonically_increasing_id` (ref pyspark.py:179,297).
+
+    Scale note: a global row_number funnels through one partition — fine for
+    dimension-sized tables (the only place the reference mints ids). For
+    fact-scale ids use `zipWithIndex`-style per-partition offsets or keep a
+    natural composite key instead.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [
+        (F.col(c).asc_nulls_first() if nulls_first else F.col(c).asc_nulls_last())
+        for c in order_by
+    ]
+    w = W.orderBy(*cols)
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:
+    """Reference DQ gate (ref data_quality_checks pyspark.py:22-39):
+    (a) non-emptiness — head(1) instead of the reference's limit(1).count();
+    (b) exact column name/order equality with the declared schema;
+    (c) extra, typed: dtype equality per column (the reference never checked
+        types, which let its union type-widening bug through — SURVEY §1.2).
+    """
+    non_empty = len(df.head(1)) > 0
+    cols_match = df.columns == [f.name for f in schema.fields]
+    types_match = cols_match and all(
+        df.schema[f.name].dataType == f.dataType for f in schema.fields
+    )
+    return {"non_empty": non_empty, "cols_match": cols_match, "types_match": types_match}

@@ -1,0 +1,121 @@
+"""Text-analysis expression library for the LLM-data-pipeline operators:
+tokenization, shingling, deterministic 64-bit hashing, language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (split/transform/filter/aggregate) — no
+Python UDFs, so they vectorize inside whole-stage codegen and scale
+linearly with executors.
+
+Hashing convention: cross-engine-checkable 64-bit hashes are derived from
+md5 hex (identical in Spark and DuckDB): ``h64(s) = first 15 hex digits of
+md5(s) as a base-16 integer`` — 60 bits, positive, deterministic everywhere.
+(Spark's xxhash64/hash are engine-specific and can't be oracle-checked.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Chosen from high-frequency function words; the
+# oracle embeds the identical lists.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+}
+
+
+def words(col: Column | str) -> Column:
+    """Lower-cased alphanumeric word tokens (regex extraction, not split —
+    robust to punctuation/multi-space)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles: the unit set for Jaccard/MinHash dedup."""
+    w = words(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    )
+
+
+def h64(col: Column) -> Column:
+    """Deterministic 60-bit positive hash from md5 hex (cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    h64(concat(i, ':', shingle)). Salted-hash minhash (one md5 per
+    (perm, shingle)) — deterministic, oracle-checkable, and embarrassingly
+    parallel: the signature is computed per-row with zero shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s, i=i: h64(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(n_perm)
+        ]
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of distinct stopwords of `lang` present in the text."""
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(col)), stop))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits with a
+    deterministic tie-break (language code ascending); 'und' if no hits."""
+    langs = sorted(LANG_STOPWORDS)
+    scored = F.array(
+        *[F.struct(stopword_hits(col, lg).alias("hits"), F.lit(lg).alias("lg")) for lg in langs]
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lg")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lg"])
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: mix of length signal,
+    mean word length sanity, and alphanumeric density. Integer arithmetic
+    inside, one final division — cross-engine stable."""
+    col = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(col)
+    n_words = word_count(col)
+    alnum_chars = F.length(F.regexp_replace(col, "[^A-Za-z0-9]", ""))
+    len_ok = (n_words >= 5) & (n_words <= 100000)
+    awl_x10 = F.when(n_words > 0, (alnum_chars * 10) / n_words).otherwise(F.lit(0.0))
+    awl_ok = (awl_x10 >= 25) & (awl_x10 <= 120)  # mean word len 2.5..12
+    density_x100 = F.when(n_chars > 0, (alnum_chars * 100) / n_chars).otherwise(F.lit(0.0))
+    density_ok = density_x100 >= 60
+    return (
+        len_ok.cast("int") + awl_ok.cast("int") + density_ok.cast("int")
+    ).cast("double") / 3
+
+
+def fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: lexicographic min of md5 over character k-grams
+    (a 1-sample winnowing sketch). Identical docs share fingerprints; near-
+    identical docs usually do — used as a cheap first-pass dedup key."""
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(col, i, k))))

@@ -1,0 +1,124 @@
+"""Unit + property tests for the refops vocabulary (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineer_capstone_spark.functions import refops
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()[0]
+
+
+def test_clean_string(spark):
+    df = spark.createDataFrame([("El Salvador",), ("UNITED STATES",), (None,)], "s string")
+    out = [r[0] for r in df.select(refops.clean_string("s")).collect()]
+    assert out == ["el_salvador", "united_states", None]
+
+
+def test_abbreviate_state_matches_reference_semantics(spark):
+    # leading space stripped, full names mapped, misses pass through intact
+    rows = [(" CALIFORNIA",), (" NEW YORK",), (" PUERTO RICO",), (" CA",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    out = [r[0] for r in df.select(refops.abbreviate_state("s")).collect()]
+    assert out == ["CA", "NY", " PUERTO RICO", " CA", None]
+
+
+def test_sas_epoch_null_and_zero_default(spark):
+    df = spark.createDataFrame([(20567,), (0,), (None,)], "d int")
+    out = [r[0] for r in df.select(refops.sas_epoch_to_date("d")).collect()]
+    assert out[0] == datetime.date(1960, 1, 1) + datetime.timedelta(days=20567)
+    assert out[1] == datetime.date(1960, 1, 1)
+    assert out[2] == datetime.date(1960, 1, 1)  # reference: null -> epoch
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=-30000, max_value=30000))
+def test_sas_epoch_roundtrip(spark, days):
+    d = _one(spark, refops.sas_epoch_to_date(F.lit(days)))
+    assert (d - datetime.date(1960, 1, 1)).days == days
+
+
+def test_union_align_never_reorders_or_retypes(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([(2, 3.5)], "id int, score double")
+    out = refops.union_align([a, b])
+    assert out.columns == ["id", "name", "score"]
+    assert dict(out.dtypes) == {"id": "int", "name": "string", "score": "double"}
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, "x", None), (2, None, 3.5)}
+
+
+def test_conform_schema_casts_and_orders(spark):
+    df = spark.createDataFrame([("7", "3.5", "x")], "a string, b string, c string")
+    schema = T.StructType(
+        [
+            T.StructField("c", T.StringType(), True),
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.DoubleType(), True),
+        ]
+    )
+    out = refops.conform_schema(df, schema)
+    assert out.columns == ["c", "a", "b"]
+    assert tuple(out.head()) == ("x", 7, 3.5)
+
+
+def test_conform_schema_missing_column_fails(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    schema = T.StructType([T.StructField("zzz", T.IntegerType(), True)])
+    with pytest.raises(Exception):
+        refops.conform_schema(df, schema).collect()
+
+
+def test_deterministic_id_stable_and_unique(spark):
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 1), ("a", None), ("c", 3)], "k string, v int"
+    )
+    out1 = {(r.k, r.v): r.id for r in refops.deterministic_id(df, ["k", "v"]).collect()}
+    out2 = {
+        (r.k, r.v): r.id
+        for r in refops.deterministic_id(df.repartition(7), ["k", "v"]).collect()
+    }
+    assert out1 == out2  # stable under partitioning changes
+    assert sorted(out1.values()) == [1, 2, 3, 4]
+    assert out1[("a", None)] == 1  # nulls first
+
+
+def test_code_lookup_inner_drops_and_left_keeps(spark):
+    dim = spark.createDataFrame([(1, "US"), (2, "MX")], "code int, label string")
+    fact = spark.createDataFrame([(10, 1), (11, 2), (12, 9)], "id int, c int")
+    inner = refops.code_lookup(dim, fact, {"label": "country"}, "c")
+    assert {(r.id, r.country) for r in inner.collect()} == {(10, "US"), (11, "MX")}
+    left = refops.code_lookup(dim, fact, {"label": "country"}, "c", how="left")
+    assert {(r.id, r.country) for r in left.collect()} == {
+        (10, "US"),
+        (11, "MX"),
+        (12, None),
+    }
+
+
+def test_dedup_idempotent(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, s string")
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_data_quality_checks(spark):
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType(), True), T.StructField("b", T.StringType(), True)]
+    )
+    good = spark.createDataFrame([(1, "x")], schema)
+    res = refops.data_quality_checks(good, schema)
+    assert res == {"non_empty": True, "cols_match": True, "types_match": True}
+    empty = spark.createDataFrame([], schema)
+    assert not refops.data_quality_checks(empty, schema)["non_empty"]
+    wrong_order = good.select("b", "a")
+    assert not refops.data_quality_checks(wrong_order, schema)["cols_match"]
