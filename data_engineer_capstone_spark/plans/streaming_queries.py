@@ -1,4 +1,196 @@
-"""Structured Streaming queries (SURVEY.md §2.9 Q80-Q83).
+"""Structured Streaming surface (SURVEY.md §2.9 Q80-Q84): event-time
+tumbling/sliding/session windows, watermark late-drop, stateful dedup —
+each executed as a real streaming query (file-source replay, availableNow
+trigger, memory sink) and oracle-checked against batch-equivalent DuckDB
+SQL over the same `events` table.
 
-Populated in the streaming milestone — see ``data_engineer_capstone_spark.streaming``.
+The reference has no streaming (SURVEY §2.8 — it is a batch EMR job); this
+is the engine's generalization of its daily-cadence scenario
+(/root/reference/README.md:24-27) to incremental processing.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.replay import read_stream, run_to_table
+from ._util import DEC
+from .registry import query
+
+_EV_TS = "CAST(ts AS TIMESTAMP)"
+_BUCKET5 = f"time_bucket(INTERVAL 5 MINUTE, {_EV_TS})"
+
+
+def _money_sum_stream(col: str, alias: str):
+    return F.round(
+        F.sum((F.floor(F.col(col) * 10000 + F.lit(0.5)) / 10000).cast(DEC)), 2
+    ).cast("double").alias(alias)
+
+
+_SQL_MONEY = (
+    "CAST(ROUND(SUM(CAST(floor(value * 10000 + 0.5) / 10000 AS DECIMAL(18,4))), 2) "
+    "AS DOUBLE) AS sum_value"
+)
+
+
+@query(
+    "q80_stream_tumbling",
+    oracle=f"""
+    SELECT {_BUCKET5} AS win_start,
+           {_BUCKET5} + INTERVAL 5 MINUTE AS win_end,
+           event_type, COUNT(*) AS n, {_SQL_MONEY}
+    FROM events
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 5-minute event-time counts per type (streaming, complete
+    mode; oracle = batch time_bucket aggregation)."""
+    s = read_stream(spark, sf, 1)
+    agg = s.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), _money_sum_stream("value", "sum_value")
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "q81_stream_sliding",
+    oracle=f"""
+    SELECT ws AS win_start, ws + INTERVAL 10 MINUTE AS win_end,
+           event_type, COUNT(*) AS n
+    FROM (SELECT {_BUCKET5} - to_minutes(5 * k) AS ws, event_type
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+    GROUP BY ws, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes (each event lands in two
+    windows; oracle expands via the two shifted buckets)."""
+    s = read_stream(spark, sf, 1)
+    agg = s.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "q82_stream_session",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, {_EV_TS} AS t,
+               LAG({_EV_TS}) OVER (PARTITION BY user_id ORDER BY {_EV_TS}, event_id)
+                 AS prev_t
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, t,
+               CASE WHEN prev_t IS NULL OR t - prev_t >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ),
+    numbered AS (
+        SELECT user_id, t,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(t) AS session_start, MAX(t) AS last_ts, COUNT(*) AS n
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (gap 10 min) per user via F.session_window; the
+    oracle is the classic gaps-and-islands rewrite (SURVEY §7.7 — the
+    trickiest oracle to keep in lockstep; Spark's session end is
+    last_event+gap, so we emit last_ts=max(ts) instead of window.end)."""
+    s = read_stream(spark, sf, 1)
+    agg = s.groupBy(
+        F.session_window("ts", "10 minutes").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+    out = run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        "last_ts",
+        "n",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "q83_stream_watermark_latedrop",
+    oracle=f"""
+    WITH m AS (
+        SELECT max({_EV_TS}) FILTER (WHERE event_id % 3 = 0)
+                 - INTERVAL 10 MINUTE AS w1,
+               max({_EV_TS}) FILTER (WHERE event_id % 3 IN (0, 1))
+                 - INTERVAL 10 MINUTE AS w2
+        FROM events
+    ),
+    kept AS (
+        SELECT {_BUCKET5} AS ws, event_type
+        FROM events, m
+        WHERE event_id % 3 IN (0, 1)
+           OR {_BUCKET5} + INTERVAL 5 MINUTE > m.w1
+    )
+    SELECT ws AS win_start, ws + INTERVAL 5 MINUTE AS win_end, event_type,
+           COUNT(*) AS n
+    FROM kept, m
+    WHERE ws + INTERVAL 5 MINUTE <= m.w2
+    GROUP BY ws, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark late-drop: 3-batch replay (event_id mod 3), 10-minute
+    watermark, append mode. Batch-2 rows whose window state was evicted at
+    the end of batch 1 (window_end <= max_ts(batch 0) - 10min) are dropped;
+    windows are emitted once the watermark passes their end. The oracle
+    replicates exactly that timeline: admitted = batches 0-1 plus batch-2
+    rows with window_end > W1; emitted = windows with end <= W2."""
+    s = read_stream(spark, sf, 3).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_table(agg, "append")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "q84_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — the first-seen row per key is emitted; the
+    deterministic projection is the key set itself."""
+    s = read_stream(spark, sf, 1).withWatermark("ts", "10 minutes")
+    dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    out = run_to_table(dedup, "append")
+    return out.dropDuplicates().orderBy("user_id", "event_type")
