@@ -40,14 +40,18 @@ def word_count(col: Column | str) -> Column:
     return F.size(words(col))
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles: the unit set for Jaccard/MinHash dedup."""
+def shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-gram shingles; distinct=True gives the unit SET for
+    Jaccard/MinHash dedup, distinct=False keeps multiplicity for frequency
+    counts. Guarded for short docs (Spark's sequence(1,0) would DESCEND,
+    not return empty)."""
     w = words(col)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    )
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
 def h64(col: Column) -> Column:

@@ -1,0 +1,180 @@
+"""Deduplication operator family for large-scale training-data pipelines:
+
+- exact (content-hash groupBy),
+- n-gram Jaccard via an inverted shingle index (exact, scalable),
+- MinHash + LSH banding (approximate candidate generation + exact verify),
+- SimHash (bitwise near-dup signatures),
+- embedding-cosine near-dup (see similarity.py).
+
+All pure DataFrame ops. Scale analysis per operator in its docstring —
+the common theme: never form the O(n²) pair space; generate candidates
+through an equi-join key (hash, shingle, band, bucket) so Spark executes
+a shuffle join, then verify exactly on the (tiny) candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h64, minhash_signature, shingles, words
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: every row annotated with its group's
+    canonical (minimum) id and group size. A single hash-partition shuffle
+    on md5(text) — the cheapest possible dedup at any scale; duplicate rows
+    are the ones with canonical_id != id."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs via an inverted shingle index.
+
+    Instead of an O(n²) cross join, explode distinct shingles and self-join
+    on the shingle (docs sharing zero shingles never meet — the only pairs
+    materialized are those with |A∩B| ≥ 1). |A∩B| falls out of the group
+    count; |A∪B| = |A|+|B|-|A∩B|. At 100 TB: add a document-frequency cap
+    (drop shingles appearing in >d docs) to bound join fan-out on boilerplate.
+    """
+    sized = df.select(
+        F.col(id_col).alias("did"),
+        shingles(text_col, k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sized = sized.withColumn("n_sh", F.size("sh"))
+    inv = sized.select("did", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, exact-verified.
+
+    signature: n_perm salted-md5 minhashes per doc (computed per-row, no
+    shuffle). banding: n_perm/band_rows bands; docs colliding on any band's
+    row-tuple become candidates via an equi-join on (band_idx, band_key) —
+    the LSH trick that replaces the O(n²) pair space with hash buckets.
+    Candidates are then EXACT-verified with the true shingle Jaccard, so
+    the output contains no false positives (recall is the standard LSH
+    s-curve: P(candidate) = 1-(1-j^r)^b).
+
+    At 100 TB this is the canonical dedup: the signature pass is
+    embarrassingly parallel; the band join shuffles only (doc_id, band_key)
+    pairs — n_perm/band_rows rows per document, independent of text size.
+    """
+    n_bands = n_perm // band_rows
+    base = df.select(
+        F.col(id_col).alias("did"), shingles(text_col, k).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_perm))
+    bands = sig.select(
+        "did",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * band_rows + r + 1).cast("string")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", F.floor(jac * 1000000 + F.lit(0.5)) / 1000000)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signature per document (bits-wide, default 16 for oracle
+    compactness; 64 in production). Classic construction: each distinct
+    word votes +1/-1 on every bit of its 60-bit hash; the signature is the
+    sign vector. Near-dups differ in few bits (compare via hamming
+    distance, e.g. a join on rotated bit-blocks).
+
+    Plan shape: explode distinct words → hash → groupBy(doc) with `bits`
+    conditional sums → bit-pack. One shuffle on doc_id with map-side
+    partial aggregation.
+    """
+    w = df.select(
+        F.col(id_col).alias("did"), F.explode(F.array_distinct(words(text_col))).alias("word")
+    ).withColumn("h", h64(F.col("word")))
+    votes = w.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = votes.select(
+        "did",
+        sum(
+            (F.when(F.col(f"b{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)))
+            for b in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return packed.withColumnRenamed("did", id_col)

@@ -1,6 +1,431 @@
-"""LLM-data-pipeline extension queries (SURVEY.md §2.9 Q90-Q92 + the
-dedup / similarity-search / text-analysis family).
+"""LLM-data-pipeline extension queries (SURVEY.md §2.9 Q90-Q92 family,
+expanded): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH ANN), text
+analysis (language ID, quality, token counts, fingerprints), multimodal
+binary plumbing, and the as-of join.
 
-Populated in the extensions milestone — see
-``data_engineer_capstone_spark.operators``.
+Oracle policy: everything with deterministic cross-engine semantics gets a
+full DuckDB oracle — including MinHash (both engines derive the same
+60-bit hashes from md5 hex, so signatures match bit-for-bit). The LSH ANN
+path is approximate-by-design → rows-only here, recall-tested against the
+brute-force baseline in tests/test_operators.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    LANG_STOPWORDS,
+    detect_language,
+    fingerprint,
+    quality_score,
+    shingles,
+    words,
+)
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import with_binary_payload
+from ..operators.similarity import brute_force_topk, cosine_pairs, lsh_ann_topk
+from .registry import query
+
+# DuckDB fragments mirroring functions/text.py exactly
+_WORDS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
+_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_shingles(col: str, k: int = 3) -> str:
+    """Distinct word k-grams (empty list below k words) — mirrors
+    text.shingles."""
+    w = _WORDS.format(c=col)
+    return (
+        f"CASE WHEN len({w}) >= {k} THEN list_distinct("
+        f"[list_aggregate(({w})[i:i+{k - 1}], 'string_agg', ' ') "
+        f"for i in range(1, len({w}) - {k - 2})]) "
+        f"ELSE [] END"
+    )
+
+
+# ------------------------------------------------------------------ dedup --
+@query(
+    "q90_exact_dedup",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-hash groups (one shuffle on md5(text))."""
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup_groups(docs).select(
+        "doc_id", "content_hash", "canonical_id", "group_size"
+    ).orderBy("doc_id")
+
+
+@query(
+    "q91_ngram_jaccard_dedup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+    WHERE floor(len(list_intersect(a.sh, b.sh)) * 1.0
+                / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+                * 1000000 + 0.5) / 1000000 >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via the
+    inverted-index join — no O(n²) pair space on the Spark side; the
+    oracle brute-forces the cross join (fine at oracle scale)."""
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(n_perm: int = 16, band_rows: int = 4, threshold: float = 0.8) -> str:
+    mins = ",\n           ".join(
+        "list_min(list_transform(sh, s -> {h})) AS m{i}".format(
+            h=_H64.format(x=f"'{i}:' || s"), i=i
+        )
+        for i in range(n_perm)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(n_perm))
+    n_bands = n_perm // band_rows
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(sig[{b * band_rows + r + 1}] AS VARCHAR)" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh0 AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents),
+    shd AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+    sigparts AS (
+        SELECT doc_id, sh, {mins}
+        FROM shd
+    ),
+    sig AS (SELECT doc_id, sh, [{sig_list}] AS sig FROM sigparts),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               floor(len(list_intersect(x.sh, y.sh)) * 1.0
+                     / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                     * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q92_minhash_lsh_dedup", oracle=_minhash_oracle())
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16 perms)+LSH(4-row bands) candidate pairs, exact-verified at
+    jaccard >= 0.8. The oracle recomputes the identical salted-md5
+    signatures, so the candidate sets match bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        docs, k=3, n_perm=16, band_rows=4, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN b{b} >= 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct({_WORDS.format(c='text')})) AS word
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_H64.format(x='word')} AS h FROM w),
+    votes AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+    """
+
+
+@query("q93_simhash", oracle=_simhash_oracle())
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signatures (16-bit oracle variant; 64-bit in production)."""
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs, bits=16).select("doc_id", "simhash").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- similarity --
+@query(
+    "q94_cosine_topk",
+    oracle="""
+    SELECT query_id, candidate_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[]))))
+                     * 1000000 + 0.5) / 1000000 AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[]))))
+                     * 1000000 + 0.5) / 1000000 DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbors for the first 10 vectors against
+    the rest — the exact ANN baseline."""
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q95_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))))
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))))
+                * 1000000 + 0.5) / 1000000 >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 on this
+    corpus — chosen to produce a non-trivial result set)."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+@query("q96_ann_lsh")  # approximate by design: rows-only check; recall tested in pytest
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes via seeded numpy in
+    mapInPandas): the 100TB-scale path for similarity search."""
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_planes=4, n_tables=8,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------- text analysis --
+_STOP_SQL = {
+    lg: "[" + ", ".join(f"'{w}'" for w in ws_) + "]"
+    for lg, ws_ in LANG_STOPWORDS.items()
+}
+
+
+@query(
+    "q97_langid",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               len(list_intersect(list_distinct({_WORDS.format(c='text')}),
+                                  {_STOP_SQL['de']})) AS h_de,
+               len(list_intersect(list_distinct({_WORDS.format(c='text')}),
+                                  {_STOP_SQL['en']})) AS h_en,
+               len(list_intersect(list_distinct({_WORDS.format(c='text')}),
+                                  {_STOP_SQL['es']})) AS h_es,
+               len(list_intersect(list_distinct({_WORDS.format(c='text')}),
+                                  {_STOP_SQL['fr']})) AS h_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits ORDER BY doc_id
+    """,
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, deterministic
+    tie-break) next to the dataset's own label."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_language("text").alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q98_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS.format(c='text')}) AS n_words,
+           len(list_distinct({_WORDS.format(c='text')})) AS n_distinct,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS n_tokens,
+           floor(CAST(len(list_distinct({_WORDS.format(c='text')})) AS DOUBLE)
+                 / len({_WORDS.format(c='text')}) * 1000000 + 0.5) / 1000000
+             AS distinct_ratio,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace words, distinct words, BPE-ish regex
+    tokens (words + punctuation marks), type/token ratio."""
+    docs = load_table(spark, sf, "documents")
+    w = words("text")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.floor(
+                F.size(F.array_distinct(w)).cast("double") / F.size(w) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("distinct_ratio"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q99_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               len({_WORDS.format(c='text')}) AS nw,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN nw >= 5 AND nw <= 100000 THEN 1 ELSE 0 END
+               + CASE WHEN nw > 0 AND (alnum * 10.0 / nw) >= 25
+                       AND (alnum * 10.0 / nw) <= 120 THEN 1 ELSE 0 END
+               + CASE WHEN nc > 0 AND (alnum * 100.0 / nc) >= 60 THEN 1 ELSE 0 END)
+             AS DOUBLE) / 3 AS quality
+    FROM base ORDER BY doc_id
+    """,
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic text-quality heuristic (length / word-shape /
+    alphanumeric-density votes)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "q100_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min([md5(substr(text, i, 8))
+                     for i in range(1, greatest(length(text) - 7, 1) + 1)])
+             AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over char 8-grams
+    (1-sample winnowing sketch)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+# ----------------------------------------------------- asof / multimodal  --
+@query(
+    "q101_asof_join",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+             AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each error event, the same user's most recent
+    purchase at-or-before it (union-timeline + last IGNORE NULLS window —
+    Spark has no asof builtin; DuckDB's native ASOF JOIN is the oracle)."""
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(errors, purchases, on="user_id", value_cols=["ts"])
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p_us = F.unix_micros(F.col("ts_asof").cast("timestamp"))
+    return joined.select(
+        "event_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        (ts_us - p_us).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q102_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary plumbing: opaque payload column + typed metadata
+    (byte length, content hash, magic prefix). The decode/feature stages
+    are mapInPandas operators (operators/multimodal.py), exercised in
+    tests; this query checks the binary-column semantics cross-engine."""
+    docs = load_table(spark, sf, "documents")
+    return with_binary_payload(docs).select(
+        "doc_id", "byte_len", "sha256", "magic"
+    ).orderBy("doc_id")
