@@ -40,26 +40,40 @@ from .registry import query
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shape pricing summary: the flagship aggregation query.
 
-    Filter sits on the scan (parquet row-group pushdown on l_shipdate);
-    6 aggregates + a distinct count in one pass over ~97% of lineitem.
+    Filter sits on the scan (parquet row-group pushdown on l_shipdate).
+    The distinct count is computed as its own narrow dedup + count and
+    joined back, NOT as ``countDistinct`` inside the main agg: Spark plans
+    a single distinct-agg by keying the first partial aggregate on
+    (group keys, distinct key), which shuffles every partial sum keyed by
+    l_orderkey — a shuffle proportional to the DATA size (measured 80 MiB
+    at sf0.1, larger than the table). Split, the main agg shuffles ~group
+    count rows and the dedup shuffles only 3 narrow columns; the final
+    join is 6×6 rows (AQE broadcasts it). That is the shape that survives
+    100 TB.
     """
     li = load_table(spark, sf, "lineitem")
+    lif = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp_ntz")
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp_ntz"))
+    main = lif.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity"), "sum_qty"),
+        money_sum(F.col("l_extendedprice"), "sum_base_price"),
+        money_sum(disc_price, "sum_disc_price"),
+        money_sum(charge, "sum_charge"),
+        money_avg(F.col("l_quantity"), "avg_qty"),
+        money_avg(F.col("l_extendedprice"), "avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    distinct = (
+        lif.select("l_returnflag", "l_linestatus", "l_orderkey")
+        .dropDuplicates()
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum(F.col("l_quantity"), "sum_qty"),
-            money_sum(F.col("l_extendedprice"), "sum_base_price"),
-            money_sum(disc_price, "sum_disc_price"),
-            money_sum(charge, "sum_charge"),
-            money_avg(F.col("l_quantity"), "avg_qty"),
-            money_avg(F.col("l_extendedprice"), "avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.countDistinct("l_orderkey").alias("distinct_orders"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        .agg(F.count("l_orderkey").alias("distinct_orders"))
+    )
+    return main.join(distinct, ["l_returnflag", "l_linestatus"]).orderBy(
+        "l_returnflag", "l_linestatus"
     )
 
 
