@@ -307,19 +307,15 @@ def run_quality_gates(tables: dict[str, DataFrame], weekday: str = "abbrev") -> 
 
 
 def write_lake(tables: dict[str, DataFrame], out_dir: str, fmt: str = "parquet") -> None:
-    """Partitioned writes per the reference's specs (pyspark.py:462-469),
-    with a repartition on the partition columns first (one writer task per
-    output partition — avoids small-file explosions at scale)."""
+    """Partitioned writes per the reference's specs (pyspark.py:462-469)
+    through the sources sink (repartition-before-partitionBy policy lives
+    in one place: sources/sinks.py)."""
+    from ..sources.sinks import write_table
+
     for name, df in tables.items():
-        part_cols = schemas.PARTITION_SPECS.get(name)
-        writer = df
-        if part_cols:
-            writer = df.repartition(*part_cols)
-            (
-                writer.write.partitionBy(*part_cols)
-                .format(fmt)
-                .mode("overwrite")
-                .save(os.path.join(out_dir, name))
-            )
-        else:
-            writer.write.format(fmt).mode("overwrite").save(os.path.join(out_dir, name))
+        write_table(
+            df,
+            os.path.join(out_dir, name),
+            partition_by=schemas.PARTITION_SPECS.get(name),
+            fmt=fmt,
+        )

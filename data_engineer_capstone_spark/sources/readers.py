@@ -1,0 +1,94 @@
+"""Cast-enforcing readers (SURVEY.md §2.1 S1-S5).
+
+Reference behavior being generalized:
+
+- S1-S3: ``spark.read.csv(path, header=True)`` with no schema — every
+  column lands as a string (pyspark.py:177,195,265,277), silently
+  defeating the declared schemas. Our ``csv_source`` takes the declared
+  ``StructType`` and passes it to the reader, so type errors surface at
+  scan time and the parquet-style pushdown/pruning machinery sees real
+  types.
+- S4: ``spark.read.json(multiLine=True)`` for pretty-printed JSON lookup
+  dims (pyspark.py:217-219). JSON schemas are inferred by a separate scan
+  job; at scale pass ``schema=`` to skip the inference pass entirely.
+- S5: parquet, self-describing (pyspark.py:222).
+
+Every reader returns a plain DataFrame — a lazy scan node; no action is
+triggered here (except JSON inference when no schema is given), so
+filters/projections applied downstream still push into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PERMISSIVE, DROPMALFORMED, FAILFAST = "PERMISSIVE", "DROPMALFORMED", "FAILFAST"
+
+
+def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project+cast a DataFrame onto a declared schema (order, names, types).
+
+    The type-enforcing replacement for the reference's
+    ``make_empty_df(schema).union(df)`` conformance idiom
+    (pyspark.py:159-167,182), which only aligns column order and lets
+    Spark's set-op coercion silently widen declared ints to strings
+    (SURVEY §1.2). A cast is a codegen-stage expression — no shuffle, no
+    extra pass.
+    """
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    mode: str = PERMISSIVE,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with optional declared schema (S1-S3 generalized).
+
+    With ``schema=None`` this matches the reference's all-strings read
+    (header names only). With a schema, parsing is typed at the scan and
+    ``mode`` picks the malformed-row policy (PERMISSIVE null-fills,
+    DROPMALFORMED filters, FAILFAST raises) — the reference's post-hoc
+    row-alignment filter (pyspark.py:280-286) becomes a reader concern.
+    """
+    reader = spark.read.options(header=str(header).lower(), mode=mode, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def json_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = True,
+    **options: str,
+) -> DataFrame:
+    """JSON scan (S4). ``multiline=True`` for pretty-printed arrays (the
+    reference's lookup dims); pass ``schema`` to skip the inference job —
+    at 100 TB an inference pass is a full extra read of the data."""
+    reader = spark.read.options(multiLine=str(multiline).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def parquet_source(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan (S5); optional ``conform`` onto a declared schema.
+
+    Parquet is self-describing, so the schema here is a *contract check*
+    plus column pruning: the resulting scan reads only the declared
+    columns (ReadSchema), and mismatched types fail at analysis instead of
+    producing silently-coerced output.
+    """
+    df = spark.read.parquet(path)
+    return conform(df, schema) if schema is not None else df

@@ -1,0 +1,161 @@
+"""Sources layer (SURVEY.md §2.1): cast-enforcing readers, partitioned
+sinks, offline fixture prep."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineer_capstone_spark.sources import (
+    conform,
+    csv_source,
+    json_source,
+    parquet_source,
+    parse_excel_workbooks,
+    parse_sas_labels,
+    write_csv,
+    write_json,
+    write_table,
+)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,amount\n1,alpha,10.5\n2,beta,20.25\n3,,\n")
+    return str(p)
+
+
+def test_csv_source_schema_enforced(spark, csv_file):
+    df = csv_source(spark, csv_file, schema=CSV_SCHEMA)
+    assert [f.dataType for f in df.schema.fields] == [
+        T.IntegerType(), T.StringType(), T.DoubleType()]
+    rows = df.orderBy("id").collect()
+    assert rows[0].id == 1 and rows[1].amount == 20.25 and rows[2].name is None
+
+
+def test_csv_source_stringly_without_schema(spark, csv_file):
+    # reference behavior (pyspark.py:177): header only -> all strings
+    df = csv_source(spark, csv_file)
+    assert all(f.dataType == T.StringType() for f in df.schema.fields)
+
+
+def test_csv_dropmalformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,name,amount\n1,ok,1.0\nnot_an_int,bad,2.0\n")
+    df = csv_source(spark, str(p), schema=CSV_SCHEMA, mode="DROPMALFORMED")
+    # count() alone parses zero columns, so malformed rows aren't detected
+    # (Spark CSV semantics) — materialize the columns to trigger the drop.
+    assert len(df.collect()) == 1
+
+
+def test_json_source_multiline(spark, tmp_path):
+    p = tmp_path / "dim.json"
+    write_json([{"code": 1, "label": "x"}, {"code": 2, "label": "y"}], str(p))
+    df = json_source(spark, str(p))
+    assert {r.code: r.label for r in df.collect()} == {1: "x", 2: "y"}
+
+
+def test_parquet_source_conform_prunes_and_casts(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), False),  # stored as bigint
+            T.StructField("n_name", T.StringType(), True),
+        ]
+    )
+    df = parquet_source(spark, os.path.join(sf_dir, "nation.parquet"), schema)
+    assert df.schema == T.StructType(
+        [T.StructField("n_nationkey", T.IntegerType(), True),
+         T.StructField("n_name", T.StringType(), True)]
+    ) or [f.name for f in df.schema.fields] == ["n_nationkey", "n_name"]
+    assert dict(df.dtypes)["n_nationkey"] == "int"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" not in plan  # column pruned at the scan
+
+
+def test_conform_fixes_type_widening(spark):
+    # the reference's empty-df-union leaves ints as strings; conform casts
+    df = spark.createDataFrame([("1", "a"), ("2", "b")], "id string, v string")
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    out = conform(df, schema)
+    assert dict(out.dtypes) == {"id": "bigint", "v": "string"}
+
+
+def test_write_table_partitioned_one_file_per_partition(spark, sf_dir, tmp_path):
+    nation = parquet_source(spark, os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "lake" / "nation")
+    write_table(nation, out, partition_by=["n_regionkey"])
+    dirs = sorted(os.path.basename(d) for d in glob.glob(out + "/n_regionkey=*"))
+    assert len(dirs) == 5
+    for d in glob.glob(out + "/n_regionkey=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected exactly one writer task's file"
+    back = spark.read.parquet(out)
+    assert back.count() == nation.count()
+
+
+def test_write_table_salted_spreads_hot_partition(spark, tmp_path):
+    df = spark.range(1000).withColumn("k", F.lit("hot"))
+    out = str(tmp_path / "salted")
+    write_table(df, out, partition_by=["k"], salt_files=4)
+    files = [f for f in os.listdir(out + "/k=hot") if f.endswith(".parquet")]
+    assert len(files) > 1
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_table_unpartitioned(spark, tmp_path):
+    df = spark.range(10)
+    out = str(tmp_path / "flat")
+    write_table(df, out)
+    assert spark.read.parquet(out).count() == 10
+
+
+SAS_SAMPLE = """
+/* some header comment */
+proc format;
+  value i94cntyl
+    582 = 'MEXICO AIR SEA, AND NOT REPORTED'
+    236 = 'AFGHANISTAN'
+    403 = 'INVALID: AMERICAN SAMOA'
+    999 = 'No Country Code (999)'
+  ;
+  value $i94prtl
+    'ALC' = 'ALCAN, AK'
+    'XXX' = 'NOT REPORTED/UNKNOWN'
+    'ABC' = 'O''BRIEN PORT, ME'
+  ;
+"""
+
+
+def test_parse_sas_labels_blocks_scrub_and_quotes():
+    out = parse_sas_labels(SAS_SAMPLE, title_case={"i94prtl"})
+    assert out["i94cntyl"]["582"].startswith("MEXICO")
+    assert "403" not in out["i94cntyl"] and "999" not in out["i94cntyl"]
+    assert out["i94prtl"]["ALC"] == "Alcan, Ak"
+    assert out["i94prtl"]["ABC"] == "O'Brien Port, Me"
+
+
+def test_excel_gate_and_fake_plumbing(spark, tmp_path):
+    xlsx = tmp_path / "a.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04fake")
+    with pytest.raises(NotImplementedError):
+        parse_excel_workbooks([str(xlsx)])
+    rows = parse_excel_workbooks(["b.xlsx", "a.xlsx"], fake=True)
+    df = spark.createDataFrame(rows)
+    assert df.count() == 2
+    p = str(tmp_path / "asylum.csv")
+    write_csv(rows, p, header=list(rows[0]))
+    assert csv_source(spark, p).count() == 2
