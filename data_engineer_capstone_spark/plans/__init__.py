@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     pipeline,
     streaming_queries,
     extensions,
+    udf_surface,
 )
 
 from .registry import QUERIES, get_queries, get_oracles  # noqa: F401

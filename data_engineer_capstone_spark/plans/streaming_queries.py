@@ -194,3 +194,30 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = run_to_table(dedup, "append")
     return out.dropDuplicates().orderBy("user_id", "event_type")
+
+
+@query(
+    "q85_stream_stateful_running_count",
+    oracle="""
+    SELECT user_id, cum_events FROM (
+        SELECT user_id, COUNT(*) AS cum_events
+        FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+        UNION ALL
+        SELECT t.user_id, t.total AS cum_events
+        FROM (SELECT user_id, COUNT(*) AS total FROM events GROUP BY user_id) t
+        JOIN (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) b1
+          USING (user_id)
+    ) ORDER BY user_id, cum_events
+    """,
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState running count per
+    user across a 2-batch replay (batch i = event_id % 2). Each batch in
+    which a user appears emits the cumulative count so far — the batch-1
+    emission equals the user's TOTAL only because state carried the batch-0
+    count. Oracle reconstructs both emissions per user."""
+    from ..streaming.stateful import running_count
+
+    s = read_stream(spark, sf, 2)
+    out = run_to_table(running_count(s, "user_id"), "update")
+    return out.orderBy("user_id", "cum_events")

@@ -1,0 +1,99 @@
+"""UDF / UDAF / UDTF surface queries (SURVEY.md §2.7): the registered
+Python-function escape hatch, exercised through SQL (registration makes
+the functions visible to ``spark.sql``) and oracle-checked like every
+other query.
+
+Exemplar choices are deliberately determinism-safe: integer outputs
+(token counts, positions) and exact-integer-sum ratios (weighted mean),
+so the Arrow/pandas path can hash-match DuckDB without tolerance.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.udfs import register_exemplars
+from .registry import query
+
+
+def _docs_view(spark: SparkSession, sf: str) -> str:
+    """Register documents as a uniquely-named temp view + the exemplar
+    functions; returns the view name."""
+    register_exemplars(spark)
+    name = f"docs_{uuid.uuid4().hex[:10]}"
+    load_table(spark, sf, "documents").createOrReplaceTempView(name)
+    return name
+
+
+@query(
+    "q103_udf_scalar_pandas",
+    oracle="""
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized) registered for SQL: token
+    count per document."""
+    v = _docs_view(spark, sf)
+    return spark.sql(
+        f"SELECT doc_id, tok_count(text) AS n_tokens FROM {v} ORDER BY doc_id"
+    )
+
+
+@query(
+    "q104_udaf_grouped_agg",
+    oracle="""
+    SELECT lang, source,
+           CAST(SUM(n_chars * (1 + doc_id % 7)) AS DOUBLE)
+             / SUM(1 + doc_id % 7) AS w_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """UDAF (grouped-agg pandas UDF): per-(lang, source) weighted mean of
+    n_chars, weight 1 + doc_id % 7. Exact int64 sums inside the UDF keep
+    the quotient partition-order independent. (Spark disallows mixing a
+    grouped-agg pandas UDF with built-in aggregates in one agg, so the
+    UDAF is the only aggregate here.)"""
+    v = _docs_view(spark, sf)
+    return spark.sql(
+        f"""
+        SELECT lang, source,
+               weighted_mean(n_chars, 1 + doc_id % 7) AS w_chars
+        FROM {v}
+        GROUP BY lang, source
+        ORDER BY lang, source
+        """
+    )
+
+
+@query(
+    "q105_udtf_lateral",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i + 1] AS gram
+    FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF in LATERAL position: per-document word bigrams with
+    positions (a table function joined laterally against its input row)."""
+    v = _docs_view(spark, sf)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.pos, t.gram
+        FROM {v} d, LATERAL bigrams(d.text) t
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, t.pos
+        """
+    )
