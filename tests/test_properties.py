@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY.md §5): invariants the oracle queries
+can't state, checked over generated inputs with hypothesis.
+
+Spark jobs per example are expensive, so example counts are small and
+each property batches its generated cases into ONE DataFrame where
+possible.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineer_capstone_spark.functions.refops import (
+    conform_schema,
+    deterministic_id,
+    sas_epoch_to_date,
+    union_align,
+)
+from data_engineer_capstone_spark.functions.text import shingles
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+EPOCH = datetime.date(1960, 1, 1)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.none() | st.integers(-30_000, 30_000), min_size=1, max_size=50))
+def test_sas_epoch_round_trip(spark, days):
+    """days -> date -> days is identity on coalesce(n, 0) over ±30k days
+    (UA2 semantics: null maps to the 1960-01-01 default, README.md:102)."""
+    df = spark.createDataFrame([(d,) for d in days], "n int")
+    out = df.select(
+        "n", F.datediff(sas_epoch_to_date("n"), F.lit(EPOCH)).alias("back")
+    ).collect()
+    for r in out:
+        assert r.back == (r.n or 0)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=4, unique=True),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=4, unique=True),
+)
+def test_union_align_never_misaligns(spark, cols1, cols2):
+    """union_align keeps values under their own column NAMES (the
+    reference's positional union misaligned df2's columns), fills missing
+    columns with null, and emits first-seen column order."""
+    d1 = spark.createDataFrame([tuple(f"1{c}" for c in cols1)], ", ".join(f"{c} string" for c in cols1))
+    d2 = spark.createDataFrame([tuple(f"2{c}" for c in cols2)], ", ".join(f"{c} string" for c in cols2))
+    out = union_align([d1, d2])
+    assert out.columns == cols1 + [c for c in cols2 if c not in cols1]
+    r1, r2 = out.collect()
+    for c in out.columns:
+        assert r1[c] == (f"1{c}" if c in cols1 else None)
+        assert r2[c] == (f"2{c}" if c in cols2 else None)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.sampled_from("xy")), min_size=1, max_size=30))
+def test_dedup_idempotent_and_minimal(spark, rows):
+    """dropDuplicates is idempotent and produces exactly the distinct set."""
+    df = spark.createDataFrame(rows, "k int, v string")
+    once = df.dropDuplicates()
+    assert once.count() == len(set(rows))
+    assert sorted(map(tuple, once.dropDuplicates().collect())) == sorted(
+        map(tuple, once.collect())
+    )
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)), min_size=1, max_size=40, unique=True))
+def test_deterministic_id_stable_under_row_order(spark, rows):
+    """ids are 1..n, unique, and a permutation of the input rows yields the
+    SAME natural-key -> id mapping (the property monotonically_increasing_id
+    lacks, SURVEY §7.1)."""
+    df = spark.createDataFrame(rows, "a int, b int")
+    ids1 = {(r.a, r.b): r.id for r in deterministic_id(df, ["a", "b"]).collect()}
+    shuffled = df.orderBy(F.rand(seed=7))
+    ids2 = {(r.a, r.b): r.id for r in deterministic_id(shuffled, ["a", "b"]).collect()}
+    assert ids1 == ids2
+    assert sorted(ids1.values()) == list(range(1, len(rows) + 1))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(-1000, 1000) | st.none(), min_size=1, max_size=20))
+def test_conform_schema_idempotent(spark, vals):
+    """conform twice == conform once; declared types enforced even from
+    all-string input (the reference's widening bug class, SURVEY §1.2)."""
+    schema = T.StructType([T.StructField("x", T.IntegerType(), True)])
+    df = spark.createDataFrame([(str(v) if v is not None else None,) for v in vals], "x string")
+    once = conform_schema(df, schema)
+    twice = conform_schema(once, schema)
+    assert once.schema == twice.schema == schema
+    assert [r.x for r in once.collect()] == [r.x for r in twice.collect()] == vals
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from("abc"), min_size=0, max_size=12))
+def test_shingles_count_and_short_doc_guard(spark, toks):
+    """k-shingling emits exactly max(0, n-k+1) grams pre-dedup and the
+    distinct set is a subset; docs shorter than k emit [] (not the
+    descending-sequence artifact of naive F.sequence)."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        F.size(shingles("t", k=3, distinct=False)).alias("all_n"),
+        F.size(shingles("t", k=3)).alias("d_n"),
+    ).collect()[0]
+    assert row.all_n == max(0, len(toks) - 2)
+    assert 0 <= row.d_n <= row.all_n
