@@ -51,3 +51,34 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write an external bucketed (+optionally sorted) table.
+
+    Bucketing is the pre-pay-the-shuffle move for 100 TB joins: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side — the shuffle happened once at write time and
+    is amortized over every subsequent join/aggregation on that key.
+    ``sort_by`` additionally pre-sorts within buckets so sort-merge joins
+    skip their sort. Bucketed metadata lives in the session catalog
+    (``saveAsTable``); the data itself is plain parquet at ``path``.
+    """
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

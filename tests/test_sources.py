@@ -123,6 +123,36 @@ def test_write_table_unpartitioned(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key join with ZERO exchanges
+    (the write-once-join-many amortization that matters at 100 TB)."""
+    from data_engineer_capstone_spark.sources.sinks import write_bucketed
+
+    li = parquet_source(spark, os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = parquet_source(spark, os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "t_li_bkt", str(tmp_path / "li"), ["l_orderkey"], 4,
+                   sort_by=["l_orderkey"])
+    write_bucketed(od, "t_od_bkt", str(tmp_path / "od"), ["o_orderkey"], 4,
+                   sort_by=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tl, to = spark.table("t_li_bkt"), spark.table("t_od_bkt")
+        j = tl.join(to, tl.l_orderkey == to.o_orderkey)
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert n == li.join(od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_od_bkt")
+
+
 SAS_SAMPLE = """
 /* some header comment */
 proc format;

@@ -1,0 +1,61 @@
+"""Physical-plan audit over the whole query registry.
+
+Prints one line per batch query: exchange count + red-flag operators
+(CartesianProduct, BatchEvalPython outside the UDF surface, unexpected
+SortMergeJoin/BroadcastNestedLoopJoin). Run after adding operators:
+
+    python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineer_capstone_spark.plans import get_queries  # noqa: E402
+from data_engineer_capstone_spark.session import get_spark  # noqa: E402
+
+# Queries where a normally-suspicious operator is the intended plan.
+EXPECTED = {
+    "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
+    "q26_range_join": {"BroadcastNestedLoopJoin"},  # theta join, bounded side
+    "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
+    "q94_cosine_topk": {"BroadcastNestedLoopJoin"},  # brute-force baseline
+    "q95_embedding_near_dup": {"BroadcastNestedLoopJoin"},  # same
+    "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
+    "q104_udaf_grouped_agg": {"AggregateInPandas"},
+    "q105_udtf_lateral": {"BatchEvalPython"},
+}
+MARKERS = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "AggregateInPandas",
+    "BroadcastNestedLoopJoin",
+]
+STREAMING = {"q80", "q81", "q82", "q83", "q84", "q85"}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan-audit")
+    bad = 0
+    for name, fn in sorted(get_queries().items()):
+        if name.split("_")[0] in STREAMING:
+            continue
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        found = {m for m in MARKERS if m in plan}
+        unexpected = found - EXPECTED.get(name, set())
+        status = "UNEXPECTED " + " ".join(sorted(unexpected)) if unexpected else "ok"
+        print(f"{name:35s} exch={plan.count('Exchange'):2d} {status}")
+        bad += bool(unexpected)
+    print(f"\n{bad} queries with unexpected operators")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
