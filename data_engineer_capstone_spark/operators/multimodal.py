@@ -81,6 +81,62 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_image(
+    payload: bytes, height: int, width: int, target: tuple[int, int], fake: bool = False
+) -> bytes:
+    """Resize an image payload to ``target`` (th, tw).
+
+    STUB like decode_image: the real path needs a codec. The fake path is a
+    deterministic nearest-neighbor downsample over the raw bytes treated as
+    an h×w single-channel grid — wrong as image math, right as plumbing:
+    output length is exactly th*tw and derives only from the input.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image codec; not available in this "
+            "environment — use fake=True for plumbing tests"
+        )
+    th, tw = target
+    if not payload or height < 1 or width < 1:
+        return bytes(th * tw)
+    grid = payload[: height * width].ljust(height * width, b"\0")
+    out = bytearray()
+    for r in range(th):
+        src_r = r * height // th
+        for c in range(tw):
+            out.append(grid[src_r * width + (c * width // tw)])
+    return bytes(out)
+
+
+def resize(
+    df: DataFrame,
+    target: tuple[int, int],
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """mapInPandas resize stage: payload + decoded dims -> fixed-size
+    payload (the normalization step before batch feature models). Expects
+    ``extract_features`` upstream (height/width columns present)."""
+    th, tw = target
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", resized binary, resized_height int, resized_width int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = [
+                resize_image(p, h, w, (th, tw), fake=fake_decode)
+                for p, h, w in zip(pdf[payload_col], pdf["height"], pdf["width"])
+            ]
+            pdf["resized_height"] = th
+            pdf["resized_width"] = tw
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 16) -> DataFrame:
     """Deterministic 'frame sampling' plumbing demo: slice every Nth byte of
     the payload (stand-in for video frame extraction), emitted as one row

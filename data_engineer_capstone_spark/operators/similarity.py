@@ -118,6 +118,109 @@ def add_hyperplane_buckets(
     return df.mapInPandas(project, schema=out_schema)
 
 
+def train_ivf_centroids(
+    candidates: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    n_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train IVF coarse centroids on a bounded sample (numpy Lloyd
+    iterations on the driver — the FAISS approach: train small, assign
+    big). Deterministic: seeded init on an id-ordered sample, fixed
+    iteration count, ties to the lowest centroid index. Returns an
+    (n_lists, dim) float64 ndarray of L2-normalized centroids."""
+    import numpy as np
+
+    sample = (
+        candidates.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.vstack([r[1] for r in sample]).astype("float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(n_iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _assign_lists(
+    df: DataFrame, centroids, n_probe: int, out_id: str, out_vec: str,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """mapInPandas: nearest n_probe centroid ids per vector (spherical
+    assignment — argmax dot on normalized vectors), exploded to one row
+    per (vector, list)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = np.asarray(centroids)
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].repeat(top.shape[1]).to_numpy(),
+                    out_vec: pdf[vec_col].repeat(top.shape[1]).to_numpy(),
+                    "list_id": top.astype("int32").ravel(),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{out_id} bigint, {out_vec} array<float>, list_id int"
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates are inverted-file-partitioned by
+    nearest centroid (1 list each); each query probes its ``n_probe``
+    nearest lists; exact cosine re-rank within the probed union.
+
+    Scale shape: centroid training touches a bounded sample; assignment is
+    one Arrow-batched pass over each side; the candidate join is an
+    EQUI-join on list_id (shuffle ∝ probed fraction ≈ n_probe/n_lists of
+    the data, not O(n²)). Skewed lists (hub vectors) split via AQE.
+    """
+    cent = train_ivf_centroids(
+        candidates, dim, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    cl = _assign_lists(candidates, cent, 1, "candidate_id", "cv", id_col, vec_col)
+    ql = _assign_lists(queries, cent, n_probe, "query_id", "qv", id_col, vec_col)
+    scored = ql.join(cl, "list_id").select(
+        "query_id",
+        "candidate_id",
+        _rounded_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     candidates: DataFrame,

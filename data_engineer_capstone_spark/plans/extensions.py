@@ -257,6 +257,21 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("q106_ann_ivf")  # approximate by design: rows-only; recall tested in pytest
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (sampled-centroid inverted file, equi-join on list_id):
+    the second scale path for similarity search — candidate volume is the
+    probed fraction (n_probe/n_lists) of the data instead of LSH's
+    bucket-collision volume."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_lists=8, n_probe=3,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------- text analysis --
 _STOP_SQL = {
     lg: "[" + ", ".join(f"'{w}'" for w in ws_) + "]"

@@ -15,10 +15,13 @@ from data_engineer_capstone_spark.operators.multimodal import (
     decode_image,
     extract_features,
     frame_sample,
+    resize,
+    resize_image,
     with_binary_payload,
 )
 from data_engineer_capstone_spark.operators.similarity import (
     brute_force_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 
@@ -39,6 +42,20 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     assert approx_set == again
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.candidate_id) for r in brute_force_topk(q, c, k=5).collect()}
+    approx = {(r.query_id, r.candidate_id) for r in
+              ivf_ann_topk(q, c, dim=64, k=5, n_lists=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF ANN recall too low: {recall}"
+    again = {(r.query_id, r.candidate_id) for r in
+             ivf_ann_topk(q, c, dim=64, k=5, n_lists=8, n_probe=3).collect()}
+    assert approx == again  # deterministic training + assignment
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     payload = with_binary_payload(docs)
@@ -51,6 +68,26 @@ def test_multimodal_plumbing(spark, sf_dir):
     frames = frame_sample(payload.limit(2), every=16)
     f = frames.select("doc_id", "frame_idx", "byte_offset", "frame_byte").collect()
     assert all(r.byte_offset == 1 + 16 * r.frame_idx for r in f)
+
+
+def test_resize_stage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    feats = extract_features(with_binary_payload(docs))
+    out = resize(feats, target=(8, 8)).select("doc_id", "resized").collect()
+    assert len(out) == 10
+    assert all(len(r.resized) == 64 for r in out)
+    # deterministic: same input -> same bytes
+    again = resize(feats, target=(8, 8)).select("doc_id", "resized").collect()
+    assert {r.doc_id: bytes(r.resized) for r in out} == {
+        r.doc_id: bytes(r.resized) for r in again
+    }
+
+
+def test_resize_image_stub_gates():
+    with pytest.raises(NotImplementedError):
+        resize_image(b"xx", 2, 1, (4, 4))
+    assert len(resize_image(b"abcd", 2, 2, (4, 4), fake=True)) == 16
+    assert resize_image(b"", 0, 0, (3, 3), fake=True) == bytes(9)
 
 
 def test_decode_image_stub_gates():

@@ -41,6 +41,17 @@ def test_build_all_and_write_lake(spark, tmp_path):
         df.unpersist()
 
 
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """python -m data_engineer_capstone_spark: gates pass, lake written."""
+    from data_engineer_capstone_spark.__main__ import main
+
+    out = str(tmp_path / "cli_lake")
+    rc = main(["--out", out, "--weekday", "iso"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "immigration_facts"))
+    assert "lake written" in capsys.readouterr().out
+
+
 def test_worker_pipeline_reference_quirks(spark):
     workers = build.parse_worker(spark)
     # kaggle-only rows: no dates at all -> arrival parts null, year present
