@@ -97,6 +97,30 @@ def test_decode_image_stub_gates():
     assert set(meta) == {"height", "width", "channels"}
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from data_engineer_capstone_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    plain = li.join(od, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_quantity"), F.sum("o_custkey")
+    ).collect()
+    salted = salted_join(li, od, ["l_orderkey"], n_salts=8).groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_quantity"), F.sum("o_custkey")
+    ).collect()
+    assert plain == salted
+
+    # left join: unmatched large-side rows survive exactly once
+    left_plain = li.join(od.limit(0), "l_orderkey", "left").count()
+    left_salted = salted_join(li, od.limit(0), ["l_orderkey"], how="left").count()
+    assert left_plain == left_salted == li.count()
+
+    with pytest.raises(ValueError):
+        salted_join(li, od, ["l_orderkey"], how="full")
+
+
 def test_asof_join_tie_and_missing(spark):
     TS = datetime.datetime
     left = spark.createDataFrame(
