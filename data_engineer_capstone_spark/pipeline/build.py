@@ -104,9 +104,15 @@ def parse_visitor(
     conformance. Inner lookups drop dangling codes (reference semantics,
     SURVEY §7.6)."""
     base = os.path.join(fixtures, "i94_visitor_data")
-    cit = spark.read.json(os.path.join(base, "i94cit_and_i94res.json"), multiLine=True)
-    port = spark.read.json(os.path.join(base, "i94port.json"), multiLine=True)
-    visa = spark.read.json(os.path.join(base, "i94visa.json"), multiLine=True)
+    # Explicit schemas: a schema-less multiLine JSON read runs a full
+    # inference scan first — a second read of the data at scale
+    # (sources/readers.py S4 note).
+    rd = lambda f, s: spark.read.schema(s).option("multiLine", "true").json(  # noqa: E731
+        os.path.join(base, f)
+    )
+    cit = rd("i94cit_and_i94res.json", "code bigint, region string, valid boolean")
+    port = rd("i94port.json", "code string, municipality string, region string")
+    visa = rd("i94visa.json", "code bigint, type string")
     df = (
         spark.read.parquet(os.path.join(base, "sas_data", "*.parquet"))
         .selectExpr(

@@ -241,3 +241,25 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("q107_approx_sketches")  # approximate by design: rows-only; error
+# bounds asserted against exact values in tests/test_operators.py
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for their exact forms:
+    HyperLogLog++ distinct counts (constant memory vs a full distinct
+    shuffle) and GK approximate percentiles (one pass, no global sort).
+    Deliberately NOT oracle-checked: sketch internals differ across
+    engines; correctness is an error-bound property, tested in pytest."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+                "price_p50_p95"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -97,6 +97,26 @@ def test_decode_image_stub_gates():
     assert set(meta) == {"height", "width", "channels"}
 
 
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL distinct counts within 3×rsd of exact; approx percentiles inside
+    the exact value range and ordered."""
+    from data_engineer_capstone_spark.plans import get_queries
+
+    rows = {r.l_returnflag: r for r in
+            get_queries()["q107_approx_sketches"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: r for r in
+             li.groupBy("l_returnflag").agg(
+                 F.countDistinct("l_orderkey").alias("d"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")).collect()}
+    for flag, r in rows.items():
+        e = exact[flag]
+        assert abs(r.approx_orders - e.d) / e.d <= 0.06, (flag, r.approx_orders, e.d)
+        p50, p95 = r.price_p50_p95
+        assert e.lo <= p50 <= p95 <= e.hi
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from data_engineer_capstone_spark.operators.skew import salted_join
 
