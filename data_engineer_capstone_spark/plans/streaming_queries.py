@@ -197,6 +197,65 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q86_stream_stream_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', {_EV_TS.replace('ts', 'c.ts')},
+                          {_EV_TS.replace('ts', 'p.ts')}) AS BIGINT)
+             AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution per user
+    within 10 minutes. Both sides carry watermarks and the join condition
+    time-bounds the buffered state (the requirement for state cleanup in a
+    production stream-stream join); a single-batch replay makes the result
+    equal to the batch join, which is the oracle."""
+    clicks = (
+        read_stream(spark, sf, 1)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        read_stream(spark, sf, 1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.user_id,
+            F.col("p_ts") > F.col("c_ts"),
+            F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"),
+        ],
+    ).select(
+        "click_id",
+        "purchase_id",
+        clicks.user_id.alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    out = run_to_table(joined, "append")
+    return out.orderBy("click_id", "purchase_id")
+
+
+@query(
     "q85_stream_stateful_running_count",
     oracle="""
     SELECT user_id, cum_events FROM (
