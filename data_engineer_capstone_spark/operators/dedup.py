@@ -178,3 +178,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         ).cast("long").alias("simhash"),
     )
     return packed.withColumnRenamed("did", id_col)
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components over undirected edges.
+
+    Returns (id, label) with label = the smallest vertex id in the
+    component — the canonical-document selector that turns near-dup PAIRS
+    into dedup CLUSTERS. Iterative: each round every vertex takes the min
+    of its own label and its neighbors'; converges in <= component-diameter
+    rounds (near-dup clusters are small and dense, so a handful).
+
+    Scale notes: each round is one shuffle (join on dst + groupBy src);
+    ``localCheckpoint(eager)`` materializes the round and cuts lineage so
+    the plan doesn't grow with iterations (production: reliable
+    ``checkpoint`` to cluster storage instead). For graphs with huge
+    diameters switch to the large-star/small-star algorithm; for dedup
+    clusters this simple loop is the right tool.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nmin = (
+            e.join(labels, e.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(nmin, labels.id == nmin.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

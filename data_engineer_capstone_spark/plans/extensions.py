@@ -97,7 +97,9 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle(n_perm: int = 16, band_rows: int = 4, threshold: float = 0.8) -> str:
+def _minhash_ctes(n_perm: int = 16, band_rows: int = 4) -> str:
+    """The MinHash-LSH pipeline as a CTE block (shared by the q92 pairs
+    oracle and the q108 clustering oracle)."""
     mins = ",\n           ".join(
         "list_min(list_transform(sh, s -> {h})) AS m{i}".format(
             h=_H64.format(x=f"'{i}:' || s"), i=i
@@ -115,8 +117,7 @@ def _minhash_oracle(n_perm: int = 16, band_rows: int = 4, threshold: float = 0.8
         )
         for b in range(n_bands)
     )
-    return f"""
-    WITH sh0 AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents),
+    return f"""sh0 AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents),
     shd AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
     sigparts AS (
         SELECT doc_id, sh, {mins}
@@ -139,7 +140,12 @@ def _minhash_oracle(n_perm: int = 16, band_rows: int = 4, threshold: float = 0.8
         FROM cand c
         JOIN shd x ON x.doc_id = c.doc_a
         JOIN shd y ON y.doc_id = c.doc_b
-    )
+    )"""
+
+
+def _minhash_oracle(n_perm: int = 16, band_rows: int = 4, threshold: float = 0.8) -> str:
+    return f"""
+    WITH {_minhash_ctes(n_perm, band_rows)}
     SELECT doc_a, doc_b, jaccard FROM verified
     WHERE jaccard >= {threshold}
     ORDER BY doc_a, doc_b
@@ -155,6 +161,61 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, k=3, n_perm=16, band_rows=4, threshold=0.8
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q108_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM labeled ORDER BY doc_id
+    """,
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS from MinHash pairs: iterative min-label
+    propagation (connected components) picks the smallest doc_id as each
+    cluster's canonical — the step that turns pair detection into actual
+    dedup. Spark side is the distributed label-propagation loop; the
+    oracle computes the same components via a recursive transitive-closure
+    CTE (fine at oracle scale, unusable at 100 TB — which is the point)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, n_perm=16, band_rows=4, threshold=0.8)
+    labels = connected_components(pairs, docs)
+    return (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:
