@@ -21,8 +21,10 @@ from ..functions.text import (
     LANG_STOPWORDS,
     detect_language,
     fingerprint,
+    h64,
     quality_score,
     shingles,
+    word_count,
     words,
 )
 from ..operators.asof import asof_join
@@ -505,3 +507,86 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     return with_binary_payload(docs).select(
         "doc_id", "byte_len", "sha256", "magic"
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- training-data curation --
+@query(
+    "q109_train_eval_split",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, {_H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by salted content-key
+    hash — NOT rand(): the assignment is a pure function of doc_id, so it
+    is stable across runs, engines, partitionings and re-shards (the
+    property a training pipeline needs so eval never leaks into train
+    when data is re-processed). Changing the salt re-splits."""
+    docs = load_table(spark, sf, "documents")
+    bucket = h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q110_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({_WORDS.format(c='text')}) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / 2048) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    FROM packed GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training batches: documents (per language, in
+    deterministic doc_id order) are assigned to ~2048-token packs by
+    windowed cumulative token count — pack_id = floor(tokens-before/
+    budget). One shuffle (the per-lang window); the greedy first-fit of a
+    single-node packer is traded for a deterministic, distributable rule
+    that overflows a pack by at most one document."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", "lang", word_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
