@@ -97,3 +97,54 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "q111_grouped_map_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sm, SUM(n_chars * n_chars) AS sq
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           floor((d.n_chars - CAST(s.sm AS DOUBLE) / s.n)
+                 / sqrt((s.sq - CAST(s.sm AS DOUBLE) * s.sm / s.n) / s.n)
+                 * 1000000 + 0.5) / 1000000 AS z_chars
+    FROM documents d JOIN s USING (lang)
+    ORDER BY d.doc_id
+    """,
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas (the remaining vectorized-Python shape):
+    per-language z-score normalization of n_chars. The pandas function
+    sees one full group per call; moments use exact int64 sums so the
+    doubles that reach the (order-fixed) scalar math are identical to the
+    oracle's, and the result is floor-rounded for cross-engine hashing.
+
+    Scale note: one shuffle on the group key; memory is bounded by the
+    LARGEST group — for billion-row groups compute moments with a native
+    agg + broadcast join instead (this query is the API demonstration)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("int64")
+        n = len(x)
+        sm = int(x.sum())
+        sq = int((x * x).sum())
+        mean = sm / n
+        # float-op order mirrors the oracle exactly: double(sm) * sm / n
+        sd = ((sq - float(sm) * sm / n) / n) ** 0.5
+        import numpy as np
+
+        z = np.floor((x - mean) / sd * 1000000 + 0.5) / 1000000
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z}
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id bigint, lang string, z_chars double")
+        .orderBy("doc_id")
+    )
