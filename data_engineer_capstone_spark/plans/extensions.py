@@ -590,3 +590,40 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+@query(
+    "q112_gap_fill",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS slot,
+               CAST(ROUND(SUM(CAST(floor(value * 10000 + 0.5) / 10000
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS slot_value
+        FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    r AS (SELECT user_id, min(slot) AS mn, max(slot) AS mx FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS slot
+        FROM r
+    ),
+    j AS (SELECT g.user_id, g.slot, b.slot_value
+          FROM grid g LEFT JOIN b USING (user_id, slot))
+    SELECT user_id, slot, slot_value,
+           LAST_VALUE(slot_value IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM j ORDER BY user_id, slot
+    """,
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill (resample + LOCF): dense 5-minute grid per
+    user between first and last event, money-summed value per slot,
+    missing slots forward-filled — Spark lacks a native gapfill, so the
+    operator composes bucket-agg + sequence-explode grid + last(ignore
+    nulls) window (operators/timeseries.py), all inside codegen."""
+    from ..operators.timeseries import gap_fill
+    from ._util import _dec4
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 5)
+    agg = F.round(F.sum(_dec4(F.col("value"))), 2).cast("double")
+    return gap_fill(ev, "user_id", "ts", agg, 300).orderBy("user_id", "slot")
