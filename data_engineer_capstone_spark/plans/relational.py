@@ -412,3 +412,53 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     return left.unionByName(right, allowMissingColumns=True).orderBy(
         "s_suppkey", F.col("s_name").asc_nulls_last()
     )
+
+
+@query(
+    "q57_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: order counts per priority × status. Explicit pivot values —
+    without them Spark runs an extra distinct job to discover columns (a
+    full pass of the data at scale) and the output schema becomes
+    data-dependent."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q58_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns to (metric, value) rows —
+    the native `unpivot` expands rows inside codegen (an Expand node),
+    no shuffle beyond the final sort."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )

@@ -256,6 +256,35 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q87_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type IN ('signup', 'purchase')
+    ORDER BY e.event_id
+    """,
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join: streaming events enriched against a static
+    dimension (broadcast per micro-batch, no streaming state at all —
+    the cheapest join shape in Structured Streaming and the default for
+    dimension enrichment at scale)."""
+    from ..catalog import load_table
+
+    s = read_stream(spark, sf, 1).where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = s.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "event_type"
+    )
+    out = run_to_table(joined, "append")
+    return out.orderBy("event_id")
+
+
+@query(
     "q85_stream_stateful_running_count",
     oracle="""
     SELECT user_id, cum_events FROM (
