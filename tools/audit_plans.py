@@ -24,6 +24,9 @@ EXPECTED = {
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
     "q94_cosine_topk": {"BroadcastNestedLoopJoin"},  # brute-force baseline
     "q95_embedding_near_dup": {"BroadcastNestedLoopJoin"},  # same
+    # label-propagation joins: labels = one row per doc, not broadcastable
+    # at scale; post-localCheckpoint stats are unknown anyway → SMJ is right
+    "q108_near_dup_clusters": {"SortMergeJoin"},
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
