@@ -1,0 +1,70 @@
+"""End-to-end training-corpus curation: the composition the individual
+LLM-pipeline operators exist for.
+
+    language-ID -> quality gate -> exact dedup -> near-dup cluster dedup
+    -> deterministic split assignment
+
+One DataFrame flow, lazy until the caller acts. Stage order is the cost
+order: cheap columnar filters (langid, quality) shrink the corpus BEFORE
+the shuffling stages (exact dedup: one hash shuffle; MinHash clustering:
+band join + label propagation) — at 100 TB the early gates typically drop
+half the data and pay for themselves immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import detect_language, h64, quality_score, word_count
+from .dedup import connected_components, exact_dedup_groups, minhash_lsh_pairs
+
+
+def curate(
+    docs: DataFrame,
+    quality_min: float = 0.66,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curate a document corpus into a dedup'd, split-assigned training set.
+
+    Returns (doc_id, pred_lang, quality, n_tokens, split) for surviving
+    documents: identified language, above the quality floor, canonical
+    representative of both its exact-hash group and its MinHash near-dup
+    cluster, with a deterministic 90/5/5 split.
+    """
+    scored = docs.select(
+        id_col,
+        text_col,
+        detect_language(text_col).alias("pred_lang"),
+        quality_score(text_col).alias("quality"),
+        word_count(text_col).alias("n_tokens"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= quality_min) & (F.col("pred_lang") != "und")
+    )
+
+    exact = exact_dedup_groups(gated, text_col=text_col, id_col=id_col).filter(
+        F.col(id_col) == F.col("canonical_id")
+    ).select(id_col, text_col, "pred_lang", "quality", "n_tokens")
+
+    pairs = minhash_lsh_pairs(exact, threshold=jaccard_threshold)
+    labels = connected_components(pairs, exact, id_col=id_col)
+    canonical = exact.join(
+        labels, exact[id_col] == labels.id, "left"
+    ).filter(
+        F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col)
+    )
+
+    bucket = h64(F.concat(F.lit("split:"), F.col(id_col).cast("string"))) % 100
+    return canonical.select(
+        id_col,
+        "pred_lang",
+        "quality",
+        "n_tokens",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

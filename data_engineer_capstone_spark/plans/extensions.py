@@ -99,9 +99,10 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
-def _minhash_ctes(n_perm: int = 16, band_rows: int = 4) -> str:
+def _minhash_ctes(n_perm: int = 16, band_rows: int = 4, src: str = "documents") -> str:
     """The MinHash-LSH pipeline as a CTE block (shared by the q92 pairs
-    oracle and the q108 clustering oracle)."""
+    oracle, the q108 clustering oracle, and the q113 curation oracle —
+    ``src`` is the (doc_id, text) relation to shingle)."""
     mins = ",\n           ".join(
         "list_min(list_transform(sh, s -> {h})) AS m{i}".format(
             h=_H64.format(x=f"'{i}:' || s"), i=i
@@ -119,7 +120,7 @@ def _minhash_ctes(n_perm: int = 16, band_rows: int = 4) -> str:
         )
         for b in range(n_bands)
     )
-    return f"""sh0 AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents),
+    return f"""sh0 AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM {src}),
     shd AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
     sigparts AS (
         SELECT doc_id, sh, {mins}
@@ -627,3 +628,86 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 5)
     agg = F.round(F.sum(_dec4(F.col("value"))), 2).cast("double")
     return gap_fill(ev, "user_id", "ts", agg, 300).orderBy("user_id", "slot")
+
+
+# The q97 langid + q99 quality expressions as reusable SQL fragments for
+# the curation oracle (identical text to those oracles).
+def _scored_cte(src: str = "documents") -> str:
+    hits = ",\n               ".join(
+        f"len(list_intersect(list_distinct({_WORDS.format(c='text')}), "
+        f"{_STOP_SQL[lg]})) AS h_{lg}"
+        for lg in sorted(_STOP_SQL)
+    )
+    return f"""raw AS (
+        SELECT doc_id, text,
+               length(text) AS nc,
+               len({_WORDS.format(c='text')}) AS nw,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+               {hits}
+        FROM {src}
+    ),
+    scored AS (
+        SELECT doc_id, text, nw AS n_tokens,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               CAST((CASE WHEN nw >= 5 AND nw <= 100000 THEN 1 ELSE 0 END
+                   + CASE WHEN nw > 0 AND (alnum * 10.0 / nw) >= 25
+                           AND (alnum * 10.0 / nw) <= 120 THEN 1 ELSE 0 END
+                   + CASE WHEN nc > 0 AND (alnum * 100.0 / nc) >= 60 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 3 AS quality
+        FROM raw
+    )"""
+
+
+@query(
+    "q113_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_scored_cte()},
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.66 AND pred_lang <> 'und'
+    ),
+    exact AS (
+        SELECT doc_id, text, pred_lang, quality, n_tokens FROM (
+            SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM gated g
+        ) WHERE doc_id = canon
+    ),
+    {_minhash_ctes(src="exact")},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    )
+    SELECT e.doc_id, e.pred_lang, e.quality, e.n_tokens,
+           CASE WHEN {_H64.format(x="'split:' || CAST(e.doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train'
+                WHEN {_H64.format(x="'split:' || CAST(e.doc_id AS VARCHAR)")} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+    FROM exact e LEFT JOIN comp c USING (doc_id)
+    WHERE COALESCE(c.canonical_id, e.doc_id) = e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship training-data pipeline: language-ID → quality gate →
+    exact dedup → MinHash near-dup cluster dedup (canonical survivors
+    only) → deterministic split assignment — one lazy DataFrame flow
+    (operators/curation.py) with cheap columnar gates ahead of the
+    shuffling dedup stages. The oracle composes the same stages from the
+    q97/q99/q92/q108/q109 fragments."""
+    from ..operators.curation import curate
+
+    docs = load_table(spark, sf, "documents")
+    return curate(docs).orderBy("doc_id")

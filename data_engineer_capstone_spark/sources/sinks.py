@@ -28,8 +28,17 @@ def write_table(
     mode: str = "overwrite",
     salt_files: int = 1,
     max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
-    """Write ``df`` to ``path`` as a (possibly partitioned) table."""
+    """Write ``df`` to ``path`` as a (possibly partitioned) table.
+
+    ``dynamic_overwrite=True`` + ``mode='overwrite'`` replaces ONLY the
+    partitions present in ``df`` and leaves the rest of the table intact —
+    the incremental daily-load pattern (the reference's aspirational daily
+    cadence, README.md:24-27): reprocess one day/partition without
+    rewriting (or losing) 100 TB of history. Default (static) overwrite
+    truncates the whole table first.
+    """
     out = df
     if partition_by:
         if salt_files > 1:
@@ -46,6 +55,8 @@ def write_table(
         else:
             out = df.repartition(*partition_by)
     writer = out.write.format(fmt).mode(mode)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:

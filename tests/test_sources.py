@@ -116,6 +116,24 @@ def test_write_table_salted_spreads_hot_partition(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1000
 
 
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """dynamic overwrite replaces only the partitions in the incoming df;
+    static overwrite truncates the whole table."""
+    out = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day string, v int"
+    )
+    write_table(full, out, partition_by=["day"])
+    # reprocess ONLY d2 with corrected data
+    fix = spark.createDataFrame([("d2", 30), ("d2", 31)], "day string, v int")
+    write_table(fix, out, partition_by=["day"], dynamic_overwrite=True)
+    got = {(r.day, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)}
+    # static overwrite of the same slice would have dropped d1/d3
+    write_table(fix, out, partition_by=["day"])
+    assert {r.day for r in spark.read.parquet(out).collect()} == {"d2"}
+
+
 def test_write_table_unpartitioned(spark, tmp_path):
     df = spark.range(10)
     out = str(tmp_path / "flat")
