@@ -237,3 +237,68 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedupe a NEW batch against an existing (already-canonical) corpus —
+    the daily-increment path: history is never re-deduped, only the new
+    slice is checked against it.
+
+    Stages (order matters and is part of the semantics):
+    1. exact: drop batch docs whose content hash exists in the corpus
+       (hash anti-join — O(batch) probe);
+    2. exact within batch: keep the min-id representative per hash;
+    3. near-dup vs corpus: MinHash-LSH pairs over corpus ∪ survivors; any
+       survivor paired with a corpus doc is dropped;
+    4. near-dup within batch: components over the remaining
+       survivor-survivor pairs, keep cluster canonicals.
+
+    Returns surviving batch rows (id, text).
+    """
+    bh = F.md5(F.col(text_col)).alias("content_hash")
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("content_hash"))
+    new_exact = (
+        batch.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .drop("content_hash")
+    )
+    bexact = (
+        exact_dedup_groups(new_exact, text_col=text_col, id_col=id_col)
+        .filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col, text_col)
+    )
+    un = corpus.select(id_col, text_col).unionByName(bexact)
+    pairs = minhash_lsh_pairs(un, threshold=threshold)
+    ca = corpus.select(F.col(id_col).alias("doc_a"), F.lit(True).alias("a_corp"))
+    cb = corpus.select(F.col(id_col).alias("doc_b"), F.lit(True).alias("b_corp"))
+    fl = (
+        pairs.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .fillna(False, ["a_corp", "b_corp"])
+    )
+    cross_ids = (
+        fl.filter(F.col("a_corp") != F.col("b_corp"))
+        .select(
+            F.when(F.col("a_corp"), F.col("doc_b")).otherwise(F.col("doc_a")).alias(id_col)
+        )
+        .distinct()
+    )
+    kept = bexact.join(cross_ids, id_col, "left_anti")
+    bpairs = (
+        fl.filter(~F.col("a_corp") & ~F.col("b_corp"))
+        .join(kept.select(F.col(id_col).alias("doc_a")), "doc_a", "left_semi")
+        .join(kept.select(F.col(id_col).alias("doc_b")), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(bpairs, kept, id_col=id_col)
+    return (
+        kept.join(labels, kept[id_col] == labels.id, "left")
+        .filter(F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col))
+        .select(id_col, text_col)
+    )

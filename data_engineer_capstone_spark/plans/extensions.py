@@ -711,3 +711,68 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return curate(docs).orderBy("doc_id")
+
+
+@query(
+    "q114_incremental_dedup",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    newx AS (
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))
+    ),
+    bexact AS (
+        SELECT doc_id, text FROM (
+            SELECT n.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM newx n
+        ) WHERE doc_id = canon
+    ),
+    un AS (SELECT * FROM corpus UNION ALL SELECT * FROM bexact),
+    {_minhash_ctes(src="un")},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    drop1 AS (
+        SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+        FROM pairs WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    ),
+    kept AS (
+        SELECT * FROM bexact WHERE doc_id NOT IN (SELECT doc_id FROM drop1)
+    ),
+    bpairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a % 5 = 0 AND doc_b % 5 = 0
+          AND doc_a IN (SELECT doc_id FROM kept)
+          AND doc_b IN (SELECT doc_id FROM kept)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM bpairs
+        UNION SELECT doc_b, doc_a FROM bpairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    )
+    SELECT k.doc_id FROM kept k LEFT JOIN comp c USING (doc_id)
+    WHERE COALESCE(c.canonical_id, k.doc_id) = k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: a new batch (doc_id % 5 = 0) deduped against the
+    standing corpus (the rest) — exact-hash anti-join, within-batch exact
+    canonical, MinHash cross-check vs corpus, then within-batch clustering.
+    History is never re-deduped; cost is O(batch + corpus-probe), the only
+    shape that works for a daily increment on a 100 TB corpus."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup(batch, corpus).select("doc_id").orderBy("doc_id")

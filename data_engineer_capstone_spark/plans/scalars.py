@@ -255,3 +255,26 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         k.alias("k_str"),
         k.cast("int").alias("k_int"),
     ).orderBy("event_id")
+
+
+@query(
+    "q69_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events ORDER BY event_id
+    """,
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json with an explicit schema — the scale-right JSON path:
+    the column parses ONCE into a typed struct (get_json_object re-parses
+    the string per extraction); missing fields surface as typed nulls
+    instead of inference surprises."""
+    e = load_table(spark, sf, "events")
+    parsed = F.from_json("props", "k int, missing string")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("missing").isNull().alias("missing_is_null"),
+    ).orderBy("event_id")

@@ -141,6 +141,18 @@ def test_write_table_unpartitioned(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10
 
 
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_write_table_format_round_trip(spark, tmp_path, fmt):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = str(tmp_path / fmt)
+    write_table(df, out, fmt=fmt)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.schema("id int, v string")
+    back = reader.load(out)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed+sorted on the join key join with ZERO exchanges
     (the write-once-join-many amortization that matters at 100 TB)."""
