@@ -27,6 +27,8 @@ EXPECTED = {
     # label-propagation joins: labels = one row per doc, not broadcastable
     # at scale; post-localCheckpoint stats are unknown anyway → SMJ is right
     "q108_near_dup_clusters": {"SortMergeJoin"},
+    "q113_curation_pipeline": {"SortMergeJoin"},  # same (components stage)
+    "q114_incremental_dedup": {"SortMergeJoin"},  # same + corpus anti-join
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
