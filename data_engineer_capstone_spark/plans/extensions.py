@@ -776,3 +776,37 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return incremental_dedup(batch, corpus).select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q115_stratified_sample",
+    oracle=f"""
+    WITH rates(lang, keep_per_mille) AS (
+        VALUES ('en', 200), ('de', 500), ('fr', 500), ('es', 800), ('und', 0)
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE {_H64.format(x="'sample:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+            < r.keep_per_mille
+    ORDER BY d.doc_id
+    """,
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (corpus rebalancing:
+    keep 20% of English, 50% of German/French, 80% of Spanish) —
+    deterministic hash gate per doc, NOT sampleBy/rand(): membership is a
+    pure function of doc_id, so reprocessing or resharding the corpus
+    yields the identical sample (and the join against the rates dim is a
+    broadcast)."""
+    rates = spark.createDataFrame(
+        [("en", 200), ("de", 500), ("fr", 500), ("es", 800), ("und", 0)],
+        "lang string, keep_per_mille int",
+    )
+    docs = load_table(spark, sf, "documents")
+    gate = h64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(gate < F.col("keep_per_mille"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
