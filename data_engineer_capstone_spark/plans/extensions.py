@@ -810,3 +810,73 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q116_corpus_report",
+    oracle=f"""
+    WITH RECURSIVE {_scored_cte()},
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.66 AND pred_lang <> 'und'
+    ),
+    exact AS (
+        SELECT doc_id, text, pred_lang, quality, n_tokens FROM (
+            SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM gated g
+        ) WHERE doc_id = canon
+    ),
+    {_minhash_ctes(src="exact")},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    ),
+    curated AS (
+        SELECT e.doc_id, e.pred_lang, e.n_tokens,
+               CASE WHEN {_H64.format(x="'split:' || CAST(e.doc_id AS VARCHAR)")} % 100 < 90
+                      THEN 'train'
+                    WHEN {_H64.format(x="'split:' || CAST(e.doc_id AS VARCHAR)")} % 100 < 95
+                      THEN 'val' ELSE 'test' END AS split
+        FROM exact e LEFT JOIN comp c USING (doc_id)
+        WHERE COALESCE(c.canonical_id, e.doc_id) = e.doc_id
+    )
+    SELECT pred_lang, split,
+           GROUPING(pred_lang) * 2 + GROUPING(split) AS grp,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM curated
+    GROUP BY ROLLUP(pred_lang, split)
+    ORDER BY grp, pred_lang NULLS LAST, split NULLS LAST
+    """,
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus report: token/document counts by language × split with
+    rollup subtotals over the CURATED corpus (q113's output) — the
+    dashboard aggregation a data team runs after every curation pass;
+    demonstrates operator composition (curation flow feeding a multi-level
+    aggregate) as one lazy plan."""
+    from ..operators.curation import curate
+
+    cur = curate(load_table(spark, sf, "documents"))
+    return (
+        cur.rollup("pred_lang", "split")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select("pred_lang", "split", "grp", "n_docs", "total_tokens")
+        .orderBy(
+            "grp",
+            F.col("pred_lang").asc_nulls_last(),
+            F.col("split").asc_nulls_last(),
+        )
+    )
