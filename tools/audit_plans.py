@@ -29,6 +29,7 @@ EXPECTED = {
     "q108_near_dup_clusters": {"SortMergeJoin"},
     "q113_curation_pipeline": {"SortMergeJoin"},  # same (components stage)
     "q114_incremental_dedup": {"SortMergeJoin"},  # same + corpus anti-join
+    "q116_corpus_report": {"SortMergeJoin"},  # same (curation components stage)
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
