@@ -141,6 +141,33 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         salted_join(li, od, ["l_orderkey"], how="full")
 
 
+def test_incremental_dedup_semantics(spark):
+    """Crafted cases: exact-dup-of-corpus dropped, near-dup-of-corpus
+    dropped, within-batch near-dups collapse to the min-id canonical,
+    unique doc survives."""
+    from data_engineer_capstone_spark.operators.dedup import incremental_dedup
+
+    # long docs so a one-word edit stays above the 0.8 jaccard threshold
+    base = " ".join(f"word{i}" for i in range(40))
+    other = " ".join(f"term{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines at scale ok")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of corpus doc 1 -> dropped
+            (11, base.replace("word39", "cat")),  # near-dup of corpus 1 -> dropped
+            (12, other),
+            (13, other.replace("term39", "dog")),
+            # 12/13 are near-dups of each other -> keep min id 12
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    assert kept == {12}, kept
+
+
 def test_asof_join_tie_and_missing(spark):
     TS = datetime.datetime
     left = spark.createDataFrame(
