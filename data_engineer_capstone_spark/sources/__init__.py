@@ -12,7 +12,14 @@ at 100 TB scale.
 """
 
 from .fixture_prep import parse_excel_workbooks, parse_sas_labels, write_csv, write_json
-from .readers import conform, csv_source, json_source, parquet_source
+from .readers import (
+    avro_source,
+    conform,
+    csv_source,
+    json_source,
+    orc_source,
+    parquet_source,
+)
 from .sinks import write_table
 
 __all__ = [
@@ -20,6 +27,8 @@ __all__ = [
     "csv_source",
     "json_source",
     "parquet_source",
+    "orc_source",
+    "avro_source",
     "write_table",
     "parse_excel_workbooks",
     "parse_sas_labels",

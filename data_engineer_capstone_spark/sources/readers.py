@@ -92,3 +92,38 @@ def parquet_source(
     """
     df = spark.read.parquet(path)
     return conform(df, schema) if schema is not None else df
+
+
+def orc_source(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan. Like parquet, ORC is columnar and self-describing with
+    stripe-level min/max statistics, so predicate pushdown and column
+    pruning apply the same way; the optional schema is the same
+    contract-check + pruning hook as ``parquet_source``."""
+    df = spark.read.orc(path)
+    return conform(df, schema) if schema is not None else df
+
+
+def avro_source(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Avro scan — row-oriented ingest format (Kafka archive dumps, etc.).
+
+    Requires the external ``spark-avro`` connector
+    (``org.apache.spark:spark-avro``), which is not bundled with the
+    pip distribution of Spark; when absent we raise a clear error instead
+    of Spark's generic "Failed to find data source". Avro is row-major, so
+    column pruning does not reduce I/O the way it does for parquet/ORC —
+    at scale, land Avro once and convert to parquet before analytics.
+    """
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - connector-dependent
+        if "avro" in str(exc).lower() or "data source" in str(exc).lower():
+            raise ModuleNotFoundError(
+                "spark-avro connector not on the classpath; add "
+                "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+            ) from exc
+        raise
+    return conform(df, schema) if schema is not None else df

@@ -11,9 +11,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_engineer_capstone_spark.sources import (
+    avro_source,
     conform,
     csv_source,
     json_source,
+    orc_source,
     parquet_source,
     parse_excel_workbooks,
     parse_sas_labels,
@@ -219,3 +221,39 @@ def test_excel_gate_and_fake_plumbing(spark, tmp_path):
     p = str(tmp_path / "asylum.csv")
     write_csv(rows, p, header=list(rows[0]))
     assert csv_source(spark, p).count() == 2
+
+
+def test_orc_source_round_trip_conform(spark, sf_dir, tmp_path):
+    """Parquet lineitem → ORC → orc_source with a pruning schema: types
+    enforced, values identical to the parquet original."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(200)
+    out = str(tmp_path / "li_orc")
+    li.write.orc(out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType(), True),
+            T.StructField("l_quantity", T.DoubleType(), True),
+        ]
+    )
+    back = orc_source(spark, out, schema=schema)
+    assert [f.dataType for f in back.schema.fields] == [T.LongType(), T.DoubleType()]
+    a = sorted((r.l_orderkey, r.l_quantity) for r in back.collect())
+    b = sorted(
+        (r.l_orderkey, float(r.l_quantity))
+        for r in li.select("l_orderkey", "l_quantity").collect()
+    )
+    assert a == b
+
+
+def test_avro_source_gated_without_connector(spark, tmp_path):
+    """Without the external spark-avro connector the reader raises a clear
+    ModuleNotFoundError (not Spark's generic lookup failure); with the
+    connector present the gate is moot and we skip."""
+    try:
+        avro_source(spark, str(tmp_path / "missing"))
+    except ModuleNotFoundError as exc:
+        assert "spark-avro" in str(exc)
+    except Exception:
+        pytest.skip("avro connector on classpath; gate not exercised")
+    else:
+        pytest.fail("expected an error for missing connector or path")
