@@ -302,3 +302,89 @@ def incremental_dedup(
         .filter(F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col))
         .select(id_col, text_col)
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same (id, label=component-min) contract as ``connected_components``,
+    different convergence class: min-label propagation needs
+    O(component diameter) rounds, this alternation provably converges in
+    O(log n) rounds regardless of diameter — the tool for chain-shaped
+    graphs (citation chains, session stitching, web link paths) where a
+    diameter-length loop of shuffles is the bottleneck at scale.
+
+    Each round:
+    - large-star: every vertex u connects its strictly-larger neighbors to
+      min(N(u) ∪ {u}) — long chains contract toward small ids;
+    - small-star: orient edges large→small; every vertex u re-attaches its
+      smaller neighbors (and itself) to the minimum — consolidates into
+      stars.
+    Fixed point = a star per component (every vertex directly attached to
+    its component min). Per round: two groupBy shuffles + two joins + a
+    distinct; ``localCheckpoint`` cuts lineage (production: reliable
+    ``checkpoint``).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = vertices.select(F.col(id_col).alias("id"))
+    if canon.isEmpty():
+        return ids.select("id", F.col("id").alias("label"))
+
+    e = canon
+    for _ in range(max_iter):
+        # large-star: m(u) = min(u, min neighbor); attach neighbors > u to m
+        both = e.select("a", "b").unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = both.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("m"))
+        e = (
+            both.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient large->small; attach u and its smaller
+        # neighbors to min(N(u) ∪ {u})
+        directed = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smin = directed.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            directed.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_canon = e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+        if new_canon.exceptAll(canon).isEmpty() and canon.exceptAll(new_canon).isEmpty():
+            # fixed point: e is a star forest, a (child, root) mapping
+            stars = e.select(
+                F.greatest("a", "b").alias("id"), F.least("a", "b").alias("label")
+            )
+            return ids.join(stars, "id", "left").select(
+                "id", F.coalesce("label", F.col("id")).alias("label")
+            )
+        canon = new_canon.localCheckpoint(eager=True)
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")

@@ -183,3 +183,17 @@ def test_asof_join_tie_and_missing(spark):
     assert out["e1"] == TS(2024, 1, 1, 10, 0)  # exact tie matches (<= semantics)
     assert out["e2"] == TS(2024, 1, 1, 8, 0)
     assert out["e3"] is None  # no right rows for the key
+
+
+def test_star_components_high_diameter_converges_fast(spark):
+    """A 64-vertex path (diameter 63) resolves within 12 alternation
+    rounds — the O(log n) bound that makes the star algorithm the scale
+    path for chain-shaped graphs; min-label propagation would need 63."""
+    from data_engineer_capstone_spark.operators.dedup import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    labels = {r.id: r.label
+              for r in connected_components_star(edges, verts, max_iter=12).collect()}
+    assert labels == {i: 0 for i in range(n)}

@@ -154,3 +154,38 @@ def test_shingles_count_and_short_doc_guard(spark, toks):
     ).collect()[0]
     assert row.all_n == max(0, len(toks) - 2)
     assert 0 <= row.d_n <= row.all_n
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_star_components_vs_union_find(spark, edge_list):
+    """Large-star/small-star agrees with driver-side union-find on random
+    graphs (same contract as the label-propagation property test)."""
+    from data_engineer_capstone_spark.operators.dedup import connected_components_star
+
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    expected = {v: min(u for u in range(15) if find(u) == find(v)) for v in range(15)}
+
+    vertices = spark.createDataFrame([(v,) for v in range(15)], "doc_id int")
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "doc_a int, doc_b int")
+    if not edge_list:
+        edges = edges.limit(0)
+    labels = {r.id: r.label for r in
+              connected_components_star(edges, vertices, id_col="doc_id").collect()}
+    assert labels == expected
