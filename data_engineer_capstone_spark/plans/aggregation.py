@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import money_avg, money_sum, sql_money_avg, sql_money_sum
+from ._util import money_avg, money_sum, round_det, sql_money_avg, sql_money_sum
 from .registry import query
 
 
@@ -263,3 +263,80 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q119_corr_cov",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               -- (19,4): forces DuckDB's int128 decimal kernels; the VALUES
+               -- are identical to the Spark side's DECIMAL(12,4), which is
+               -- all the hash compare needs
+               CAST(floor((l_quantity) * 10000 + 0.5) / 10000 AS DECIMAL(19,4)) AS x,
+               CAST(floor((l_extendedprice) * 10000 + 0.5) / 10000 AS DECIMAL(19,4)) AS y
+        FROM lineitem),
+    g AS (
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM t GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+           floor(((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+           floor(((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                  / (CAST(n_rows AS DOUBLE) - 1))
+                 * 100 + 0.5) / 100 AS covar_qty_price
+    FROM g ORDER BY l_returnflag
+    """,
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation + sample covariance per return flag, computed
+    from EXACT decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy).
+
+    ``F.corr``/``F.covar_samp`` accumulate doubles in partition order —
+    nondeterministic across engines AND across runs at scale. Moment sums
+    over DECIMAL are associative/exact, keep map-side partial aggregation,
+    and the final scalar formula is evaluated in one deterministic float
+    order on both engines. Same single-shuffle plan as a plain groupBy.
+    """
+    li = load_table(spark, sf, "lineitem")
+
+    # DECIMAL(12,4): wide enough to hold the floor-trick-rounded inputs
+    # exactly, narrow enough that x*y stays in both engines' decimal
+    # multiply range (DuckDB overflows (18,4)×(18,4)).
+    def dec12(c):
+        return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("decimal(12,4)")
+
+    x, y = dec12(F.col("l_quantity")), dec12(F.col("l_extendedprice"))
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd, sxyd = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (nd * sxyd - sxd * syd) / F.sqrt(
+        (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    )
+    covar = (sxyd - sxd * syd / nd) / (nd - F.lit(1).cast("double"))
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        round_det(corr, 6).alias("corr_qty_price"),
+        round_det(covar, 2).alias("covar_qty_price"),
+    ).orderBy("l_returnflag")

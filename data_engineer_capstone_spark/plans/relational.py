@@ -462,3 +462,53 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+@query(
+    "q118_scalar_subquery",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) / 10000
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS small_qty_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey
+                            AND l2.l_partkey IN (SELECT p_partkey FROM part
+                                                 WHERE p_brand = 'Brand#23'))
+    """,
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders, threshold = a
+    CORRELATED SCALAR SUBQUERY (0.2 × the part's average quantity).
+
+    Expressed as SQL so Catalyst's decorrelation does the planning: the
+    subquery rewrites to an aggregate on l_partkey joined back to the
+    filtered fact — at scale that is one partial-agg shuffle on partkey
+    (map-side combined), never a per-row subquery execution. The IN filter
+    inside the subquery hand-pushes the brand predicate (Catalyst does not
+    infer it), so the inner aggregate scans only the brand's partkeys
+    instead of the full fact — the difference between O(brand slice) and
+    O(100 TB) on the inner shuffle. l_quantity is integral, so AVG over
+    doubles is order-exact; revenue goes through the decimal path.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) / 10000
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS small_qty_revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey
+                                AND l2.l_partkey IN (SELECT p_partkey FROM part
+                                                     WHERE p_brand = 'Brand#23'))
+        """
+    )

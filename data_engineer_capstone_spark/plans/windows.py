@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import DEC, round_det, sql_round_det
+from ._util import DEC, _dec4, _sql_dec4, round_det, sql_round_det
 from .registry import query
 
 
@@ -154,3 +154,101 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("avg3"),
         F.ntile(4).over(wq).alias("quartile"),
     ).orderBy("o_orderstatus", "o_orderkey")
+
+
+@query(
+    "q117_sessionize",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        FROM events),
+    f AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM f)
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when the
+    per-user gap exceeds 30 minutes; sessions are numbered in time order.
+
+    The batch twin of q82's streaming session window (reference: event
+    sessionization over the activity stream). Two windows over the SAME
+    (user_id, ts) partitioning/order — one shuffle, the second window
+    reuses the sort. Gap math is whole-second integer subtraction so the
+    break predicate is engine-exact.
+    """
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")  # NTZ->LTZ (UTC session)->epoch sec
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ev.select("user_id", "ts", F.lag(sec).over(w).alias("prev_sec"), sec.alias("sec"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > 1800),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .select("user_id", "ts", F.sum("is_new").over(cum).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q120_time_range_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM({_sql_dec4("value")}) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS roll_1h
+    FROM events ORDER BY event_id
+    """,
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling sum via a time-RANGE window frame.
+
+    ``rangeBetween`` on epoch seconds — the frame is defined by the ORDER
+    value, not row counts, so co-timed events land in the same frame
+    regardless of tie order (row frames would be nondeterministic here).
+    Exact decimal partials keep the rolling sum engine-identical.
+    """
+    ev = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec4(F.col("value"))).over(w), 2)
+        .cast("double")
+        .alias("roll_1h"),
+    ).orderBy("event_id")
