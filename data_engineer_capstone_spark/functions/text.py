@@ -59,6 +59,13 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _salted_h64(i: int):
+    # A dedicated factory, NOT `lambda s, i=i`: PySpark dispatches
+    # higher-order-function lambdas on parameter COUNT, so a 2-param lambda
+    # becomes (element, index) and the "default" captures the index Column.
+    return lambda s: h64(F.concat(F.lit(f"{i}:"), s))
+
+
 def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
     """MinHash signature: for permutation i, min over shingles of
     h64(concat(i, ':', shingle)). Salted-hash minhash (one md5 per
@@ -66,11 +73,7 @@ def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
     parallel: the signature is computed per-row with zero shuffle."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda s, i=i: h64(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingle_col, _salted_h64(i)))
             for i in range(n_perm)
         ]
     )

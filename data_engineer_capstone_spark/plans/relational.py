@@ -512,3 +512,93 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
                                                      WHERE p_brand = 'Brand#23'))
         """
     )
+
+
+@query(
+    "q121_antijoin_scalar_avg",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) / 10000
+                    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(floor(c_acctbal * 10000 + 0.5) / 10000
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers (balance above the positive-balance
+    global average — an uncorrelated scalar subquery) who have NO orders
+    (NOT EXISTS → left anti join), rolled up per market segment.
+
+    The scalar aggregate reduces to ONE row broadcast into the filter (no
+    per-row subquery); the anti join shuffles on o_custkey only after the
+    balance filter has cut the build side. The threshold is derived from an
+    exact decimal sum so the > comparison is engine-identical; the raw
+    c_acctbal comparand is never rounded.
+    """
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum((F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)) / 10000)
+                      .cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            money_sum(F.col("c_acctbal"), "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q122_banded_range_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        FROM events)
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           abs(a.sec - b.sec) AS gap
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(a.sec - b.sec) <= 300
+    ORDER BY a.user_id, id_a, id_b
+    """,
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: per-user event pairs within 300 seconds of each other,
+    via bin bucketing (`operators/rangejoin.py`) — an EQUI join on
+    (user, 300s-bin) with 3× one-sided replication, never the O(n²)
+    BroadcastNestedLoopJoin a raw theta join would plan. The oracle
+    brute-forces the theta join (fine at oracle scale)."""
+    from ..operators.rangejoin import banded_pairs
+
+    ev = load_table(spark, sf, "events")
+    return banded_pairs(
+        ev,
+        key="user_id",
+        value=F.col("ts").cast("timestamp").cast("long"),
+        id_col="event_id",
+        band=300,
+    ).select(
+        "user_id",
+        F.col("id_a"),
+        F.col("id_b"),
+        "gap",
+    ).orderBy("user_id", "id_a", "id_b")
