@@ -340,3 +340,36 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         round_det(corr, 6).alias("corr_qty_price"),
         round_det(covar, 2).alias("covar_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q125_histogram",
+    oracle="""
+    SELECT event_type,
+           LEAST(CAST(floor(value / 25) AS BIGINT), 15) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(floor(value * 10000 + 0.5) / 10000
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (25-wide buckets,
+    top-capped): the binning expression is plain floor-division (identical
+    IEEE ops in any engine — DuckDB lacks width_bucket), so the histogram
+    is a single partial+final hash aggregate on (type, bucket) — a
+    constant-cardinality shuffle regardless of input size. This is the
+    scale pattern for any distribution profile: never sort, never window;
+    quantize and count."""
+    ev = load_table(spark, sf, "events")
+    bucket = F.least(F.floor(F.col("value") / 25).cast("long"), F.lit(15).cast("long"))
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value"), "bucket_sum"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -13,7 +13,7 @@ brute-force baseline in tests/test_operators.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -879,4 +879,70 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pred_lang").asc_nulls_last(),
             F.col("split").asc_nulls_last(),
         )
+    )
+
+
+@query(
+    "q123_window_distinct_count",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        FROM events)
+    SELECT e.event_id, e.user_id,
+           (SELECT COUNT(DISTINCT e2.event_type) FROM e e2
+            WHERE e2.user_id = e.user_id
+              AND e2.sec BETWEEN e.sec - 3600 AND e.sec) AS types_1h
+    FROM e ORDER BY event_id
+    """,
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct count over a trailing time window: per event, how many
+    distinct event types the user produced in the preceding hour.
+
+    Spark windows cannot take COUNT(DISTINCT); the scalable construction is
+    ``size(collect_set(...))`` over a time-RANGE frame — per-key state is
+    bounded by the window's distinct values (here: a handful of type
+    strings), not its row count, and it rides the same single
+    (user, time-order) shuffle every other per-user window uses. The
+    oracle brute-forces a correlated subquery (fine at oracle scale)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_1h"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q124_token_topk",
+    oracle="""
+    SELECT t.token, COUNT(*) AS n
+    FROM documents d,
+         UNNEST(regexp_extract_all(lower(d.text), '[A-Za-z0-9]+', 0)) AS t(token)
+    GROUP BY t.token
+    ORDER BY n DESC, t.token LIMIT 20
+    """,
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 — the canonical 100 TB wordcount.
+
+    explode(words) → groupBy(token) compiles to partial+final HashAggregate:
+    the shuffle carries one row per (map task, token) — vocabulary-sized,
+    not corpus-sized. The global top-20 is a TakeOrderedAndProject (per
+    -partition heap + driver merge of 20-row heads), never a full sort.
+    Ties at the cut line break by token text, so the result set is exact
+    and deterministic in both engines."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
     )
