@@ -373,3 +373,40 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "q127_argmax_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer)
+    WHERE rn = 1 ORDER BY c_nationkey
+    """,
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-1 per group WITHOUT a window: ``max_by`` ordered by a struct
+    (balance DESC, custkey ASC via negation) — a single partial+final hash
+    aggregate. The window formulation (the oracle uses it) sorts every
+    group's full row set; the agg formulation carries ONE candidate row
+    per (map task, group) through the shuffle — the right plan when you
+    want only the argmax of 100 TB. Ties break deterministically on the
+    lower custkey."""
+    cust = load_table(spark, sf, "customer")
+    best = F.max_by(
+        F.struct(F.col("c_custkey"), F.col("c_acctbal")),
+        F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk")),
+    )
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(best.alias("best"))
+        .select(
+            "c_nationkey",
+            F.col("best.c_custkey").alias("top_custkey"),
+            F.col("best.c_acctbal").alias("top_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -946,3 +946,49 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "q126_scd2_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer),
+    chg AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+               'MOVED' AS c_mktsegment, DATE '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 7 = 0)
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           d.valid_from,
+           CASE WHEN d.c_custkey % 7 = 0 THEN DATE '2024-06-01' END AS valid_to
+    FROM dim d
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, eff, NULL
+    FROM chg
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 MERGE (`operators/merge.py`): a change batch (every 7th
+    customer moves segment and gains balance) applied to a versioned
+    customer dimension — open versions closed at the effective date, new
+    open versions appended, history immutable. Two broadcast joins + a
+    union; the dimension is scanned once with zero shuffle. This is the
+    MERGE INTO decomposition for engines without a transactional table
+    format."""
+    from ..operators.merge import scd2_merge
+
+    cust = load_table(spark, sf, "customer")
+    dim = cust.withColumn("valid_from", F.to_date(F.lit("2020-01-01"))).withColumn(
+        "valid_to", F.lit(None).cast("date")
+    )
+    changes = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("effective_date", F.to_date(F.lit("2024-06-01")))
+    )
+    return scd2_merge(dim, changes, key="c_custkey").orderBy(
+        "c_custkey", "valid_from"
+    )

@@ -602,3 +602,57 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b"),
         "gap",
     ).orderBy("user_id", "id_a", "id_b")
+
+
+@query(
+    "q128_table_diff",
+    oracle="""
+    WITH newv AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 50.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 != 7
+        UNION ALL
+        SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 1)
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                          AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                  THEN 'changed' END AS status
+    FROM customer o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+    WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
+               WHEN n.c_custkey IS NULL THEN 'removed'
+               WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                         AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                 THEN 'changed' END IS NOT NULL
+    ORDER BY c_custkey
+    """,
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Table diff (`operators/diff.py`): reconcile two versions of the
+    customer table — every 10th key (…7) dropped, (…3) balance-bumped,
+    (…1) re-added under a new key — into an added/removed/changed
+    changeset. One full-outer join on the key; change detection is a
+    null-safe equality conjunction (exact on native types — no row-hash
+    string formatting, which is not engine-portable for floats)."""
+    from ..operators.diff import table_diff
+
+    cust = load_table(spark, sf, "customer")
+    new = (
+        cust.where(F.col("c_custkey") % 10 != 7)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 1)
+            .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        )
+    )
+    return table_diff(
+        cust, new, key="c_custkey", compare_cols=["c_acctbal", "c_mktsegment"]
+    ).orderBy("c_custkey")
