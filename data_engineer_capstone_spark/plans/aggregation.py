@@ -410,3 +410,46 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q130_mode_per_group",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_seg, cnt AS mode_cnt FROM (
+        SELECT c_nationkey, c_mktsegment, cnt,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+              FROM customer GROUP BY c_nationkey, c_mktsegment))
+    WHERE rn = 1 ORDER BY c_nationkey
+    """,
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group mode (most frequent value) with deterministic tie-break
+    (smallest segment string among the max-count ties).
+
+    Two hash aggregates, zero windows: count per (group, value), then
+    ``min_by`` ordered by (-count, value) — lexicographic struct order
+    gives count DESC then value ASC. The oracle's window formulation
+    sorts every group; the agg formulation shuffles only the distinct
+    (nation, segment) pairs (bounded: 25×5) then reduces — at 100 TB the
+    second shuffle's cardinality is |groups|·|distinct values|, not
+    |rows|."""
+    c = load_table(spark, sf, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = F.min_by(
+        F.struct(F.col("c_mktsegment"), F.col("cnt")),
+        F.struct((-F.col("cnt")).alias("neg"), F.col("c_mktsegment")),
+    )
+    return (
+        counts.groupBy("c_nationkey")
+        .agg(best.alias("best"))
+        .select(
+            "c_nationkey",
+            F.col("best.c_mktsegment").alias("mode_seg"),
+            F.col("best.cnt").alias("mode_cnt"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -656,3 +656,91 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     return table_diff(
         cust, new, key="c_custkey", compare_cols=["c_acctbal", "c_mktsegment"]
     ).orderBy("c_custkey")
+
+
+@query(
+    "q131_fuzzy_levenshtein_join",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey
+     AND abs(length(a.n_name) - length(b.n_name)) <= 2
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join: name pairs within Levenshtein distance 2, with a
+    length-band blocking predicate evaluated BEFORE the O(n·m) distance.
+
+    Scale pattern for fuzzy matching: never run edit distance on the full
+    cross product. Block first on a cheap necessary condition — here
+    ``|len(a)-len(b)| <= d`` (edit distance >= length difference) — so the
+    quadratic distance runs only on surviving candidate pairs. On a real
+    corpus the blocker is an equi-join on a key (length bucket, first
+    char, phonetic code, or an LSH bucket as in q92) so Spark hashes
+    instead of nested-looping; the dim side here is 25 rows → broadcast
+    nested loop is the right plan and AQE picks it."""
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+            & (
+                F.abs(F.length(F.col("a.n_name")) - F.length(F.col("b.n_name")))
+                <= 2
+            ),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "q132_null_safe_join",
+    oracle="""
+    WITH l AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key,
+                      COUNT(*) AS n_all
+               FROM customer GROUP BY 1),
+         r AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key,
+                      COUNT(*) AS n_pos
+               FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+    SELECT l.seg_key, l.n_all, r.n_pos
+    FROM l JOIN r ON l.seg_key IS NOT DISTINCT FROM r.seg_key
+    ORDER BY l.seg_key NULLS FIRST
+    """,
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    bucket on both sides matches itself instead of vanishing.
+
+    A plain equi join silently drops every row whose key is NULL — the
+    classic bug when joining on a derived / sparse key. Spark's
+    ``eqNullSafe`` stays a hash join (NULL hashes to a normal bucket), so
+    this costs the same shuffle as ``=``; it is NOT a fallback to a
+    nested-loop theta join. At 100 TB the thing to watch is NULL-key
+    skew: if most rows have a NULL key, that one bucket is a hot
+    partition — pre-aggregate per side (as here) or salt it."""
+    c = load_table(spark, sf, "customer")
+    key = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_key")
+    left = c.select(key).groupBy("seg_key").agg(F.count(F.lit(1)).alias("n_all"))
+    right = (
+        c.filter(F.col("c_acctbal") > 0)
+        .select(key)
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    return (
+        left.join(right, left["seg_key"].eqNullSafe(right["seg_key"]))
+        .select(left["seg_key"].alias("seg_key"), "n_all", "n_pos")
+        .orderBy(F.col("seg_key").asc_nulls_first())
+    )

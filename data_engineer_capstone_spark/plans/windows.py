@@ -252,3 +252,46 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("roll_1h"),
     ).orderBy("event_id")
+
+
+@query(
+    "q129_window_kit2",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           floor(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+           floor(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cd,
+           NTH_VALUE(c_acctbal, 2) OVER
+               (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_bal,
+           LAST_VALUE(c_custkey) OVER
+               (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-kit completion: PERCENT_RANK / CUME_DIST / NTH_VALUE /
+    LAST_VALUE (SURVEY.md §2.5 window family; reference has no windows).
+
+    Determinism: the partition ORDER BY (acctbal DESC, custkey) is a total
+    order, so percent_rank == (row_number-1)/(n-1) and cume_dist == rn/n —
+    single IEEE divisions, identical in any engine; the floor-trick rounds
+    them to 6 digits anyway. NTH/LAST_VALUE use the full-partition ROWS
+    frame (the default RANGE..CURRENT ROW frame would make NTH_VALUE
+    prefix-dependent). At scale this is one shuffle on c_nationkey with
+    an in-partition sort — no global sort."""
+    c = load_table(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        round_det(F.percent_rank().over(w), 6).alias("pr"),
+        round_det(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
+        F.last("c_custkey").over(wf).alias("last_custkey"),
+    ).orderBy("c_nationkey", "c_custkey")

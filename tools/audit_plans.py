@@ -30,6 +30,14 @@ EXPECTED = {
     "q113_curation_pipeline": {"SortMergeJoin"},  # same (components stage)
     "q114_incremental_dedup": {"SortMergeJoin"},  # same + corpus anti-join
     "q116_corpus_report": {"SortMergeJoin"},  # same (curation components stage)
+    # scalar-subquery comparison: the avg is a 1-row broadcast → BNLJ is
+    # the cheapest possible plan for "compare every row to one scalar"
+    "q121_antijoin_scalar_avg": {"BroadcastNestedLoopJoin"},
+    # full outer diff of two same-sized snapshots: neither side broadcasts
+    "q128_table_diff": {"SortMergeJoin"},
+    # 25-row dim fuzzy self-join: broadcast nested loop IS the right plan;
+    # at corpus scale the blocker becomes an equi-join key (see docstring)
+    "q131_fuzzy_levenshtein_join": {"BroadcastNestedLoopJoin"},
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
