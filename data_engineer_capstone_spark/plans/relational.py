@@ -744,3 +744,89 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         .select(left["seg_key"].alias("seg_key"), "n_all", "n_pos")
         .orderBy(F.col("seg_key").asc_nulls_first())
     )
+
+
+@query(
+    "q133_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE up AS (
+        SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT u.custkey, CAST(floor(u.anc / 10) AS BIGINT) AS anc,
+               u.depth + 1 AS depth
+        FROM up u WHERE u.anc >= 10
+    )
+    SELECT custkey, MAX(depth) AS depth_to_root,
+           MAX(CASE WHEN anc < 10 THEN anc END) AS root_key
+    FROM up GROUP BY custkey ORDER BY custkey
+    """,
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk a synthetic
+    manager chain ``key -> floor(key/10)`` up to its single-digit root,
+    returning per-customer depth and root.
+
+    This is the iterative-closure operator the reference cannot express
+    at all (SURVEY.md §2.3 lists no recursion); Spark 4 executes it as a
+    loop of self-union steps driven by the engine, one shuffle per level,
+    terminating when the step produces no rows — depth here is bounded by
+    digit count (log10 of the key space), so 100 TB of keys still means
+    ~7 rounds, not row-count rounds. The same shape handles org charts,
+    BOM explosion, and filesystem-path closure."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+            SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+            FROM customer
+            UNION ALL
+            SELECT u.custkey, CAST(floor(u.anc / 10) AS BIGINT) AS anc,
+                   u.depth + 1 AS depth
+            FROM up u WHERE u.anc >= 10
+        )
+        SELECT custkey, MAX(depth) AS depth_to_root,
+               MAX(CASE WHEN anc < 10 THEN anc END) AS root_key
+        FROM up GROUP BY custkey ORDER BY custkey
+        """
+    )
+
+
+@query(
+    "q134_date_spine",
+    oracle="""
+    WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                      max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                          AS day FROM b),
+         daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+                   FROM orders GROUP BY 1)
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.d
+    ORDER BY day
+    """,
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar date spine: generate every day between min and max order
+    date (``sequence`` + ``explode``) and left-join daily counts so
+    zero-activity days appear explicitly.
+
+    The spine derives from a 1-row global aggregate, so it is always a
+    single tiny partition no matter the fact size — it broadcasts to the
+    left-join against the pre-aggregated daily counts (cardinality =
+    distinct days, not rows). The fact table is reduced FIRST; joining
+    raw facts to a spine and then grouping would shuffle the full 100 TB
+    against a dimension of a few thousand rows."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(daily, spine["day"] == daily["d"], "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"))
+        .orderBy("day")
+    )

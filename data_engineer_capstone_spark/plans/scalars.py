@@ -278,3 +278,89 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         parsed.getField("missing").isNull().alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@query(
+    "q135_hof_array_kit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           len(arr) AS arr_sz,
+           list_reduce(arr, (a, b) -> a + b) AS tot,
+           len(list_filter(list_transform(arr, x -> x * 2),
+                           x -> x % 4 = 0)) AS n_evens,
+           list_reduce(list_transform(list_zip(arr, list_reverse(arr)),
+                                      t -> t[1] + t[2]),
+                       (a, b) -> a + b) AS zsum
+    FROM (SELECT l_orderkey, l_linenumber,
+                 generate_series(1, CAST(l_orderkey % 5 + 1 AS INT)) AS arr
+          FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    zip_with over a per-row generated integer array.
+
+    All four lambdas run inside Catalyst (``ArrayTransform`` etc.), not
+    Python — no serialization boundary, full codegen, so per-row array
+    work scales with the scan. Integer arrays keep the fold
+    engine-identical (float folds would depend on accumulation order —
+    see the determinism rules). DuckDB's list_* twins are 1-indexed in
+    ``t[1]``/``t[2]`` struct access; semantics are otherwise identical."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    arr = F.sequence(F.lit(1), (F.col("l_orderkey") % 5 + 1).cast("int"))
+    base = li.withColumn("arr", arr)
+    tot = F.aggregate(
+        F.col("arr"), F.lit(0), lambda acc, x: acc + x
+    )
+    n_evens = F.size(
+        F.filter(
+            F.transform(F.col("arr"), lambda x: x * 2), lambda x: x % 4 == 0
+        )
+    )
+    zsum = F.aggregate(
+        F.zip_with(F.col("arr"), F.reverse(F.col("arr")), lambda a, b: a + b),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size("arr").alias("arr_sz"),
+        tot.alias("tot"),
+        n_evens.alias("n_evens"),
+        zsum.alias("zsum"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q136_regexp_kit",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
+           len(regexp_extract_all(text, '\\bscan\\b')) AS n_scan,
+           regexp_extract(text, '\\b(s[a-z]+)', 1) AS first_s_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """Regexp kit: regexp_count / regexp_extract / global regexp_replace
+    with word-boundary patterns over the document corpus.
+
+    Patterns stay in the RE2/Java-regex common subset (character
+    classes, ``\\b``, one capture group) so both engines agree; Spark's
+    regexp functions compile once per task and run JVM-side inside
+    codegen. Note DuckDB ``regexp_replace`` needs the explicit ``'g'``
+    flag to match Spark's replace-all semantics — a classic silent
+    cross-engine mismatch."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\bscan\b")).alias("n_scan"),
+        F.regexp_extract(F.col("text"), r"\b(s[a-z]+)", 1).alias("first_s_word"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).alias(
+            "devoweled_len"
+        ),
+    ).orderBy("doc_id")

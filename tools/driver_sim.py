@@ -1,0 +1,61 @@
+"""Local replica of the driver's per-round check (see .claude/skills/verify).
+
+Smoke-runs ``entry()`` at sf0.001, then for every ``queries()`` entry at the
+driver's t2 SF: runs the Spark side and (when an oracle exists) checks column
+set + row count against DuckDB. Full value-hash checks live in
+tests/oracle.py:compare (used by tests/test_queries.py).
+
+    python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from data_engineer_capstone_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
+    print("entry rows:", len(E.entry(spark).collect()), flush=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, osql = E.queries(), E.oracle_sql()
+    failed = []
+    for name in sorted(qs):
+        try:
+            sdf = qs[name](spark, sf)
+            if name in osql:
+                cur = con.execute(osql[name])
+                cols = sorted(d[0] for d in cur.description)
+                assert sorted(sdf.columns) == cols, f"cols {sorted(sdf.columns)} != {cols}"
+                n_oracle = len(cur.fetchall())
+                n_spark = sdf.count()
+                assert n_spark == n_oracle, f"rows {n_spark} != {n_oracle}"
+            else:
+                sdf.count()
+        except Exception as ex:  # keep going; report all failures at once
+            failed.append((name, str(ex)[:200]))
+            print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+    print(f"driver-sim {'OK' if not failed else 'FAILED'} "
+          f"{len(qs)} queries, {len(failed)} failures", flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
