@@ -46,3 +46,34 @@ def salted_join(
     )
     out = lg.join(sm, on=[*on, SALT], how=how)
     return out.drop(SALT)
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    expr,
+    salt_src,
+    alias: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-resistant sum: partial sums per (keys, salt), then a
+    final regroup per keys.
+
+    A hot group key concentrates its entire sum into one reducer; salting
+    splits each group into ``n_salts`` sub-groups so the first shuffle
+    spreads the hot key over n_salts tasks, and the second shuffle moves
+    only |groups|·n_salts pre-summed rows. ``expr`` must be an exact type
+    (decimal / integer) so regrouping the partials is lossless — float
+    partials would make the result depend on the salt layout. The salt is
+    a deterministic hash of ``salt_src`` (not rand()) so the plan stays
+    replayable and oracle-checkable.
+    """
+    from ..functions.text import h64
+
+    salt = (h64(F.concat(F.lit("salt:"), salt_src.cast("string"))) % n_salts).alias(SALT)
+    partial = (
+        df.select(*keys, salt, expr.alias("__v"))
+        .groupBy(*keys, SALT)
+        .agg(F.sum("__v").alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(alias))

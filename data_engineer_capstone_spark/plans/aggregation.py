@@ -453,3 +453,208 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q137_exact_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           floor(quantile_cont(c_acctbal, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+           floor(quantile_cont(c_acctbal, 0.50) * 1e4 + 0.5) / 1e4 AS p50,
+           floor(quantile_cont(c_acctbal, 0.75) * 1e4 + 0.5) / 1e4 AS p75
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (p25/p50/p75) per segment.
+
+    Both engines use the SQL-standard ``(n-1)*p`` linear interpolation;
+    the floor-trick rounds to 4 digits to absorb the 1-ulp difference
+    between their interpolation formulas. Scale note: EXACT percentiles
+    materialize every group's values in the aggregation buffer — fine for
+    5 segments, wrong for high-cardinality groups at 100 TB, where the
+    scale path is ``approx_percentile`` (KLL/GK sketch, mergeable
+    partials — error-bound-tested in q107). This query exists because
+    "exact median" is a real operator users reach for."""
+    c = load_table(spark, sf, "customer")
+    cols = [
+        round_det(F.percentile(F.col("c_acctbal"), p), 4).alias(a)
+        for p, a in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
+    ]
+    return c.groupBy("c_mktsegment").agg(*cols).orderBy("c_mktsegment")
+
+
+@query(
+    "q141_share_of_total",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT s_nationkey, {sql_money_sum("l_extendedprice * (1 - l_discount)", "value")}
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey),
+    total AS (
+        SELECT {sql_money_sum("l_extendedprice * (1 - l_discount)", "tot")}
+        FROM lineitem)
+    SELECT s_nationkey, value,
+           floor(value / tot * 1e6 + 0.5) / 1e6 AS share
+    FROM per_nation, total
+    WHERE floor(value / tot * 1e6 + 0.5) / 1e6 > 0.04
+    ORDER BY s_nationkey
+    """,
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group revenue as a SHARE of the global total,
+    filtered by a threshold on that share.
+
+    The global total is a 1-row aggregate cross-joined (broadcast) onto
+    the 25-row per-nation aggregate — the fact table is scanned twice but
+    shuffled only as pre-aggregated partials; never join the raw rows to
+    the scalar. Both the group sums and the total go through exact
+    DECIMAL(18,4) partials, and the share is floor-trick-rounded BEFORE
+    the threshold comparison so the predicate is engine-identical."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(money_sum(rev, "value"))
+    )
+    total = li.agg(money_sum(rev, "tot"))
+    share = round_det(F.col("value") / F.col("tot"), 6)
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select("s_nationkey", "value", share.alias("share"))
+        .filter(F.col("share") > 0.04)
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "q142_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including the zero bucket (customers with no orders survive the LEFT
+    join; COUNT(o_orderkey) ignores the null).
+
+    Two-level aggregation: the first shuffles on c_custkey (same key as
+    the join, so AQE coalesces join+agg into one exchange), the second
+    shuffles the tiny (count -> customers) histogram. The heavy join is
+    the place skew shows up at 100 TB — a mega-customer inflates one
+    task; the mitigation is salting the join key (operators/skew.py)
+    because the count is reassembled correctly by the second agg."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q143_sorted_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic string aggregation: the distinct values per group,
+    sorted, joined with a comma (LISTAGG/string_agg semantics).
+
+    ``collect_set`` alone is partition-order-nondeterministic — the
+    ``array_sort`` before ``array_join`` is what makes the result a
+    value, not an accident. Scale note: collect_set state is bounded by
+    the distinct-value count (5 segments here); for unbounded domains
+    aggregate a capped top-k first (q124) — never collect_list raw 100 TB
+    strings into one group buffer."""
+    c = load_table(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q151_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL: the engine infers the grouping keys from the
+    non-aggregate select items — same SQL text runs on Spark 4 and
+    DuckDB. Purely sugar over the same partial/final hash aggregate;
+    registered because a migrating user's queries will contain it."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total
+        FROM orders GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@query(
+    "q152_weighted_avg",
+    oracle=f"""
+    SELECT p_brand, num, den, floor(num / den * 1e6 + 0.5) / 1e6 AS wavg
+    FROM (SELECT p_brand,
+                 {sql_money_sum("l_extendedprice * (1 - l_discount)", "num")},
+                 {sql_money_sum("l_quantity", "den")}
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand)
+    ORDER BY p_brand
+    """,
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted average discounted price per brand: exact decimal
+    numerator AND denominator (a raw double SUM(l_quantity) would be
+    partition-order-dependent), single float division at the end,
+    floor-trick rounded. One broadcast join (part is the dim) + one hash
+    aggregate — the weighted-mean partials (sum of w·x, sum of w) are
+    mergeable, which is what makes this a constant-state 100 TB
+    aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(money_sum(rev, "num"), money_sum(F.col("l_quantity"), "den"))
+    )
+    return out.select(
+        "p_brand",
+        "num",
+        "den",
+        round_det(F.col("num") / F.col("den"), 6).alias("wavg"),
+    ).orderBy("p_brand")

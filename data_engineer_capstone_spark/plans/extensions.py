@@ -992,3 +992,557 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_merge(dim, changes, key="c_custkey").orderBy(
         "c_custkey", "valid_from"
     )
+
+
+def _zorder_sql_terms(x: str, y: str, nbits: int) -> str:
+    """Morton-interleave SQL expression shared by both engines' dialects."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q138_zorder_key",
+    oracle=f"""
+    SELECT p_partkey, x, y, {_zorder_sql_terms("x", "y", 6)} AS zkey
+    FROM (SELECT p_partkey, p_size AS x,
+                 CAST(floor((p_retailprice - 900) / 2) AS INT) AS y
+          FROM part)
+    ORDER BY zkey, p_partkey
+    """,
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    dimension columns so a single sort co-locates rows that are close in
+    BOTH dimensions.
+
+    This is the data-layout operator behind multi-dimensional file
+    clustering (Delta/Iceberg OPTIMIZE ZORDER): writing 100 TB sorted by
+    zkey means a range predicate on EITHER x or y prunes most files,
+    where a lexicographic (x, y) sort only prunes on x. The key is pure
+    integer bit arithmetic (shift/mask/or) — whole-stage codegen, no UDF;
+    the sort itself is the same range-partitioned exchange as any ORDER
+    BY. 6 bits per dimension here; widen to 21+21 bits for real keys."""
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").alias("x"),
+        F.floor((F.col("p_retailprice") - 900) / 2).cast("int").alias("y"),
+    )
+    zkey = F.lit(0)
+    for i in range(6):
+        zkey = zkey + F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        zkey = zkey + F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return p.select("p_partkey", "x", "y", zkey.alias("zkey")).orderBy(
+        "zkey", "p_partkey"
+    )
+
+
+@query(
+    "q139_quality_report",
+    oracle="""
+    WITH rowv AS (
+        SELECT
+            COUNT(*) FILTER (WHERE c_name IS NULL) AS customer_name_nonnull,
+            COUNT(*) FILTER (WHERE c_mktsegment NOT IN
+                ('BUILDING','MACHINERY','AUTOMOBILE','HOUSEHOLD','FURNITURE'))
+                AS customer_segment_accepted,
+            COUNT(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 100000)
+                AS customer_acctbal_range
+        FROM customer),
+    uniq AS (
+        SELECT COUNT(*) AS v FROM (
+            SELECT c_custkey FROM customer
+            GROUP BY c_custkey HAVING COUNT(*) > 1)),
+    ri AS (
+        SELECT COUNT(*) AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+        SELECT 'customer_name_nonnull' AS check_name,
+               customer_name_nonnull AS violations FROM rowv
+        UNION ALL
+        SELECT 'customer_segment_accepted', customer_segment_accepted FROM rowv
+        UNION ALL
+        SELECT 'customer_acctbal_range', customer_acctbal_range FROM rowv
+        UNION ALL
+        SELECT 'customer_key_unique', v FROM uniq
+        UNION ALL
+        SELECT 'orders_customer_ri', v FROM ri)
+    ORDER BY check_name
+    """,
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectations suite (operators/quality.py): row-level
+    checks fused into ONE scan, plus uniqueness and referential-integrity
+    checks, unioned into a (check_name, violations, passed) report.
+
+    Generalizes the reference's two ad-hoc DQ gates (pyspark.py:22-39,
+    covered by q73) into a declarative engine. The three row checks cost
+    a single map-side aggregate pass regardless of how many predicates
+    are registered; the RI anti-join broadcasts the customer keys."""
+    from ..operators.quality import (
+        fused_row_checks,
+        quality_report,
+        ri_check,
+        unique_check,
+    )
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]
+    rowp = fused_row_checks(
+        cust,
+        {
+            "customer_name_nonnull": F.col("c_name").isNull(),
+            "customer_segment_accepted": ~F.col("c_mktsegment").isin(segs),
+            "customer_acctbal_range": (F.col("c_acctbal") < -1000)
+            | (F.col("c_acctbal") > 100000),
+        },
+    )
+    return quality_report(
+        [
+            rowp,
+            unique_check(cust, "customer_key_unique", ["c_custkey"]),
+            ri_check(orders, cust, "o_custkey", "c_custkey", "orders_customer_ri"),
+        ]
+    )
+
+
+@query(
+    "q145_deterministic_reservoir",
+    oracle=f"""
+    SELECT c_nationkey, c_custkey, rk FROM (
+        SELECT c_nationkey, c_custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY {_H64.format(x="'rsv:' || CAST(c_custkey AS VARCHAR)")},
+                             c_custkey) AS rk
+        FROM customer)
+    WHERE rk <= 3 ORDER BY c_nationkey, rk
+    """,
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group 'reservoir' sample: k rows per group chosen
+    by ranking a salted hash of the row key — a uniform-ish draw that is
+    REPLAYABLE (same rows every run, any partitioning, any engine).
+
+    rand()-based sampling can't be oracle-checked and changes under
+    retries/speculation; hash-gating is how the curation pipeline draws
+    all its samples (q109/q115). One shuffle on the group key; the
+    hash-rank window keeps only k rows per group, so the output is tiny
+    regardless of input scale. For very hot groups, pre-filter with
+    ``h64 % m < m·(k·fudge/|group|)`` before the window to avoid sorting
+    the full group."""
+    c = load_table(spark, sf, "customer")
+    hv = h64(F.concat(F.lit("rsv:"), F.col("c_custkey").cast("string")))
+    w = W.partitionBy("c_nationkey").orderBy(hv, "c_custkey")
+    return (
+        c.select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+@query(
+    "q146_salted_agg_equivalence",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigation correctness proof: revenue per return flag computed
+    through the SALTED two-stage aggregation (operators/skew.py
+    salted_sum), hash-checked against the plain one-stage oracle.
+
+    l_returnflag has 3 values — at 100 TB that is the worst-case skewed
+    aggregation (3 reducers own everything). The salted path spreads each
+    flag over 16 sub-groups, then regroups 48 exact decimal partials.
+    The oracle is the PLAIN group-by: passing the gate proves salting is
+    algebraically invisible, which is the property that makes it safe to
+    turn on for any hot-key sum."""
+    from ._util import _dec4
+    from ..operators.skew import salted_sum
+
+    li = load_table(spark, sf, "lineitem")
+    rev = _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    out = salted_sum(li, ["l_returnflag"], rev, sid, "rev_exact", n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("rev_exact"), 2).cast("double").alias("revenue"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q147_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT step, users FROM (
+        SELECT 'step1_view' AS step, COUNT(*) AS users FROM v
+        UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+        UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p)
+    ORDER BY step
+    """,
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER the first qualifying click.
+
+    Each stage is a per-user min-timestamp aggregate joined to the next
+    event type with a strict time predicate — all shuffles are on
+    user_id, so AQE reuses one partitioning across the chain; stage
+    outputs shrink monotonically (classic funnel), so later joins get
+    cheaper, and the per-user state is one timestamp, never the event
+    list. The event-sequence alternative (collect_list + UDF) would haul
+    every event into a group buffer — this formulation is the 100 TB
+    shape."""
+    ev = load_table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.lit("step1_view").alias("step"), F.count(F.lit(1)).alias("users")),
+        c.agg(F.lit("step2_click").alias("step"), F.count(F.lit(1)).alias("users")),
+        p.agg(F.lit("step3_purchase").alias("step"), F.count(F.lit(1)).alias("users")),
+    ]
+    out = counts[0]
+    for part in counts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("step")
+
+
+@query(
+    "q148_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk
+               FROM events)
+    SELECT cohort_week,
+           CAST(floor(datediff('day', cohort_week, wk) / 7.0) AS INT) AS week_n,
+           COUNT(*) AS users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_week, week_n ORDER BY cohort_week, week_n
+    """,
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-activity week,
+    counted in each subsequent active week.
+
+    Both inputs reduce BEFORE the join: first-seen week per user (one
+    min) and the distinct (user, week) activity set — so the join moves
+    |users| + |user-weeks| rows, not raw events, and shares the user_id
+    partitioning. ``COUNT(*)`` suffices after the join because the
+    activity side is already distinct per (user, week) — a COUNT(DISTINCT)
+    there would re-do dedup work the plan has already paid for."""
+    ev = load_table(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    week_n = F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7.0).cast("int")
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", week_n.alias("week_n"))
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@query(
+    "q150_posexplode_tokens",
+    oracle=f"""
+    SELECT s.doc_id, u.i - 1 AS pos, s.toks[u.i] AS tok
+    FROM (SELECT doc_id, {_WORDS.format(c='text')} AS toks FROM documents) s,
+         unnest(generate_series(1, len(s.toks))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode: flatten the token array WITH its 0-based position —
+    the tokenize step every sequence pipeline starts from (position is
+    what lets downstream packing/windowing reconstruct order after the
+    shuffle; see q110 sequence packing).
+
+    Generates |tokens| rows from |docs| rows map-side — no shuffle at
+    all until the final presentation sort; at 100 TB you'd keep it
+    unsorted and let the consumer partition by doc_id. DuckDB lacks WITH
+    ORDINALITY, so the oracle reconstructs positions by unnesting an
+    index series and 1-based-subscripting the array — same relation."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.posexplode(words(F.col("text"))).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "q153_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000
+                   AS e
+        FROM events),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+        FROM islands GROUP BY user_id, island)
+    SELECT user_id, COUNT(*) AS n_islands, SUM(hi - lo) AS covered_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping-interval merge (gaps-and-islands): per user, events
+    become [start, start + (floor(value)+1) minutes] intervals; touching/
+    overlapping intervals merge, and we report island count + total
+    covered microseconds.
+
+    The merge is the cumulative-max trick: an interval starts a new
+    island iff its start exceeds the max end seen so far; a running sum
+    of that flag numbers the islands. Everything is bigint epoch-micros
+    arithmetic over ONE shuffle on user_id (every window and both
+    aggregates share the partitioning), ties broken by a total order —
+    the distributed form of the classic sort-and-sweep, with per-user
+    state bounded by one row. Generalizes q117's gap-only sessionize to
+    arbitrary-length intervals."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        ((F.floor(F.col("value")).cast("long") + 1) * 60_000_000).alias("dur"),
+    ).select("user_id", "event_id", "s", (F.col("s") + F.col("dur")).alias("e"))
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("e").over(wprev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wrun).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("hi") - F.col("lo")).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q154_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               epoch_us(ts) AS s,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+        FROM events)
+    SELECT user_id,
+           SUM(nxt - s) AS total_dur_us,
+           floor(SUM(v_cents * (nxt - s))
+                 / (100.0 * SUM(nxt - s)) * 1e6 + 0.5) / 1e6 AS twa
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (IoT/finance): each reading holds until the
+    next one, so its weight is the duration it was current; the average
+    is sum(value·dur)/sum(dur), last open reading excluded.
+
+    Determinism at scale: the float value is scaled to integer cents and
+    the duration is integer microseconds, so the big SUMs are exact
+    bigint arithmetic in any partition order; one float division at the
+    end. One shuffle on user_id covers the LEAD window and the aggregate.
+    This is the step-function integral every sensor-rollup pipeline
+    computes — the naive avg(value) is wrong whenever sampling is
+    irregular."""
+    from ._util import round_det
+
+    ev = load_table(spark, sf, "events")
+    # s == epoch micros of ts (oracle orders by ts): same total order
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    ).withColumn("nxt", F.lead("s").over(w))
+    dur = F.col("nxt") - F.col("s")
+    agg = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(dur).alias("total_dur_us"),
+            F.sum(F.col("v_cents") * dur).alias("ws"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "total_dur_us",
+        round_det(F.col("ws") / (F.lit(100.0) * F.col("total_dur_us")), 6).alias(
+            "twa"
+        ),
+    ).orderBy("user_id")
+
+
+@query(
+    "q155_l2_normalize",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_reduce(
+                list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS l2_norm,
+           floor(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_reduce(
+                      list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS c0_unit
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 norm + unit-normalized first component per embedding — the
+    preprocessing step in front of every cosine-similarity operator
+    (q94-q96): normalize once, then cosine is a plain dot product.
+
+    The squared-sum is a SEQUENTIAL left fold over the array (Spark
+    ``aggregate`` with 0.0 init, DuckDB ``list_reduce`` seeded by the
+    first element — identical because 0.0+x == x in IEEE), so the float
+    additions happen in one defined order on both engines: bit-exact
+    without decimal detours. Per-row, zero shuffle, codegen end-to-end;
+    at 100 TB this runs at scan speed."""
+    from ._util import round_det
+
+    emb = load_table(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_sum)
+    return emb.select(
+        "vec_id",
+        round_det(norm, 6).alias("l2_norm"),
+        round_det(
+            F.element_at(F.col("embedding"), 1).cast("double") / norm, 6
+        ).alias("c0_unit"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q156_label_centroids",
+    oracle="""
+    SELECT label, u.i - 1 AS pos,
+           floor(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1e9 + 0.5)
+                          AS BIGINT))
+                 / (1e9 * COUNT(*)) * 1e6 + 0.5) / 1e6 AS centroid
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS u(i)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid, element-wise — the k-means/IVF training step
+    (q106's coarse quantizer is seeded by exactly this computation).
+
+    Cross-engine float summation is tamed by quantizing each component to
+    an integer (×1e9, floor-trick) BEFORE the group sum: bigint partials
+    are exact in any partition order, one double division at the end.
+    The shape is posexplode → hash-agg on (label, pos): the shuffle
+    carries |labels|·dim pre-summed rows from the map-side combine, not
+    |vectors|·dim — mean aggregation is fully partial-aggregatable, the
+    property that makes distributed k-means feasible at all."""
+    from ._util import round_det
+
+    emb = load_table(spark, sf, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1e9 + 0.5).cast("long").alias("q"),
+    )
+    return (
+        comps.groupBy("label", "pos")
+        .agg(
+            round_det(
+                F.sum("q") / (F.lit(1e9) * F.count(F.lit(1))), 6
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )

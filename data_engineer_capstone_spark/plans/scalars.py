@@ -364,3 +364,132 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
             "devoweled_len"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "q140_bitwise_kit",
+    oracle="""
+    SELECT event_type,
+           bit_and(a) AS band, bit_or(a) AS bor, bit_xor(a) AS bxor,
+           SUM(bit_count(a & b)) AS bits_total,
+           SUM(xor(a, b)) AS xor_sum,
+           SUM((a << 2) | (b >> 1)) AS shift_sum
+    FROM (SELECT event_type,
+                 event_id % 256 AS a, user_id % 256 AS b
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise kit: &, |, ^, shifts, popcount, and the bit_and/or/xor
+    aggregates — the flag-mask toolbox (permission bits, bloom-filter
+    words, feature flags).
+
+    All pure integer codegen expressions; the aggregates are mergeable
+    partials (bitwise ops are associative+commutative) so the plan is a
+    standard partial/final hash aggregate — the same shape that lets a
+    1000-executor cluster AND together 100 TB of bitmap words with one
+    constant-size shuffle."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 256).alias("a"),
+        (F.col("user_id") % 256).alias("b"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(F.col("a")).alias("band"),
+            F.bit_or(F.col("a")).alias("bor"),
+            F.bit_xor(F.col("a")).alias("bxor"),
+            F.sum(F.bit_count(F.col("a").bitwiseAND(F.col("b")))).alias(
+                "bits_total"
+            ),
+            F.sum(F.col("a").bitwiseXOR(F.col("b"))).alias("xor_sum"),
+            F.sum(
+                F.shiftleft(F.col("a"), 2).bitwiseOR(F.shiftright(F.col("b"), 1))
+            ).alias("shift_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q144_date_trunc_kit",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(extract(isodow FROM o_orderdate) - 1 AS INT) AS wd,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-bucketing kit: date_trunc to week/month, quarter, Monday-
+    based weekday, day offset from a fixed epoch.
+
+    Cross-engine gotchas this query pins down: Spark ``date_trunc``
+    returns TIMESTAMP (cast to DATE on both sides); weekday numbering
+    differs everywhere (Spark ``dayofweek`` is 1=Sunday, DuckDB ``dow``
+    is 0=Sunday) — the portable choice is Monday=0, Spark ``weekday()``
+    == DuckDB ``isodow - 1``. All pure codegen; date_trunc is THE
+    partition-bucketing function for time-partitioned 100 TB layouts
+    (write partitioned by month_start, prune scans by the same expr)."""
+    o = load_table(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.quarter(d).alias("qtr"),
+        F.weekday(d).alias("wd"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q149_map_kit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS seg, cnt * 2 AS v2
+    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+    WHERE cnt * 2 > 4
+    ORDER BY c_nationkey, seg
+    """,
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-typed column kit: map_from_entries / transform_values /
+    map_filter / explode-back-to-rows.
+
+    The per-nation segment->count map is built from a SORTED entry list
+    (collect_list alone is partition-order-nondeterministic; the sort
+    makes the map construction a value). transform_values and map_filter
+    are Catalyst higher-order functions — no Python boundary. The oracle
+    never builds a map at all: it states the same relation row-wise,
+    which is exactly the point — map columns are a LAYOUT choice (one row
+    per group, O(distinct values) entries), not different semantics, and
+    the gate proves the round-trip loses nothing."""
+    c = load_table(spark, sf, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = counts.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("c_mktsegment", "cnt")))
+        ).alias("m")
+    )
+    filtered = m.select(
+        "c_nationkey",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v > 4,
+        ).alias("mf"),
+    )
+    return (
+        filtered.select("c_nationkey", F.explode("mf").alias("seg", "v2"))
+        .orderBy("c_nationkey", "seg")
+    )

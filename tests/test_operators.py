@@ -197,3 +197,53 @@ def test_star_components_high_diameter_converges_fast(spark):
     labels = {r.id: r.label
               for r in connected_components_star(edges, verts, max_iter=12).collect()}
     assert labels == {i: 0 for i in range(n)}
+
+
+def test_quality_checks_crafted_violations(spark):
+    from data_engineer_capstone_spark.operators.quality import (
+        fused_row_checks,
+        quality_report,
+        ri_check,
+        unique_check,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (2, None, 1.0), (3, "zz", 99.0)],
+        "id long, name string, val double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    rows = fused_row_checks(
+        df,
+        {
+            "name_nonnull": F.col("name").isNull(),
+            "val_range": (F.col("val") < 0) | (F.col("val") > 50),
+        },
+    )
+    rep = quality_report(
+        [
+            rows,
+            unique_check(df, "id_unique", ["id"]),
+            ri_check(df, parent, "id", "pk", "id_ri"),
+        ]
+    ).collect()
+    got = {r.check_name: (r.violations, r.passed) for r in rep}
+    assert got == {
+        "name_nonnull": (1, False),
+        "val_range": (2, False),   # -2.0 and 99.0
+        "id_unique": (1, False),   # id=1 twice
+        "id_ri": (1, False),       # id=3 has no parent
+    }
+    assert [r.check_name for r in rep] == sorted(got)
+
+
+def test_quality_checks_all_pass(spark):
+    from data_engineer_capstone_spark.operators.quality import (
+        fused_row_checks,
+        quality_report,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    rep = quality_report(
+        [fused_row_checks(df, {"name_nonnull": F.col("name").isNull()})]
+    ).collect()
+    assert rep[0].violations == 0 and rep[0].passed

@@ -33,6 +33,7 @@ EXPECTED = {
     # scalar-subquery comparison: the avg is a 1-row broadcast → BNLJ is
     # the cheapest possible plan for "compare every row to one scalar"
     "q121_antijoin_scalar_avg": {"BroadcastNestedLoopJoin"},
+    "q141_share_of_total": {"BroadcastNestedLoopJoin"},  # same 1-row total
     # full outer diff of two same-sized snapshots: neither side broadcasts
     "q128_table_diff": {"SortMergeJoin"},
     # 25-row dim fuzzy self-join: broadcast nested loop IS the right plan;
