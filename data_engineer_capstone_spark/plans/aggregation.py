@@ -658,3 +658,36 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         "den",
         round_det(F.col("num") / F.col("den"), 6).alias("wavg"),
     ).orderBy("p_brand")
+
+
+@query(
+    "q160_boolean_aggregates",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 100) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 400) AS any_huge,
+           COUNT(*) - count_if(value > 100) AS n_small
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregates: count_if / bool_and / bool_or — predicate
+    rollups (identical function names on Spark 4 and DuckDB).
+
+    These are the assertion primitives behind the DQ engine (q139 is
+    count_if in disguise); bool_and/bool_or partials are single bits, so
+    a fleet-wide invariant check over 100 TB shuffles one boolean per
+    (map task, group)."""
+    ev = load_table(spark, sf, "events")
+    n_big = F.count_if(F.col("value") > 100)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_big.alias("n_big"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 400).alias("any_huge"),
+            (F.count(F.lit(1)) - n_big).alias("n_small"),
+        )
+        .orderBy("event_type")
+    )

@@ -830,3 +830,111 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         .select("day", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"))
         .orderBy("day")
     )
+
+
+@query(
+    "q157_tuple_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders o
+    WHERE o_totalprice <= 400000
+      AND EXISTS (SELECT 1 FROM orders b
+                  WHERE b.o_totalprice > 400000
+                    AND b.o_custkey = o.o_custkey
+                    AND b.o_orderpriority = o.o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-tuple semi join: small orders sharing (customer,
+    priority) with at least one >400k order — Spark's ``(a, b) IN
+    (SELECT ...)`` multi-column subquery syntax.
+
+    Catalyst rewrites the tuple-IN to a LeftSemi hash join on both
+    columns — one shuffle keyed on the pair, the probe side deduped by
+    the semi semantics (no row explosion however many big orders match).
+    DuckDB lacks tuple-IN, so the oracle states the identical relation
+    with EXISTS — which is also what you write when any key column is
+    nullable (IN's three-valued logic vs join semantics)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_totalprice <= 400000
+          AND (o_custkey, o_orderpriority) IN
+              (SELECT o_custkey, o_orderpriority FROM orders
+               WHERE o_totalprice > 400000)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "q158_bag_set_ops",
+    oracle="""
+    SELECT n_key, COUNT(*) AS multiplicity FROM (
+        SELECT c_nationkey AS n_key FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier)
+    GROUP BY n_key ORDER BY n_key
+    """,
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag (multiset) set ops: EXCEPT ALL keeps multiplicities —
+    max(count_left - count_right, 0) copies per value — unlike the
+    row-collapsing EXCEPT of q54.
+
+    Spark plans exceptAll/intersectAll as a counted aggregate + generate
+    (sum +1/-1 per side, replicate the surplus), NOT a join — one shuffle
+    on the value, state O(distinct values). The multiplicity aggregate on
+    top makes the result order-free for hashing and is also what you'd
+    ship at 100 TB (the expanded bag is an intermediate, not an
+    answer)."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("n_key")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("n_key")
+    )
+    return (
+        c.exceptAll(s)
+        .groupBy("n_key")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("n_key")
+    )
+
+
+@query(
+    "q159_lateral_aggregate",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, l.mx, l.nc
+    FROM nation n, LATERAL (
+        SELECT max(c.c_acctbal) AS mx, count(*) AS nc
+        FROM customer c WHERE c.c_nationkey = n.n_nationkey) l
+    ORDER BY n.n_nationkey
+    """,
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated aggregate: per nation, the max customer balance
+    and customer count computed by a subquery that references the outer
+    row — same SQL text on Spark 4 and DuckDB.
+
+    Catalyst decorrelates the lateral into a groupBy(c_nationkey)
+    aggregate left-joined back to nation (DomainJoin rewrite) — per-row
+    re-execution never happens; the plan is identical to writing the
+    join by hand, which is the guarantee that makes LATERAL safe on a
+    100 TB inner table. The LEFT join from decorrelation keeps nations
+    with zero customers (count=0, max NULL) — exactly SQL's lateral
+    semantics for an aggregate subquery."""
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, l.mx, l.nc
+        FROM nation n, LATERAL (
+            SELECT max(c.c_acctbal) AS mx, count(*) AS nc
+            FROM customer c WHERE c.c_nationkey = n.n_nationkey) l
+        ORDER BY n.n_nationkey
+        """
+    )

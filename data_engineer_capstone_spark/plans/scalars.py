@@ -493,3 +493,76 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         filtered.select("c_nationkey", F.explode("mf").alias("seg", "v2"))
         .orderBy("c_nationkey", "seg")
     )
+
+
+@query(
+    "q161_try_kit",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           TRY_CAST(event_type AS INT) AS bad_int,
+           CAST(floor(value) AS BIGINT)
+               / NULLIF(CAST(floor(value) AS BIGINT) % 7, 0) AS try_div
+    FROM events ORDER BY event_id
+    """,
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe evaluation kit: TRY_CAST returns NULL instead of
+    failing the job; try_divide nulls division by zero.
+
+    On one executor a bad row kills a task; at 1000 executors bad rows
+    are a certainty and a fail-fast cast kills the whole 100 TB job on
+    row one — the try_* family turns poison rows into NULLs you can
+    quarantine (route through q139's expectations to count them).
+    Spark's try_divide == DuckDB's ``x / NULLIF(y, 0)`` (DuckDB division
+    already yields NULL on zero; the NULLIF spelling keeps the intent
+    explicit and portable)."""
+    ev = load_table(spark, sf, "events")
+    fv = F.floor(F.col("value")).cast("long")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.try_divide(fv, fv % 7).alias("try_div"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q162_string_kit2",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, 'Cusstomer#', 'KQWWXYZ@--') AS xlate,
+           repeat(left(c_name, 2), 2) AS rep2,
+           instr(c_name, '#') AS hash_pos,
+           right(c_name, 3) AS tail3,
+           ascii(c_name) AS first_code,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS cycle_chr,
+           reverse(c_name) AS rev,
+           split_part(c_name, '#', 2) AS after_hash
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """String kit 2: translate / repeat / instr / left / right / ascii /
+    chr / reverse / split_part — completing the scalar string surface
+    beyond q60's canonicalizer.
+
+    All codegen'd JVM string ops, no UDFs. Dialect notes pinned by the
+    gate: Spark ``char()`` == DuckDB ``chr()``; Spark ``substring_index``
+    == DuckDB ``split_part`` for positive indices; ``instr`` is 1-based
+    (0 = absent) in both."""
+    c = load_table(spark, sf, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.translate(name, "Cusstomer#", "KQWWXYZ@--").alias("xlate"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("rep2"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.substring(name, -3, 3).alias("tail3"),
+        F.ascii(name).alias("first_code"),
+        F.char(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias(
+            "cycle_chr"
+        ),
+        F.reverse(name).alias("rev"),
+        F.substring_index(name, "#", -1).alias("after_hash"),
+    ).orderBy("c_custkey")
