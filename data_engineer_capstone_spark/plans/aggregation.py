@@ -691,3 +691,285 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q163_chi_square",
+    oracle="""
+    WITH obs AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                 FROM customer GROUP BY c_nationkey, c_mktsegment),
+         rt AS (SELECT c_nationkey, SUM(n) AS r FROM obs GROUP BY c_nationkey),
+         ct AS (SELECT c_mktsegment, SUM(n) AS c FROM obs GROUP BY c_mktsegment),
+         tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT o.c_nationkey,
+           floor(SUM(CAST(floor(
+               ((CAST(o.n AS DOUBLE)
+                 - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                * (CAST(o.n AS DOUBLE)
+                 - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT))
+               / 1e6 * 1e6 + 0.5) / 1e6 AS chi2
+    FROM obs o
+    JOIN rt ON o.c_nationkey = rt.c_nationkey
+    JOIN ct ON o.c_mktsegment = ct.c_mktsegment
+    CROSS JOIN tot
+    GROUP BY o.c_nationkey ORDER BY o.c_nationkey
+    """,
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence contributions per nation over the
+    (nation × segment) contingency table — the categorical-drift test a
+    data-curation pipeline runs between corpus snapshots.
+
+    Expected counts come from row/column/grand totals — three tiny
+    aggregates of the already-aggregated observation table, broadcast
+    back (never a window over the raw rows). Each cell's (obs-exp)²/exp
+    is a deterministic double expression QUANTIZED to integer micro-units
+    before the per-nation sum, so the cross-partition addition is exact
+    bigint — same trick as q154/q156; one final /1e6."""
+    c = load_table(spark, sf, "customer")
+    obs = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rt = obs.groupBy("c_nationkey").agg(F.sum("n").alias("r"))
+    ct = obs.groupBy("c_mktsegment").agg(F.sum("n").alias("c"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    j = (
+        obs.join(F.broadcast(rt), "c_nationkey")
+        .join(F.broadcast(ct), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("t").cast("double")
+    )
+    dev = F.col("n").cast("double") - exp
+    contrib_micro = F.floor(dev * dev / exp * 1e6 + 0.5).cast("long")
+    return (
+        j.groupBy("c_nationkey")
+        .agg(round_det(F.sum(contrib_micro) / 1e6, 6).alias("chi2"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q164_regression_slope",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events),
+    g AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM t GROUP BY user_id)
+    SELECT user_id, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS slope_cents_per_hr,
+           floor((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS intercept_cents
+    FROM g ORDER BY user_id
+    """,
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user least-squares trend (slope + intercept) of value over
+    time — the streaming-drift / sensor-trend regression, one pass.
+
+    ``regr_slope`` exists in both engines but accumulates doubles in
+    partition order; instead the inputs quantize to integers (hours,
+    cents) so the five moment sums are exact bigint in any merge order,
+    and the closed-form slope/intercept evaluate in one pinned float
+    sequence (q119's recipe). Map-side combine keeps the shuffle at one
+    row per (task, user)."""
+    ev = load_table(spark, sf, "events")
+    t = ev.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    g = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / nd
+    return g.select(
+        "user_id",
+        "n",
+        round_det(slope, 6).alias("slope_cents_per_hr"),
+        round_det(intercept, 4).alias("intercept_cents"),
+    ).orderBy("user_id")
+
+
+@query(
+    "q169_median_abs_deviation",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.5) AS m
+        FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment,
+           floor(med.m * 1e4 + 0.5) / 1e4 AS median_bal,
+           floor(quantile_cont(abs(c.c_acctbal - med.m), 0.5) * 1e4 + 0.5)
+               / 1e4 AS mad
+    FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+    GROUP BY c.c_mktsegment, med.m ORDER BY c.c_mktsegment
+    """,
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation per segment — the robust spread measure
+    (outliers move stddev, not MAD; pair with q165's z-gate when the
+    data is heavy-tailed).
+
+    Two exact-percentile passes: the per-group median (5 rows) broadcasts
+    back, then the median of absolute deviations. The |x - m| inputs are
+    identical doubles on both engines (m is the shared unrounded median),
+    so the second interpolation matches bit-for-bit before the 4-digit
+    floor-round. Exact medians materialize group values (q137's caveat):
+    bounded group count here; sketch path otherwise."""
+    c = load_table(spark, sf, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.percentile(F.col("c_acctbal"), 0.5).alias("m")
+    )
+    j = c.join(F.broadcast(med), "c_mktsegment")
+    return (
+        j.groupBy("c_mktsegment", "m")
+        .agg(
+            F.percentile(F.abs(F.col("c_acctbal") - F.col("m")), 0.5).alias(
+                "mad_raw"
+            )
+        )
+        .select(
+            "c_mktsegment",
+            round_det(F.col("m"), 4).alias("median_bal"),
+            round_det(F.col("mad_raw"), 4).alias("mad"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q170_lag1_autocorr",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+               LEAD(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS y1
+        FROM events),
+    g AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(y) AS sx, SUM(y1) AS sy,
+               SUM(y * y) AS sxx, SUM(y1 * y1) AS syy, SUM(y * y1) AS sxy
+        FROM s WHERE y1 IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS acf1
+    FROM g ORDER BY user_id
+    """,
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    is-this-signal-or-noise statistic for event streams (a near-zero acf1
+    says shuffling-safe; high acf1 says sessionize first).
+
+    LEAD pairs each reading with its successor (one shuffle on user_id,
+    total order ties broken by event_id), then Pearson over the pairs via
+    exact integer-cent moment sums — q119's recipe applied to a
+    self-lagged series. Window + aggregate share the same partitioning,
+    so the whole statistic costs one exchange."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    y = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", y.alias("y"), F.lead(y).over(w).alias("y1")
+    ).filter(F.col("y1").isNotNull())
+    g = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sx"),
+        F.sum("y1").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        F.sum(F.col("y1") * F.col("y1")).alias("syy"),
+        F.sum(F.col("y") * F.col("y1")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd, sxyd = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    acf1 = (nd * sxyd - sxd * syd) / F.sqrt(
+        (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    )
+    return g.select("user_id", "n", round_det(acf1, 6).alias("acf1")).orderBy(
+        "user_id"
+    )
+
+
+@query(
+    "q171_entropy",
+    oracle="""
+    WITH obs AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                 FROM customer GROUP BY c_nationkey, c_mktsegment),
+         rt AS (SELECT c_nationkey, SUM(n) AS r FROM obs GROUP BY c_nationkey)
+    SELECT obs.c_nationkey,
+           floor(SUM(CAST(floor(
+               -(CAST(obs.n AS DOUBLE) / CAST(rt.r AS DOUBLE))
+               * ln(CAST(obs.n AS DOUBLE) / CAST(rt.r AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT)) / 1e9 * 1e6 + 0.5) / 1e6 AS entropy
+    FROM obs JOIN rt ON obs.c_nationkey = rt.c_nationkey
+    GROUP BY obs.c_nationkey ORDER BY obs.c_nationkey
+    """,
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of each nation's segment distribution (nats) —
+    the diversity/drift metric for categorical columns (a collapsing
+    entropy between corpus snapshots means a source went monocultural;
+    compare q163's chi-square for the paired test).
+
+    Works entirely on the pre-aggregated (nation, segment) counts; the
+    -p·ln(p) terms are deterministic doubles quantized to nano-units
+    before the cross-segment sum, so partition order can't wiggle the
+    result. Cost: two tiny aggregates and a broadcast join — the raw
+    table is scanned once."""
+    c = load_table(spark, sf, "customer")
+    obs = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rt = obs.groupBy("c_nationkey").agg(F.sum("n").alias("r"))
+    j = obs.join(F.broadcast(rt), "c_nationkey")
+    p = F.col("n").cast("double") / F.col("r").cast("double")
+    term_nano = F.floor(-p * F.log(p) * 1e9 + 0.5).cast("long")
+    return (
+        j.groupBy("c_nationkey")
+        .agg(round_det(F.sum(term_nano) / 1e9, 6).alias("entropy"))
+        .orderBy("c_nationkey")
+    )

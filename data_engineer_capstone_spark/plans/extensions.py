@@ -1546,3 +1546,284 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "q165_zscore_outliers",
+    oracle="""
+    WITH t AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+               FROM events),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(yc) AS sy,
+                 SUM(yc * yc) AS syy
+          FROM t GROUP BY event_type)
+    SELECT t.event_id, t.event_type,
+           floor((CAST(t.yc AS DOUBLE) - CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 / sqrt((CAST(g.syy AS DOUBLE)
+                         - CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)
+                           / CAST(g.n AS DOUBLE))
+                        / (CAST(g.n AS DOUBLE) - 1))
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM t JOIN g ON t.event_type = g.event_type
+    WHERE abs((CAST(t.yc AS DOUBLE) - CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE))
+              / sqrt((CAST(g.syy AS DOUBLE)
+                      - CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)
+                        / CAST(g.n AS DOUBLE))
+                     / (CAST(g.n AS DOUBLE) - 1))) > 1.5
+    ORDER BY t.event_id
+    """,
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-score outlier filter: events more than 1.5 sample standard
+    deviations from their type's mean — the numeric data-cleaning gate.
+
+    Group stats come from exact integer-cent moment sums (one hash agg,
+    5 rows) broadcast back onto the stream — two scans, zero windows, so
+    100 TB flows map-side except the tiny stats shuffle. Mean/std/z are
+    evaluated in one pinned float order on both engines; the threshold
+    compares the UNROUNDED z (rounding first would flip borderline rows
+    differently than the oracle)."""
+    from ._util import round_det
+
+    ev = load_table(spark, sf, "events")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("yc"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    syd, syyd = F.col("sy").cast("double"), F.col("syy").cast("double")
+    mean = syd / nd
+    std = F.sqrt((syyd - syd * syd / nd) / (nd - 1))
+    z = (F.col("yc").cast("double") - mean) / std
+    return (
+        t.join(F.broadcast(g), "event_type")
+        .filter(F.abs(z) > 1.5)
+        .select("event_id", "event_type", round_det(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q166_missing_ids",
+    oracle="""
+    WITH present AS (SELECT event_id FROM events WHERE event_id % 97 <> 0),
+         b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM present),
+         spine AS (SELECT unnest(generate_series(lo, hi)) AS id FROM b)
+    SELECT spine.id AS missing_id
+    FROM spine LEFT JOIN present ON spine.id = present.event_id
+    WHERE present.event_id IS NULL
+    ORDER BY missing_id
+    """,
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Completeness audit: find every id missing from a supposedly-dense
+    sequence (a simulated 1-in-97 loss), by anti-joining a generated id
+    spine against the observed ids.
+
+    The window formulation (global LAG over event_id) needs a TOTAL
+    ordering — an empty PARTITION BY that funnels 100 TB through one
+    task. The spine anti-join is the distributed shape: the spine
+    explodes from a 1-row min/max aggregate (q134's pattern), the anti
+    join hash-partitions on id, and every stage parallelizes. Spine
+    cardinality = id range; for sparse ranges, switch to per-bucket
+    count-vs-span reconciliation first and spine only the bad buckets."""
+    ev = load_table(spark, sf, "events")
+    present = ev.filter(F.col("event_id") % 97 != 0).select("event_id")
+    bounds = present.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("missing_id")
+    )
+    return (
+        spine.join(
+            present, spine["missing_id"] == present["event_id"], "left_anti"
+        ).orderBy("missing_id")
+    )
+
+
+_CENTROID_SQL = """
+    cent AS (
+        SELECT label, u.i - 1 AS pos,
+               floor(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1e9 + 0.5)
+                              AS BIGINT))
+                     / (1e9 * COUNT(*)) * 1e6 + 0.5) / 1e6 AS centroid
+        FROM embeddings e,
+             unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY label, pos),
+    carr AS (
+        SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label)
+"""
+
+
+@query(
+    "q167_kmeans_assign_step",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    dist AS (
+        SELECT e.vec_id, c.clabel,
+               list_reduce(
+                   list_transform(
+                       list_zip(list_transform(e.embedding,
+                                               x -> CAST(x AS DOUBLE)),
+                                c.cvec),
+                       t -> (t[1] - t[2]) * (t[1] - t[2])),
+                   (a, b) -> a + b) AS d
+        FROM embeddings e CROSS JOIN carr c),
+    best AS (
+        SELECT vec_id, clabel, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dist)
+    SELECT clabel AS new_label, COUNT(*) AS n_assigned,
+           floor(SUM(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) / COUNT(*) / 1e6
+                 * 1e6 + 0.5) / 1e6 AS avg_dist
+    FROM best WHERE rn = 1
+    GROUP BY clabel ORDER BY clabel
+    """,
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """One k-means assignment step: every embedding goes to its nearest
+    label centroid (squared L2), reporting the new cluster sizes and mean
+    distance — the inner loop of distributed k-means / IVF training
+    (q106's coarse quantizer is trained by iterating exactly this).
+
+    The 10 centroid vectors (from q156's exact integer-quantized means)
+    BROADCAST to a nested-loop against the embeddings — at 100 TB the
+    vectors stream map-side against k in-memory centroids, the only
+    shuffle being the final k-row count; that is why k-means scales: the
+    assignment is embarrassingly parallel and the update is a bounded
+    aggregate. Distances are per-row sequential float folds (order-
+    defined, q155), argmin ties break on label, and the mean distance
+    quantizes to micro-units before summing."""
+    from ._util import round_det
+
+    emb = load_table(spark, sf, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1e9 + 0.5).cast("long").alias("q"),
+    )
+    cent = comps.groupBy("label", "pos").agg(
+        round_det(F.sum("q") / (F.lit(1e9) * F.count(F.lit(1))), 6).alias(
+            "centroid"
+        )
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s.centroid,
+        ).alias("cvec")
+    )
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = F.aggregate(
+        F.zip_with(ed, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    dist = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "clabel", d.alias("d")
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "clabel")
+    best = dist.select(
+        "vec_id", "clabel", "d", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    dq = F.floor(F.col("d") * 1e6 + 0.5).cast("long")
+    return (
+        best.groupBy(F.col("clabel").alias("new_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            round_det(F.sum(dq) / F.count(F.lit(1)) / 1e6, 6).alias("avg_dist"),
+        )
+        .orderBy("new_label")
+    )
+
+
+@query(
+    "q168_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS.format(c='text')} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT t.doc_id, u.tok AS term, COUNT(*) AS tf
+        FROM toks t, unnest(t.toks) AS u(tok)
+        WHERE u.tok IN ('scan', 'merge', 'spark')
+        GROUP BY t.doc_id, u.tok),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                               / (CAST(stats.sum_dl AS DOUBLE)
+                                  / CAST(stats.n_docs AS DOUBLE))))
+                   * 1e6 + 0.5) AS BIGINT) AS c_micro
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.term = df.term
+        CROSS JOIN stats)
+    SELECT doc_id, SUM(c_micro) / 1e6 AS bm25
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance of every document against the query terms
+    (scan, merge, spark) — the lexical-retrieval scorer used to mine
+    training data (and the baseline hybrid-search pairs with q94's
+    dense cosine).
+
+    k1=1.2, b=0.75. All corpus statistics (doc count, avg doc length,
+    per-term document frequency) are tiny aggregates broadcast back; the
+    heavy side is one explode + hash-agg per (doc, matched term) —
+    vocabulary-bounded because the IN filter prunes at the explode, the
+    same shape as q124's top-k. Per-term contributions are evaluated in
+    one pinned float order, quantized to micro-units, and summed exactly
+    per doc (cross-term addition order must not matter at 1000
+    executors)."""
+    from ._util import round_det
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", words(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin("scan", "merge", "spark"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    contrib = idf * (tfd * 2.2) / (tfd + 1.2 * (0.25 + 0.75 * dld / avgdl))
+    c_micro = F.floor(contrib * 1e6 + 0.5).cast("long")
+    return (
+        j.select("doc_id", c_micro.alias("c_micro"))
+        .groupBy("doc_id")
+        .agg((F.sum("c_micro") / 1e6).alias("bm25"))
+        .orderBy("doc_id")
+    )

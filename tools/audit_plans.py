@@ -34,6 +34,10 @@ EXPECTED = {
     # the cheapest possible plan for "compare every row to one scalar"
     "q121_antijoin_scalar_avg": {"BroadcastNestedLoopJoin"},
     "q141_share_of_total": {"BroadcastNestedLoopJoin"},  # same 1-row total
+    "q163_chi_square": {"BroadcastNestedLoopJoin"},  # 1-row grand total
+    # k-centroid broadcast against every vector IS the k-means plan
+    "q167_kmeans_assign_step": {"BroadcastNestedLoopJoin"},
+    "q168_bm25": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats
     # full outer diff of two same-sized snapshots: neither side broadcasts
     "q128_table_diff": {"SortMergeJoin"},
     # 25-row dim fuzzy self-join: broadcast nested loop IS the right plan;
