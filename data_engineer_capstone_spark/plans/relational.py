@@ -938,3 +938,48 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY n.n_nationkey
         """
     )
+
+
+@query(
+    "q172_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY p.p_partkey
+    """,
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (skyline): parts no other part beats on BOTH price
+    and size — multi-objective shortlisting (cheapest-and-smallest here;
+    best-quality-per-token in a curation pipeline).
+
+    Expressed as a theta anti-join, mirroring the NOT EXISTS oracle;
+    at this dim-table size the broadcast nested loop is fine. The 100 TB
+    shape is sort-based: order by (price, size), keep rows whose size
+    beats the running min over strictly-cheaper rows — one range-
+    partitioned sort instead of O(n²) dominance tests — or grid-bucket
+    the two axes and prune whole cells dominated by another cell's
+    corner. Ties are kept (identical pairs do not strictly dominate each
+    other), which the sort formulation must special-case — hence the
+    join formulation as the semantic reference."""
+    p = load_table(spark, sf, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    q = p.select(
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_price"),
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") <= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") < F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti").orderBy("p_partkey")

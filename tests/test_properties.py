@@ -189,3 +189,64 @@ def test_star_components_vs_union_find(spark, edge_list):
     labels = {r.id: r.label for r in
               connected_components_star(edges, vertices, id_col="doc_id").collect()}
     assert labels == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.sampled_from([1, 4, 16]),
+)
+def test_salted_sum_equals_plain_sum(spark, rows, n_salts):
+    """Salting must be algebraically invisible for exact-typed sums."""
+    from data_engineer_capstone_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k string, v long"
+    )
+    got = {
+        r.k: r.s
+        for r in salted_sum(
+            df, ["k"], F.col("v"), F.col("id"), "s", n_salts=n_salts
+        ).collect()
+    }
+    want: dict[str, int] = {}
+    for k, v in rows:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-100, 100)), min_size=1, max_size=40
+    )
+)
+def test_fused_row_checks_match_python(spark, vals):
+    """The single-scan fused counters must equal a per-check recompute."""
+    from data_engineer_capstone_spark.operators.quality import (
+        fused_row_checks,
+        quality_report,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    rep = quality_report(
+        [
+            fused_row_checks(
+                df,
+                {
+                    "x_nonnull": F.col("x").isNull(),
+                    "x_in_range": (F.col("x") < -50) | (F.col("x") > 50),
+                },
+            )
+        ]
+    ).collect()
+    got = {r.check_name: r.violations for r in rep}
+    assert got["x_nonnull"] == sum(1 for v in vals if v is None)
+    # SQL comparison with NULL is not a violation hit (three-valued logic)
+    assert got["x_in_range"] == sum(
+        1 for v in vals if v is not None and (v < -50 or v > 50)
+    )

@@ -104,3 +104,26 @@ def test_rocksdb_state_store_engages_and_agrees(spark):
         )
         != ROCKSDB_PROVIDER
     )
+
+
+def test_transform_with_state_gated(spark, sf_dir):
+    """transformWithStateInPandas surface: runs when protobuf exists,
+    raises the documented gate error otherwise (this container lacks it)."""
+    from data_engineer_capstone_spark.streaming.replay import (
+        read_stream,
+        run_to_table,
+    )
+    from data_engineer_capstone_spark.streaming.stateful import (
+        running_max_tws,
+        tws_available,
+    )
+
+    s = read_stream(spark, sf_dir, 2)
+    if not tws_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            running_max_tws(s)
+        return
+    out = run_to_table(running_max_tws(s), "update").collect()
+    assert len(out) > 0

@@ -38,6 +38,9 @@ EXPECTED = {
     # k-centroid broadcast against every vector IS the k-means plan
     "q167_kmeans_assign_step": {"BroadcastNestedLoopJoin"},
     "q168_bm25": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats
+    # dim-sized skyline: theta anti-join IS the semantic reference; the
+    # sort-based O(n log n) formulation is the fact-scale path (docstring)
+    "q172_pareto_frontier": {"BroadcastNestedLoopJoin"},
     # full outer diff of two same-sized snapshots: neither side broadcasts
     "q128_table_diff": {"SortMergeJoin"},
     # 25-row dim fuzzy self-join: broadcast nested loop IS the right plan;
