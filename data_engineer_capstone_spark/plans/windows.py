@@ -295,3 +295,143 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
         F.last("c_custkey").over(wf).alias("last_custkey"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+@query(
+    "q173_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(nullif(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_cents
+    FROM events ORDER BY event_id
+    """,
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF (last observation carried forward): per-user readings with a
+    simulated sensor dropout (zero cents -> NULL) filled from the most
+    recent non-null value — IGNORE NULLS over a running frame.
+
+    This is THE sparse-to-dense repair for telemetry: one shuffle on
+    user_id, running frame state is a single value, and rows before the
+    first observation stay NULL (no lookahead — the causal fill). Spark's
+    ``last(col, ignorenulls=True)`` == SQL ``LAST_VALUE ... IGNORE
+    NULLS``; q112's gap-fill composes this with the q134 spine when the
+    missing rows don't exist at all rather than being null."""
+    ev = load_table(spark, sf, "events")
+    cents = F.nullif(
+        F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(0).cast("long")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(cents, ignorenulls=True).over(w).alias("filled_cents"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q174_contribution",
+    oracle="""
+    WITH seg AS (
+        SELECT n_regionkey, c_nationkey, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey, c_nationkey)
+    SELECT n_regionkey, c_nationkey, n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS share_of_region,
+           floor(CAST(SUM(n) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+                 / CAST(SUM(n) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS region_share_of_total
+    FROM seg ORDER BY n_regionkey, c_nationkey
+    """,
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Contribution analysis: each nation's share of its region and each
+    region's share of the total — the percent-of-parent rollup every BI
+    layer asks for.
+
+    The windows run over the PRE-AGGREGATED (region, nation) counts
+    (25 rows), so the empty-partition global window — normally a
+    scale red flag — is over provably bounded input; the raw table is
+    touched by exactly one hash aggregate. Integer counts divide in one
+    pinned float order; floor-trick rounding."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    seg = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = W.partitionBy("n_regionkey")
+    wall = W.partitionBy()
+    region_tot = F.sum("n").over(wr).cast("double")
+    grand_tot = F.sum("n").over(wall).cast("double")
+    return seg.select(
+        "n_regionkey",
+        "c_nationkey",
+        "n",
+        round_det(F.col("n").cast("double") / region_tot, 6).alias(
+            "share_of_region"
+        ),
+        round_det(region_tot / grand_tot, 6).alias("region_share_of_total"),
+    ).orderBy("n_regionkey", "c_nationkey")
+
+
+@query(
+    "q175_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS w0
+        FROM events GROUP BY user_id),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events)
+    SELECT a.wk,
+           count_if(a.wk = f.w0) AS new_users,
+           count_if(a.wk <> f.w0) AS returning_users,
+           SUM(count_if(a.wk = f.w0)) OVER (ORDER BY a.wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_acquired
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY a.wk ORDER BY a.wk
+    """,
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly growth accounting: actives split into new vs returning by
+    first-seen week, plus the cumulative acquisition curve.
+
+    Same reduce-before-join shape as q148's cohorts (first-seen and
+    distinct user-weeks both shrink to user granularity before the
+    user_id-partitioned join); the cumulative window then runs over the
+    weekly aggregate — a handful of rows — so the global ordering window
+    is bounded, never over raw events."""
+    ev = load_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("w0")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    weekly = (
+        active.join(first_seen, "user_id")
+        .groupBy("wk")
+        .agg(
+            F.count_if(F.col("wk") == F.col("w0")).alias("new_users"),
+            F.count_if(F.col("wk") != F.col("w0")).alias("returning_users"),
+        )
+    )
+    wcum = W.orderBy("wk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return weekly.select(
+        "wk",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(wcum).alias("cum_acquired"),
+    ).orderBy("wk")
