@@ -1827,3 +1827,41 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         .agg((F.sum("c_micro") / 1e6).alias("bm25"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q178_approx_top_k",
+    oracle=f"""
+    SELECT tok AS item, COUNT(*) AS cnt
+    FROM (SELECT unnest({_WORDS.format(c='text')}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, item
+    LIMIT 10
+    """,
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_top_k (Spark 4): frequent-items sketch over the token
+    stream, exploded back to (item, count) rows.
+
+    With maxItemsTracked (10k) >= the distinct-token count the sketch is
+    EXACT — which is what the oracle gate proves here; past that bound it
+    degrades gracefully into a mergeable heavy-hitters summary, the
+    100 TB replacement for q124's exact explode+agg when the vocabulary
+    is unbounded (URLs, user-ids). The whole corpus reduces to one
+    constant-size sketch per partition, merged on the driver. The sketch
+    k exceeds the vocabulary so it returns every token exactly; the
+    deterministic (count DESC, item) sort + LIMIT happens OUTSIDE the
+    sketch — equal counts straddling a sketch-side k boundary would
+    otherwise pick an engine-dependent survivor (bitten at sf0.01:
+    rank 10/11 tie)."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(words(F.col("text"))).alias("tok"))
+    sk = toks.agg(
+        F.expr("approx_top_k(tok, 100, 10000)").alias("topk")
+    )
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(10)
+    )

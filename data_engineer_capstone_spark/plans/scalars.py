@@ -566,3 +566,104 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         F.reverse(name).alias("rev"),
         F.substring_index(name, "#", -1).alias("after_hash"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "q176_variant_json",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                THEN NULL ELSE 'int' END AS k_kind
+    FROM events ORDER BY event_id
+    """,
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT (Spark 4): parse_json once into the binary
+    variant encoding, then typed ``variant_get`` path extraction.
+
+    Against 100 TB of ragged JSON this is the schema-on-read answer:
+    VARIANT parses each document ONCE at ingest (columnar binary,
+    shreddable in parquet) and every downstream path access is a cheap
+    typed probe — where get_json_object (q68) re-parses the string per
+    expression. schema_of_variant drives drift detection; the NULL-on-
+    missing semantics match TRY_CAST. DuckDB has no variant type, so the
+    oracle states the same relation over its JSON functions."""
+    ev = load_table(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.when(k.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.lit("int"))
+        .alias("k_kind"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q177_collated_compare",
+    oracle="""
+    SELECT c_nationkey,
+           count_if(lower(CASE WHEN c_custkey % 2 = 0
+                               THEN lower(c_mktsegment)
+                               ELSE c_mktsegment END) = 'building')
+               AS n_building_ci,
+           count_if((CASE WHEN c_custkey % 2 = 0
+                          THEN lower(c_mktsegment)
+                          ELSE c_mktsegment END) = 'building')
+               AS n_building_cs
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive comparison via
+    ``COLLATE UTF8_LCASE`` on a mixed-case column (half the rows
+    lowercased), against the case-sensitive default.
+
+    Collation travels with the TYPE, so every comparison, join key, and
+    GROUP BY on the column honors it engine-wide — the principled
+    replacement for wrapping lower() around both sides of every
+    predicate (which blocks predicate pushdown statistics and gets
+    forgotten on one side). DuckDB spells the same semantics with
+    lower(); counts must agree."""
+    c = load_table(spark, sf, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count_if(ci == F.lit("building")).alias("n_building_ci"),
+            F.count_if(mixed == F.lit("building")).alias("n_building_cs"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q179_listagg_ansi",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS prios
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4) — the standard spelling of
+    q143's sorted string aggregation; registered so migrated SQL runs
+    verbatim. The WITHIN GROUP order clause is what makes the result a
+    value rather than a partition-order accident."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
