@@ -667,3 +667,111 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "q180_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the |> operator chain — each stage is a
+    complete, independently-checkable table transform, in execution
+    order, instead of SQL's inside-out clause nesting.
+
+    Compiles to the identical plan as the clause form (the oracle is
+    that form), so there is zero runtime cost to the readability; the
+    AGGREGATE ... GROUP BY stage still plans partial+final hash
+    aggregation with the decimal money discipline. Registered so piped
+    queries from migrating users run verbatim."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                          AS DOUBLE) AS total
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q181_from_xml",
+    oracle="""
+    SELECT c_custkey, c_mktsegment AS seg_x,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """XML ingestion (Spark 4 from_xml): round-trip each row through an
+    XML document and re-extract typed fields with a declared schema.
+
+    The XML feed is synthesized from the row (this container has no XML
+    fixtures), so the oracle simply states the pre-serialization values
+    — the gate proves extraction is lossless. from_xml is the escape
+    hatch for the enterprise-feed sources the reference's CSV/JSON/SAS
+    readers (SURVEY §2.1) don't cover; like VARIANT (q176) it parses
+    once into a struct, and malformed documents yield NULL structs to
+    quarantine via q139 rather than killing the job."""
+    c = load_table(spark, sf, "customer")
+    xml = F.concat(
+        F.lit("<rec><seg>"),
+        F.col("c_mktsegment"),
+        F.lit("</seg><bal>"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").cast("string"),
+        F.lit("</bal></rec>"),
+    )
+    parsed = F.from_xml(xml, "seg STRING, bal BIGINT")
+    return c.select(
+        "c_custkey",
+        parsed.getField("seg").alias("seg_x"),
+        parsed.getField("bal").alias("bal_cents"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q182_interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS plus90m,
+           CAST(ts AS TIMESTAMP) - INTERVAL 1 DAY AS minus1d,
+           CAST((epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE)
+                 - epoch_us(CAST(ts AS TIMESTAMP) - INTERVAL 1 DAY))
+                / 60000000 AS BIGINT) AS span_minutes
+    FROM events ORDER BY event_id
+    """,
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-time INTERVAL arithmetic: shift timestamps by typed intervals
+    and measure the span in minutes — the SLA/windowing offset kit.
+
+    Interval literals are typed values (not second-counts), so +90
+    minutes is exact at any precision and the plan stays codegen.
+    The span division is integer microseconds — deterministic. DuckDB
+    and Spark agree on day-time interval semantics; month intervals
+    (calendar-dependent length) are the cross-engine trap, which is why
+    the kit pins day-time units and q144 handles calendar bucketing."""
+    ev = load_table(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    plus90 = ts + F.expr("INTERVAL 90 MINUTE")
+    minus1d = ts - F.expr("INTERVAL 1 DAY")
+    span = (
+        (F.unix_micros(plus90) - F.unix_micros(minus1d)) / 60_000_000
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        plus90.alias("plus90m"),
+        minus1d.alias("minus1d"),
+        span.alias("span_minutes"),
+    ).orderBy("event_id")
