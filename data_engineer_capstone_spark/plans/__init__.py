@@ -14,6 +14,8 @@ from . import (  # noqa: F401
     streaming_queries,
     extensions,
     udf_surface,
+    tpch_shapes,
+    graph_behavior,
 )
 
 from .registry import QUERIES, get_queries, get_oracles  # noqa: F401

@@ -1,0 +1,490 @@
+"""Graph + behavioral analytics family (q200-q207): PageRank, triangle
+counting, degree distributions on the part co-purchase graph; association
+rules, Markov transitions, RFM segmentation, A/B z-scores, and top event
+paths on the events stream.
+
+The graph is derived, not stored: parts co-occurring in the same order
+form an undirected edge list (``l_orderkey`` self-join with ``a < b``).
+At 100 TB the same derivation holds — the self-join shuffles once on
+l_orderkey (each order's lineitems are tiny, so the per-key pair blowup
+is bounded by max-order-size², not data size), and every downstream pass
+is an equi-keyed hash aggregate or join on node/edge keys.
+
+Determinism (cross-engine oracle rules, see plans/_util.py):
+- iterative float state (PageRank ranks) is quantized to integer
+  1e-12 units before each re-aggregation — bigint sums are exact in any
+  partition order, and the requantization makes iteration N+1's input
+  bit-identical in both engines;
+- counts and integer-scaled moments (A/B z-score: events ``value`` has 2
+  decimals, so value*100 is an exact bigint) aggregate exactly; the final
+  scalar formula is then a single identical sequence of double ops;
+- ratio metrics (confidence/lift/probabilities) divide exact counts once
+  and floor-round to 6 digits.
+
+Reference parity: the reference has no graph module — this family is
+part of the training-data-pipeline extension surface (co-occurrence
+statistics, user behavior models) the engine adds beyond SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import round_det, sql_round_det
+from .registry import query
+
+# Undirected co-purchase edges: parts appearing in the same order, a < b,
+# deduped across orders. Both engines derive it identically.
+_SQL_EDGES = """
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+    WHERE x.l_partkey < y.l_partkey
+"""
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    return (
+        x.join(y, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _q12(col: F.Column) -> F.Column:
+    """Quantize a double to exact 1e-12 units (bigint)."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("long")
+
+
+# ------------------------------------------------------------- PageRank ----
+@query(
+    "q200_pagerank_two_rounds",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+    r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM n) AS rank FROM deg),
+    c1 AS (SELECT u.dst AS node,
+                  SUM(CAST(floor(r.rank / r.deg * 1e12 + 0.5) AS BIGINT)) AS q
+           FROM und u JOIN r0 r ON r.node = u.src GROUP BY u.dst),
+    r1 AS (SELECT d.node, d.deg,
+                  0.15 / (SELECT n FROM n)
+                  + 0.85 * (CAST(COALESCE(c.q, 0) AS DOUBLE) / 1e12) AS rank
+           FROM deg d LEFT JOIN c1 c ON c.node = d.node),
+    c2 AS (SELECT u.dst AS node,
+                  SUM(CAST(floor(r.rank / r.deg * 1e12 + 0.5) AS BIGINT)) AS q
+           FROM und u JOIN r1 r ON r.node = u.src GROUP BY u.dst),
+    r2 AS (SELECT d.node,
+                  0.15 / (SELECT n FROM n)
+                  + 0.85 * (CAST(COALESCE(c.q, 0) AS DOUBLE) / 1e12) AS rank
+           FROM deg d LEFT JOIN c2 c ON c.node = d.node)
+    SELECT node, {sql_round_det("rank", 9)} AS pagerank
+    FROM r2 ORDER BY pagerank DESC, node LIMIT 25
+    """,
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank, two unrolled power-iteration rounds over the co-purchase
+    graph (damping 0.85, uniform init). Each round is one equi join
+    (ranks onto outgoing edges) + one hash aggregate (contributions per
+    destination) — the canonical O(E)-per-round distributed plan; at
+    scale the edge list would be pre-partitioned by src so the join
+    shuffles only the O(V) rank table. Per-edge contributions are
+    quantized to 1e-12 bigint units so the re-aggregation is exact and
+    iteration inputs stay bit-identical cross-engine."""
+    e = _edges(spark, sf)
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    ranks = deg.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(2):
+        contrib = (
+            und.join(
+                ranks.select("node", "deg", "rank"),
+                und.src == F.col("node"),
+            )
+            .select(F.col("dst").alias("node"), _q12(F.col("rank") / F.col("deg")).alias("q"))
+            .groupBy("node")
+            .agg(F.sum("q").alias("q"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .withColumn(
+                "rank",
+                F.lit(0.15 / n)
+                + F.lit(0.85)
+                * (F.coalesce(F.col("q"), F.lit(0)).cast("double") / F.lit(1e12)),
+            )
+            .select("node", "deg", "rank")
+        )
+    return (
+        ranks.select("node", round_det(F.col("rank"), 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------------ triangle count ----
+@query(
+    "q201_triangle_count",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES})
+    SELECT COUNT(*) AS triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting by oriented wedge closure: with every edge stored
+    once as a < b, the two-hop path (a<b<c) joined back to the closing
+    edge counts each triangle exactly once. Orienting by id (degree
+    ordering at scale) keeps the wedge fan-out bounded by the smaller
+    endpoint's out-degree — the standard MapReduce triangle algorithm."""
+    e = _edges(spark, sf)
+    e1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    e3 = e.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v")
+    return wedges.join(e3, ["u", "w"], "left_semi").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
+# -------------------------------------------------- degree distribution ----
+@query(
+    "q202_degree_distribution",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src FROM edges UNION ALL SELECT b FROM edges),
+    deg AS (SELECT src, COUNT(*) AS degree FROM und GROUP BY src)
+    SELECT degree, COUNT(*) AS node_count
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: two cascaded hash
+    aggregates (degree per node, then node count per degree). The second
+    agg's key space is tiny, so the plan is one real shuffle + one
+    near-free one."""
+    e = _edges(spark, sf)
+    und = e.select(F.col("a").alias("src")).unionAll(e.select(F.col("b").alias("src")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("node_count"))
+        .orderBy("degree")
+    )
+
+
+# ----------------------------------------------------- association rules ----
+@query(
+    "q203_association_rules",
+    oracle=f"""
+    WITH pair_orders AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b,
+               COUNT(DISTINCT x.l_orderkey) AS pair_n
+        FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY a, b
+    ),
+    item_orders AS (
+        SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS item_n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders)
+    SELECT a, b, pair_n,
+           {sql_round_det("CAST(pair_n AS DOUBLE) / ia.item_n", 6)} AS confidence,
+           {sql_round_det(
+               "CAST(pair_n AS DOUBLE) / ia.item_n "
+               "/ (CAST(ib.item_n AS DOUBLE) / (SELECT n FROM n))", 6)} AS lift
+    FROM pair_orders
+    JOIN item_orders ia ON ia.l_partkey = a
+    JOIN item_orders ib ON ib.l_partkey = b
+    WHERE pair_n >= 3
+    ORDER BY lift DESC, a, b LIMIT 25
+    """,
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules a=>b: support, confidence, lift from
+    exact basket counts (min support 3). Pair counting dedups
+    (order, a, b) before the count — same O(groups) dedup-then-count split
+    as the Q16 shape — and the per-item counts broadcast onto the pair
+    table. Ratios are single double divisions of exact integers."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    pair_n = (
+        x.join(y, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("k", "a", "b")
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    item_n = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_n"))
+    )
+    n_orders = load_table(spark, sf, "orders").select("o_orderkey").distinct().count()
+    ia = item_n.select(F.col("l_partkey").alias("a"), F.col("item_n").alias("ia_n"))
+    ib = item_n.select(F.col("l_partkey").alias("b"), F.col("item_n").alias("ib_n"))
+    conf = F.col("pair_n").cast("double") / F.col("ia_n")
+    lift = conf / (F.col("ib_n").cast("double") / F.lit(float(n_orders)))
+    return (
+        pair_n.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            round_det(conf, 6).alias("confidence"),
+            round_det(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(25)
+    )
+
+
+# ----------------------------------------------------- Markov transitions ----
+@query(
+    "q204_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           {sql_round_det(
+               "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src)", 6)} AS p
+    FROM t ORDER BY src, dst
+    """,
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    LEAD window (ordered by ts with event_id tiebreak), transition counts,
+    then row-normalized probabilities via a partition-total window over
+    the tiny state x state result. One shuffle on user_id, one on the
+    state pair."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy("src"))
+    return (
+        t.select(
+            "src",
+            "dst",
+            "n",
+            round_det(F.col("n").cast("double") / total, 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# -------------------------------------------------------------- RFM ----
+@query(
+    "q205_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+    rfm AS (
+        SELECT user_id,
+               datediff('day', MAX(ts), (SELECT mx FROM mx)) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS monetary_c
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               NTILE(4) OVER (ORDER BY recency_days, user_id) AS r,
+               NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+               NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, COUNT(*) AS users
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per user, quartiled
+    with NTILE over a total order (user_id tiebreak makes the tile
+    assignment deterministic), then segment population counts. Monetary
+    sums cents as exact bigints. The NTILE over a global order is the one
+    single-partition stage — at scale it would be replaced by
+    approx-quantile cut points; this is the exact-contract variant."""
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    rfm = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "monetary_c"
+            ),
+        )
+        .join(F.broadcast(mx))
+        .withColumn("recency_days", F.datediff(F.col("mx"), F.col("last_ts")))
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy("recency_days", "user_id")).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary_c"), "user_id")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("r", "f", "m")
+    )
+
+
+# ------------------------------------------------------------ A/B z-score ----
+@query(
+    "q206_ab_test_zscore",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(user_id AS BIGINT) % 2 AS cohort,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT cohort, COUNT(*) AS n, SUM(v_c) AS s, SUM(v_c * v_c) AS ss
+        FROM assigned GROUP BY cohort
+    ),
+    w AS (
+        SELECT
+          MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+          MAX(CASE WHEN cohort = 0 THEN s END) AS s0,
+          MAX(CASE WHEN cohort = 0 THEN ss END) AS ss0,
+          MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+          MAX(CASE WHEN cohort = 1 THEN s END) AS s1,
+          MAX(CASE WHEN cohort = 1 THEN ss END) AS ss1
+        FROM m
+    )
+    SELECT n0, n1,
+           {sql_round_det("CAST(s0 AS DOUBLE) / n0 / 100", 6)} AS mean0,
+           {sql_round_det("CAST(s1 AS DOUBLE) / n1 / 100", 6)} AS mean1,
+           {sql_round_det(
+               "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100 / "
+               "sqrt((CAST(ss0 AS DOUBLE) / n0 "
+               "- (CAST(s0 AS DOUBLE) / n0) * (CAST(s0 AS DOUBLE) / n0)) / n0 / 10000 "
+               "+ (CAST(ss1 AS DOUBLE) / n1 "
+               "- (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)) / n1 / 10000)",
+               6)} AS z
+    FROM w
+    """,
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample z-score for an A/B split: cohorts assigned by
+    deterministic user_id parity (a stand-in for the salted-hash splitter
+    of q109), purchase values accumulated as exact cent bigint sums and
+    sums-of-squares, and the z statistic computed in one identical
+    double-op sequence on both engines. The whole query is two hash
+    aggregates and a 2-row pivot — no per-row float math anywhere."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    v_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        ev.select(
+            (F.col("user_id").cast("long") % 2).alias("cohort"), v_c.alias("v_c")
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_c").alias("s"),
+            F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+        )
+    )
+    w = m.agg(
+        *[
+            F.max(F.when(F.col("cohort") == c, F.col(x))).alias(f"{x}{c}")
+            for c in (0, 1)
+            for x in ("n", "s", "ss")
+        ]
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    var = lambda ss, s, n: (
+        F.col(ss).cast("double") / F.col(n) - mean(s, n) * mean(s, n)
+    )  # noqa: E731
+    z = (
+        (mean("s1", "n1") - mean("s0", "n0"))
+        / F.lit(100)
+        / F.sqrt(
+            var("ss0", "s0", "n0") / F.col("n0") / F.lit(10000)
+            + var("ss1", "s1", "n1") / F.col("n1") / F.lit(10000)
+        )
+    )
+    return w.select(
+        "n0",
+        "n1",
+        round_det(mean("s0", "n0") / F.lit(100), 6).alias("mean0"),
+        round_det(mean("s1", "n1") / F.lit(100), 6).alias("mean1"),
+        round_det(z, 6).alias("z"),
+    )
+
+
+# ------------------------------------------------------------ top paths ----
+@query(
+    "q207_top_event_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+               MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+               MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS users
+    FROM paths WHERE path IS NOT NULL
+    GROUP BY path ORDER BY users DESC, path LIMIT 20
+    """,
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """Top entry paths: each user's first three events (row_number over
+    ts with event_id tiebreak) concatenated into a path string, then path
+    frequencies. The conditional-MAX pivot avoids collect_list ordering
+    concerns entirely — the path is deterministic by construction."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    step = lambda i: F.max(  # noqa: E731
+        F.when(F.col("rn") == i, F.col("event_type"))
+    )
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(F.concat_ws(">", step(1), step(2), step(3)).alias("path"),
+             F.count(F.lit(1)).alias("_steps"))
+        .filter(F.col("_steps") >= 3)
+        .select("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.desc("users"), "path")
+        .limit(20)
+    )

@@ -46,6 +46,9 @@ EXPECTED = {
     # 25-row dim fuzzy self-join: broadcast nested loop IS the right plan;
     # at corpus scale the blocker becomes an equi-join key (see docstring)
     "q131_fuzzy_levenshtein_join": {"BroadcastNestedLoopJoin"},
+    # Q21 shape: the semi and anti sides are full-size lineitem — neither
+    # broadcasts at scale, so orderkey-keyed SMJ is the intended plan
+    "q199_tpch_q21_waiting_suppliers": {"SortMergeJoin"},
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
