@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     udf_surface,
     tpch_shapes,
     graph_behavior,
+    scale_patterns,
 )
 
 from .registry import QUERIES, get_queries, get_oracles  # noqa: F401

@@ -1865,3 +1865,135 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "item")
         .limit(10)
     )
+
+
+# ------------------------------------------------- curation signals 2 -----
+@query(
+    "q212_repetition_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS.format(c='text')} AS ws FROM documents),
+    g AS (
+        SELECT doc_id, len(ws) - 2 AS total_3grams,
+               len(list_distinct([list_aggregate(ws[i:i+2], 'string_agg', ' ')
+                                  for i in range(1, len(ws) - 1)])) AS uniq_3grams
+        FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id, total_3grams, uniq_3grams,
+           floor((1.0 - CAST(uniq_3grams AS DOUBLE) / total_3grams) * 1000000
+                 + 0.5) / 1000000 AS rep_ratio
+    FROM g
+    ORDER BY rep_ratio DESC, doc_id LIMIT 20
+    """,
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality signal): the
+    fraction of word 3-grams that are duplicates of an earlier 3-gram in
+    the same document, 1 - distinct/total. Entirely per-row array math —
+    no shuffle until the final top-k — so the signal costs one scan at
+    any scale. High scorers are the templated/spammy docs a curation
+    pipeline drops before training."""
+    from ._util import round_det
+
+    docs = load_table(spark, sf, "documents")
+    w = words(F.col("text"))
+    grams = shingles(F.col("text"), k=3, distinct=False)
+    scored = docs.select(
+        "doc_id",
+        (F.size(w) - 2).alias("total_3grams"),
+        F.size(F.array_distinct(grams)).alias("uniq_3grams"),
+    ).filter(F.size(w) >= 3)
+    rep = F.lit(1.0) - F.col("uniq_3grams").cast("double") / F.col("total_3grams")
+    return (
+        scored.select(
+            "doc_id",
+            "total_3grams",
+            "uniq_3grams",
+            round_det(rep, 6).alias("rep_ratio"),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q213_boilerplate_shingles",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_sql_shingles('text', 4)}) AS sh
+        FROM documents
+    )
+    SELECT sh AS shingle, COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, shingle LIMIT 20
+    """,
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus boilerplate detection (the C4 line-dedup analog for
+    unstructured text): word 4-gram shingles appearing in >= 3 distinct
+    documents — headers, templates, license blurbs. Shingles are distinct
+    per doc before the count, so the aggregate keys on (shingle) with
+    one count per contributing doc; at scale the explode feeds a single
+    hash aggregate and the >= 5 filter prunes the long tail before the
+    top-k. A removal pass would anti-join docs against these shingles."""
+    docs = load_table(spark, sf, "documents")
+    g = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), k=4)).alias("shingle")
+    )
+    return (
+        g.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "shingle")
+        .limit(20)
+    )
+
+
+@query(
+    "q214_decontamination",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {_H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM documents
+    ),
+    tr AS (SELECT doc_id, unnest({_sql_shingles('text', 5)}) AS sh
+           FROM split WHERE bucket < 90),
+    te AS (SELECT doc_id, unnest({_sql_shingles('text', 5)}) AS sh
+           FROM split WHERE bucket >= 95)
+    SELECT tr.doc_id AS train_doc_id,
+           COUNT(DISTINCT tr.sh) AS shared_5grams,
+           COUNT(DISTINCT te.doc_id) AS test_docs_hit
+    FROM tr JOIN te ON te.sh = tr.sh
+    GROUP BY tr.doc_id
+    ORDER BY shared_5grams DESC, train_doc_id LIMIT 25
+    """,
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test decontamination (GPT-3-style n-gram overlap): flag
+    training documents sharing any word 5-gram with the held-out test
+    split (q109's deterministic hash split, so the check is stable across
+    engines and re-runs). The shingle equi-join keys on the 8-gram — at
+    100 TB the test side is small enough to broadcast after distinct, so
+    contamination screening costs one scan of the train corpus. Flagged
+    docs would be dropped (or the eval re-drawn) before training."""
+    docs = load_table(spark, sf, "documents")
+    bucket = h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = docs.select("doc_id", "text", bucket.alias("bucket"))
+    tr = split.filter(F.col("bucket") < 90).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(shingles(F.col("text"), k=5)).alias("sh"),
+    )
+    te = split.filter(F.col("bucket") >= 95).select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.explode(shingles(F.col("text"), k=5)).alias("sh"),
+    )
+    return (
+        tr.join(F.broadcast(te), "sh")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("sh").alias("shared_5grams"),
+            F.countDistinct("test_doc_id").alias("test_docs_hit"),
+        )
+        .orderBy(F.desc("shared_5grams"), "train_doc_id")
+        .limit(25)
+    )

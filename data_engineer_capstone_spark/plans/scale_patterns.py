@@ -1,0 +1,173 @@
+"""Scale-pattern family (q208-q211): the aggregation idioms that make
+100 TB rollups tractable, each demonstrated as a registered query.
+
+- q208: mergeable HLL sketches — the only sane way to count distincts
+  across re-aggregation levels at scale (exact distinct does not merge;
+  sketches do). Approximate by design → rows-only oracle + an
+  error-bound pytest against the exact count (tests/test_operators.py).
+- q209: incremental rollup — daily partial aggregates merged to monthly,
+  hash-proven equal to aggregating the base table directly. This is the
+  mergeability contract (SUM of SUMs, SUM of COUNTs, MIN of MINs, AVG
+  from merged sums) that incremental/streaming pipelines rely on.
+- q210: equi-depth histogram via NTILE — the complement of q125's
+  fixed-width histogram; deterministic via a total order tiebreak.
+- q211: partial-aggregation pushdown below a join — pre-aggregating
+  lineitem to order grain before joining orders, hash-proven equal to
+  the join-then-aggregate plan the oracle runs. At scale this shrinks
+  the join's probe side from O(lineitems) to O(orders).
+
+Reference parity: the reference aggregates only at final grain
+(`/root/reference/scripts/pyspark.py` single-level groupBys); the
+merge/pushdown patterns here are the extension surface that makes those
+same aggregates incremental and join-efficient at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import DEC, _dec4, _sql_dec4, money_sum, sql_money_sum
+from .registry import query
+
+
+# --------------------------------------------------- mergeable sketches ----
+@query("q208_hll_sketch_union", oracle=None)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct users per event type via mergeable HLL sketches: daily
+    hll_sketch_agg partials, hll_union_agg across days, then estimate.
+    The daily grain is the re-aggregation level a 100 TB pipeline would
+    persist — sketch bytes merge associatively, so monthly/yearly
+    distincts come from unioning stored partials instead of re-scanning
+    raw data. Approximate by design: rows-only driver check; the 5%%
+    error bound vs exact distinct is asserted in pytest."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est")
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- incremental rollup ----
+@query(
+    "q209_incremental_rollup_merge",
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS month, l_returnflag,
+           {sql_money_sum("l_extendedprice", "total")},
+           COUNT(*) AS n,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY month, l_returnflag
+    ORDER BY month, l_returnflag
+    """,
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup: daily partial aggregates (the persisted grain)
+    merged up to monthly. The oracle aggregates the base table directly —
+    the hash match IS the proof that the merge functions (SUM of decimal
+    SUMs, SUM of COUNTs, MIN of MINs, MAX of MAXs) reproduce the direct
+    plan, which is what lets a pipeline reprocess one day instead of the
+    whole table. Decimal partials stay unrounded until the final merge."""
+    li = load_table(spark, sf, "lineitem")
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("day"), F.col("l_returnflag")
+    ).agg(
+        F.sum(_dec4(F.col("l_extendedprice"))).alias("sum_dec"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    return (
+        daily.groupBy(
+            F.trunc(F.col("day"), "month").alias("month"), F.col("l_returnflag")
+        )
+        .agg(
+            F.round(F.sum("sum_dec"), 2).cast("double").alias("total"),
+            F.sum("n").alias("n"),
+            F.min("min_qty").alias("min_qty"),
+            F.max("max_qty").alias("max_qty"),
+        )
+        .orderBy("month", "l_returnflag")
+    )
+
+
+# ------------------------------------------------- equi-depth histogram ----
+@query(
+    "q210_equi_depth_histogram",
+    oracle="""
+    WITH tiled AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals: NTILE over a total
+    order (o_orderkey tiebreak), then per-bucket count/min/max. The
+    complement of q125's fixed-width histogram: equal mass, data-driven
+    bounds. The global NTILE is the exact-contract variant; the scale
+    path computes approx-quantile cut points and bins against them
+    (documented, not registered — same output shape)."""
+    o = load_table(spark, sf, "orders")
+    tiled = o.select(
+        "o_totalprice",
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# -------------------------------------------- pre-agg below join proof ----
+@query(
+    "q211_preagg_below_join",
+    oracle=f"""
+    SELECT c_custkey, {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-aggregation pushdown: lineitem is pre-aggregated to order
+    grain BEFORE joining orders/customer, then the order-grain partials
+    merge per customer. The oracle runs the naive join-then-aggregate
+    plan — the hash match proves the rewrite. At 100 TB the pushdown
+    joins O(orders) pre-summed rows instead of O(lineitems), cutting the
+    join shuffle by the average order width; Catalyst does not do this
+    rewrite itself (it needs the aggregate-join commute), so it's an
+    explicit plan choice. Decimal partials keep the merge exact."""
+    li = load_table(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_dec"
+        )
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(per_order, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("rev_dec"), 2).cast("double").alias("revenue"))
+        .orderBy("c_custkey")
+    )

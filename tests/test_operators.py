@@ -117,6 +117,23 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         assert e.lo <= p50 <= p95 <= e.hi
 
 
+def test_hll_sketch_union_error_bound(spark, sf_dir):
+    """q208's day-merged HLL estimates stay within 5% of the exact distinct
+    count, and re-running yields identical estimates (deterministic)."""
+    from data_engineer_capstone_spark.plans import get_queries
+
+    q = get_queries()["q208_hll_sketch_union"]
+    est = {r.event_type: r.distinct_users_est for r in q(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.d for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("d")).collect()}
+    for et, e in exact.items():
+        assert abs(est[et] - e) / e <= 0.05, (et, est[et], e)
+    again = {r.event_type: r.distinct_users_est for r in q(spark, sf_dir).collect()}
+    assert est == again
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from data_engineer_capstone_spark.operators.skew import salted_join
 

@@ -49,6 +49,14 @@ EXPECTED = {
     # Q21 shape: the semi and anti sides are full-size lineitem — neither
     # broadcasts at scale, so orderkey-keyed SMJ is the intended plan
     "q199_tpch_q21_waiting_suppliers": {"SortMergeJoin"},
+    # PageRank joins O(E) edges to O(V) ranks and O(V) contribs to O(V)
+    # degrees each round — none broadcast at graph scale; keyed SMJ is the
+    # canonical power-iteration plan
+    "q200_pagerank_two_rounds": {"SortMergeJoin"},
+    # edge-edge wedge closure: both sides are the O(E) edge list
+    "q201_triangle_count": {"SortMergeJoin"},
+    # global max(ts) is a 1-row broadcast onto per-user RFM rows
+    "q205_rfm_segments": {"BroadcastNestedLoopJoin"},
     "q103_udf_scalar_pandas": {"ArrowEvalPython"},  # the UDF surface itself
     "q104_udaf_grouped_agg": {"AggregateInPandas"},
     "q105_udtf_lateral": {"BatchEvalPython"},
