@@ -171,3 +171,130 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("rev_dec"), 2).cast("double").alias("revenue"))
         .orderBy("c_custkey")
     )
+
+
+# ----------------------------------------------------------- CDC apply ----
+@query(
+    "q215_cdc_latest_wins",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS k, 'I' AS op, 1 AS op_ts, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, o_totalprice + 10.0
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 3, NULL
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    latest AS (
+        SELECT k, op, price,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY op_ts DESC) AS rn
+        FROM log
+    )
+    SELECT k AS o_orderkey, price AS final_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC latest-wins apply: a change log (inserts, updates for every 5th
+    key, deletes for every 11th — synthesized deterministically from
+    orders) collapsed to final table state. ROW_NUMBER by op timestamp
+    descending per key picks the winning op; deletes drop the key. This
+    is the compaction step a CDC ingestion pipeline runs per batch; at
+    scale the log is partitioned by key so the window sort touches each
+    key's handful of ops, not the table. Ties are impossible by
+    construction (distinct op_ts per op type)."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    ins = o.select(
+        F.col("o_orderkey").alias("k"), F.lit("I").alias("op"),
+        F.lit(1).alias("op_ts"), F.col("o_totalprice").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+        F.lit(2).alias("op_ts"), (F.col("o_totalprice") + 10.0).alias("price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(3).alias("op_ts"), F.lit(None).cast("double").alias("price"),
+    )
+    log = ins.unionAll(upd).unionAll(dele)
+    w = W.partitionBy("k").orderBy(F.desc("op_ts"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(F.col("k").alias("o_orderkey"), F.col("price").alias("final_price"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ------------------------------------------------------ inverted index ----
+@query(
+    "q216_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS df,
+           (list_sort(list(doc_id)))[1:10] AS postings
+    FROM tok GROUP BY token ORDER BY token
+    """,
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction: distinct (doc, token) pairs, then per
+    token the document frequency and the first 10 postings in sorted doc
+    order. sort_array(collect_list) makes the posting arrays
+    deterministic regardless of partition arrival order; at scale the
+    postings stay bounded (top-10) while df is the full count — the
+    shape a BM25 retriever (q168) consumes. One explode + one hash
+    aggregate keyed by token."""
+    from ..functions.text import words
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------- FILTER-clause kit ----
+@query(
+    "q217_aggregate_filter_clause",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty_n,
+           SUM({_sql_dec4("l_extendedprice")})
+               FILTER (WHERE l_discount > 0.05) AS disc_rev_dec,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI aggregate FILTER clause, run through the SQL front end: four
+    differently-filtered aggregates over one scan (the alternative —
+    four self-joined subqueries — scans four times). Catalyst compiles
+    FILTER to the same conditional partials a CASE WHEN would produce;
+    the one caveat is the DISTINCT aggregate, which still triggers the
+    expand-based distinct plan — at scale that one would be split out
+    per the q30 pattern (SCALE.md §4). Decimal partial kept raw to stay
+    exact; the driver canonicalizes decimals and doubles identically."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty_n,
+               SUM({{dec}}) FILTER (WHERE l_discount > 0.05) AS disc_rev_dec,
+               COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_supps
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.format(dec="CAST(floor(l_extendedprice * 10000 + 0.5) / 10000 AS DECIMAL(18,4))"))
