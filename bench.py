@@ -17,6 +17,11 @@ import statistics
 import sys
 import time
 
+# Measured times must stay comparable to BASELINE.md, which was recorded
+# straight off parquet — disable the catalog's small-file persist cache so
+# every timed run pays the real scan (set before package import).
+os.environ["SPARK_GRAFT_TABLE_CACHE"] = "off"
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineer_capstone_spark.plans import get_queries

@@ -156,16 +156,30 @@ def union_align(dfs: Iterable[DataFrame]) -> DataFrame:
 
 
 def deterministic_id(
-    df: DataFrame, order_by: list[str], name: str = "id", nulls_first: bool = True
+    df: DataFrame,
+    order_by: list[str],
+    name: str = "id",
+    nulls_first: bool = True,
+    fact_scale: bool = False,
 ) -> DataFrame:
-    """Deterministic surrogate keys (SURVEY §7.1): row_number over a stable
-    natural-key ORDER BY, replacing the reference's partition-layout-dependent
-    `monotonically_increasing_id` (ref pyspark.py:179,297).
+    """Deterministic surrogate keys (SURVEY §7.1): the global rank of each
+    row in natural-key ORDER BY, replacing the reference's
+    partition-layout-dependent `monotonically_increasing_id`
+    (ref pyspark.py:179,297).
 
-    Scale note: a global row_number funnels through one partition — fine for
-    dimension-sized tables (the only place the reference mints ids). For
-    fact-scale ids use `zipWithIndex`-style per-partition offsets or keep a
-    natural composite key instead.
+    Two physically different plans, one contract (identical ids):
+
+    - ``fact_scale=False``: global `row_number` window. One partition holds
+      the whole table — acceptable ONLY for dimension-sized inputs (code
+      dims, small lookups), where it saves the extra jobs below.
+    - ``fact_scale=True``: the `zipWithIndex` shape, fully distributed.
+      Range-repartition on the key (global order across partitions, rows
+      sorted within), count rows per partition (one tiny job — O(partitions)
+      rows to the driver), prefix-sum those counts into offsets, then
+      id = offset[partition] + row_number within the partition. No window
+      ever sees more than one partition's rows; the offset lookup is a
+      literal map, not a join. Used for the person-level worker table
+      (fact-scale at 100 TB).
     """
     from pyspark.sql import Window as W
 
@@ -173,8 +187,39 @@ def deterministic_id(
         (F.col(c).asc_nulls_first() if nulls_first else F.col(c).asc_nulls_last())
         for c in order_by
     ]
-    w = W.orderBy(*cols)
-    return df.withColumn(name, F.row_number().over(w).cast("long"))
+    if not fact_scale:
+        w = W.orderBy(*cols)
+        return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist so the two jobs (offset count + final projection) see the same
+    # range-partitioner sample → identical partition boundaries
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )[F.col("_pid")]
+    else:  # empty input — map() is untyped (VOID) and won't analyze
+        off_map = F.lit(0)
+    w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(
+            name,
+            (F.row_number().over(w).cast("long") + off_map),
+        )
+        .drop("_pid")
+    )
 
 
 def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:

@@ -199,9 +199,16 @@ def connected_components(
     Scale notes: each round is one shuffle (join on dst + groupBy src);
     ``localCheckpoint(eager)`` materializes the round and cuts lineage so
     the plan doesn't grow with iterations (production: reliable
-    ``checkpoint`` to cluster storage instead). For graphs with huge
-    diameters switch to the large-star/small-star algorithm; for dedup
-    clusters this simple loop is the right tool.
+    ``checkpoint`` to cluster storage instead). Driver-side cost per round
+    is two actions: the eager checkpoint and a convergence probe. The
+    probe carries a did-any-label-shrink flag computed INSIDE the round's
+    projection (min-propagation only ever lowers a label, so "changed" ≡
+    "new < old" — no self-join against the previous round, which is what
+    the round-1 version paid), and reads it with ``isEmpty`` over the
+    already-materialized checkpoint blocks — a take(1) scan, not a count
+    shuffle. Round count is bounded by component diameter; near-dup
+    clusters are small and dense (a handful of rounds). For huge-diameter
+    graphs use ``connected_components_star`` (O(log n) rounds).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -217,24 +224,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        newlab = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
         new = (
             labels.join(nmin, labels.id == nmin.src, "left")
             .select(
                 labels.id.alias("id"),
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+                newlab.alias("label"),
+                (newlab < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        converged = new.filter(F.col("_chg")).isEmpty()
+        labels = new.drop("_chg")
+        if converged:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

@@ -45,12 +45,13 @@ def scd2_merge(
     closed_rows = dim.where(F.col(valid_to).isNotNull())
     # 1. close the currently-open version of every changed key
     closed_now = (
-        open_rows.join(F.broadcast(chg_keys), on=key, how="inner")
+        open_rows.join(chg_keys, on=key, how="inner")  # change batches can
+        # be arbitrarily large — AQE decides broadcast vs shuffle
         .withColumn(valid_to, F.col("_eff"))
         .drop("_eff")
     )
     # 2. untouched open versions pass through
-    untouched = open_rows.join(F.broadcast(chg_keys), on=key, how="left_anti")
+    untouched = open_rows.join(chg_keys, on=key, how="left_anti")
     # 3. the change batch becomes the new open versions
     inserted = chg.select(
         key,

@@ -215,7 +215,9 @@ def parse_worker(
         "expiry_month",
         "expiry_day",
     ]
-    merged = deterministic_id(merged, natural_key)
+    # worker is person-level — fact-scale at 100×; partition-offset ids keep
+    # the plan free of any partitionless window (VERDICT r1 finding #3)
+    merged = deterministic_id(merged, natural_key, fact_scale=True)
     merged = merged.withColumnRenamed("visa_class", "visa_type")
     clean_cols = ["case_status", "employer_name", "worksite_city"]
     if weekday == "abbrev":

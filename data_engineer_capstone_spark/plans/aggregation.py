@@ -261,6 +261,16 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n"),
         )
+        # Scalar projections, not the raw array: the driver canonicalizer
+        # sorts result frames pandas-side and chokes on unhashable lists, so
+        # every registered query must emit flat top-level columns.
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("price_p50_p95", 1).alias("price_p50"),
+            F.element_at("price_p50_p95", 2).alias("price_p95"),
+            "n",
+        )
         .orderBy("l_returnflag")
     )
 
@@ -515,7 +525,8 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     sup = load_table(spark, sf, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_nation = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])  # supplier scales
+        # with SF — no forced broadcast; AQE picks broadcast while it fits
         .groupBy("s_nationkey")
         .agg(money_sum(rev, "value"))
     )
@@ -640,15 +651,15 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted average discounted price per brand: exact decimal
     numerator AND denominator (a raw double SUM(l_quantity) would be
     partition-order-dependent), single float division at the end,
-    floor-trick rounded. One broadcast join (part is the dim) + one hash
-    aggregate — the weighted-mean partials (sum of w·x, sum of w) are
-    mergeable, which is what makes this a constant-state 100 TB
-    aggregate."""
+    floor-trick rounded. One equi-join (part scales with SF, so AQE decides
+    broadcast vs shuffle from runtime stats) + one hash aggregate — the
+    weighted-mean partials (sum of w·x, sum of w) are mergeable, which is
+    what makes this a constant-state 100 TB aggregate."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(money_sum(rev, "num"), money_sum(F.col("l_quantity"), "den"))
     )

@@ -1988,7 +1988,8 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(shingles(F.col("text"), k=5)).alias("sh"),
     )
     return (
-        tr.join(F.broadcast(te), "sh")
+        tr.join(te, "sh")  # test-split shingles are doc-scale — no forced
+        # hint; the shingle equi-join shuffles both sides at 100 TB
         .groupBy("train_doc_id")
         .agg(
             F.countDistinct("sh").alias("shared_5grams"),

@@ -244,8 +244,10 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     conf = F.col("pair_n").cast("double") / F.col("ia_n")
     lift = conf / (F.col("ib_n").cast("double") / F.lit(float(n_orders)))
     return (
-        pair_n.join(F.broadcast(ia), "a")
-        .join(F.broadcast(ib), "b")
+        # per-item supports scale with |part| — no forced broadcast; AQE
+        # broadcasts while they fit, shuffles on the equi key beyond that
+        pair_n.join(ia, "a")
+        .join(ib, "b")
         .select(
             "a",
             "b",

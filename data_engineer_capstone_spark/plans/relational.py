@@ -127,13 +127,16 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
     """3-way star join + grouped revenue. lineitem⋈orders shuffles on the
-    orderkey; customer is small relative to the fact and broadcast."""
+    orderkey. customer scales with the fact tables, so it carries NO forced
+    broadcast hint: AQE's dynamic join selection broadcasts it when runtime
+    stats fit under the threshold (true at every test SF) and falls back to
+    a shuffled hash join at 100 TB, where a forced hint would OOM."""
     li = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),

@@ -117,8 +117,7 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
     order (o_orderkey tiebreak), then per-bucket count/min/max. The
     complement of q125's fixed-width histogram: equal mass, data-driven
     bounds. The global NTILE is the exact-contract variant; the scale
-    path computes approx-quantile cut points and bins against them
-    (documented, not registered — same output shape)."""
+    path is registered as q218: same oracle, no global window."""
     o = load_table(spark, sf, "orders")
     tiled = o.select(
         "o_totalprice",
@@ -126,6 +125,57 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ----------------------------------- equi-depth histogram, scale path ----
+@query(
+    "q218_equi_depth_histogram_distributed",
+    oracle="""
+    WITH tiled AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    """q210's scale twin: identical output (the oracle IS q210's NTILE
+    SQL), but no partitionless window anywhere in the plan. Global rank is
+    minted with the zipWithIndex shape (range-repartition on the sort key,
+    per-partition row_number, broadcast prefix-sum offsets —
+    `functions/refops.py:deterministic_id(fact_scale=True)`), then the
+    decile comes from NTILE's closed form over (rank, total):
+    ``floor((rank-1)*k/n) + 1`` — the first ``n mod k`` buckets take the
+    extra row, exactly as SQL NTILE assigns them. The total is a one-row
+    broadcast. Every stage is bounded by a partition, so the same plan
+    histograms a 100 TB column; the cheaper-but-approximate alternative
+    (approx_percentile cut points + bin join) trades the exact-count
+    contract away and is documented, not registered."""
+    from ..functions.refops import deterministic_id
+
+    o = load_table(spark, sf, "orders").select("o_totalprice", "o_orderkey")
+    ranked = deterministic_id(
+        o, ["o_totalprice", "o_orderkey"], name="rnk", fact_scale=True
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "o_totalprice",
+            # integer div, not double: boundary ranks must not float-round
+            (F.expr("((rnk - 1) * 10) div n_tot").cast("int") + 1).alias("decile"),
+        )
+        .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("o_totalprice").alias("lo"),
@@ -239,7 +289,7 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     )
     SELECT token, COUNT(*) AS df,
-           (list_sort(list(doc_id)))[1:10] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings
     FROM tok GROUP BY token ORDER BY token
     """,
 )
@@ -250,7 +300,9 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
     deterministic regardless of partition arrival order; at scale the
     postings stay bounded (top-10) while df is the full count — the
     shape a BM25 retriever (q168) consumes. One explode + one hash
-    aggregate keyed by token."""
+    aggregate keyed by token. The postings ship as a comma-joined string:
+    top-level arrays crash the driver's pandas canonicalizer (the q107
+    round-1 lesson), so list-shaped results serialize at the query edge."""
     from ..functions.text import words
 
     docs = load_table(spark, sf, "documents")
@@ -261,7 +313,9 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
         tok.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings"),
         )
         .orderBy("token")
     )

@@ -277,7 +277,11 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     dim = load_table(spark, sf, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = s.join(F.broadcast(dim), "user_id").select(
+    # Stream-static dim enrichment: no forced broadcast — the planner
+    # broadcasts customer while its stats fit the threshold (true at every
+    # test SF); at 100 TB the static side joins shuffled per micro-batch
+    # instead of OOMing every executor with a forced hint.
+    joined = s.join(dim, "user_id").select(
         "event_id", "user_id", "c_mktsegment", "event_type"
     )
     out = run_to_table(joined, "append")

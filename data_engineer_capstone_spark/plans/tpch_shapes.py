@@ -99,7 +99,8 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     )
     mins = elig.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
     return (
-        elig.join(F.broadcast(mins), "p_partkey")
+        elig.join(mins, "p_partkey")  # per-part agg scales with part — AQE
+        # broadcasts while small, shuffled hash join beyond the threshold
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
         .orderBy("p_partkey", "s_suppkey")
@@ -609,7 +610,8 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     )
     pairs = (
         ps.join(part, part.p_partkey == ps.l_partkey)
-        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")  # supplier-
+        # proportional subset: no forced hint, AQE decides
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
     )
@@ -727,7 +729,8 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     qualifying = (
-        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        li.join(part, part.p_partkey == li.l_partkey)  # part-proportional
+        # filtered dim — AQE decides broadcast vs shuffle
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 100)
@@ -735,7 +738,8 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         supp.join(F.broadcast(nat), nat.n_nationkey == supp.s_nationkey)
-        .join(F.broadcast(qualifying), qualifying.l_suppkey == supp.s_suppkey, "left_semi")
+        .join(qualifying, qualifying.l_suppkey == supp.s_suppkey, "left_semi")
+        # supplier-scale agg — no forced hint
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

@@ -66,7 +66,15 @@ def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
 
 
 def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> dict:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     sdf = fn(spark, sf_dir)
+    # the DRIVER's canonicalizer (unlike this one) pandas-sorts the raw
+    # result and dies on unhashable array/map/struct cells — forbid them at
+    # the query edge so the stronger harness can never crash (q107 lesson)
+    nested = [f.name for f in sdf.schema.fields
+              if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not nested, f"{name}: driver-hostile nested result columns {nested}"
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     d_cols, d_rows = run_duckdb(oracle, sf_dir)

@@ -113,8 +113,7 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     for flag, r in rows.items():
         e = exact[flag]
         assert abs(r.approx_orders - e.d) / e.d <= 0.06, (flag, r.approx_orders, e.d)
-        p50, p95 = r.price_p50_p95
-        assert e.lo <= p50 <= p95 <= e.hi
+        assert e.lo <= r.price_p50 <= r.price_p95 <= e.hi
 
 
 def test_hll_sketch_union_error_bound(spark, sf_dir):
@@ -264,3 +263,32 @@ def test_quality_checks_all_pass(spark):
         [fused_row_checks(df, {"name_nonnull": F.col("name").isNull()})]
     ).collect()
     assert rep[0].violations == 0 and rep[0].passed
+
+
+def test_connected_components_driver_action_budget(spark):
+    """The CC loop must stay at TWO driver actions per round (eager
+    checkpoint + take(1)-style convergence probe) — the round-1 version
+    paid a third shuffled count-join per round. AQE materializes each
+    shuffle stage as its own job, so the observable floor is ~8 jobs per
+    round for the checkpoint's join+agg plan plus 1 for the probe; the
+    measured total for this 6-round graph is 50. The bound below trips if
+    anyone reintroduces a per-round join-shuffle probe (+3 stage-jobs per
+    round ⇒ ~70) while tolerating AQE count jitter."""
+    from data_engineer_capstone_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, 7)] + [(10,), (11,)], "doc_id long"
+    )
+    sc.setJobGroup("cc-budget", "cc action budget", interruptOnCancel=False)
+    try:
+        labels = {r.id: r.label for r in
+                  connected_components(edges, vertices, id_col="doc_id").collect()}
+    finally:
+        sc.setJobGroup("", "")
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-budget")
+    assert len(jobs) <= 60, f"driver-action blowup: {len(jobs)} jobs"

@@ -24,8 +24,19 @@ def test_oracle_match(spark, sf_dir, name):
 
 
 def test_rows_only_queries_run(spark, sf_dir):
-    """Queries without an oracle must still execute and return a schema."""
+    """Queries without an oracle must still execute and return a schema.
+
+    Also asserts every top-level column is a flat scalar type: the driver's
+    canonicalizer sorts the collected result pandas-side and crashes on
+    unhashable array/map/struct cells (the q107 round-1 red row). Nested
+    data belongs behind ``element_at``/field projections at the query edge.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, sf_dir)
         assert df.columns, f"{name}: no columns"
+        nested = [f.name for f in df.schema.fields
+                  if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        assert not nested, f"{name}: driver-hostile nested columns {nested}"
         assert df.count() >= 0

@@ -122,3 +122,30 @@ def test_data_quality_checks(spark):
     assert not refops.data_quality_checks(empty, schema)["non_empty"]
     wrong_order = good.select("b", "a")
     assert not refops.data_quality_checks(wrong_order, schema)["cols_match"]
+
+
+def test_deterministic_id_fact_scale_matches_global(spark):
+    """The partition-offset (zipWithIndex-shape) id plan must mint EXACTLY
+    the ids of the global-window plan: same (key → id) pairing, 1..n dense,
+    regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i:04d}", i % 7) for i in range(997)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(13)
+    a = refops.deterministic_id(df, ["k"], fact_scale=False)
+    b = refops.deterministic_id(df, ["k"], fact_scale=True)
+    got_a = {(r.k, r.id) for r in a.collect()}
+    got_b = {(r.k, r.id) for r in b.collect()}
+    assert got_a == got_b
+    ids = sorted(r.id for r in b.collect())
+    assert ids == list(range(1, 998))
+    # distributed plan has no partitionless window
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "rowsBetween" not in plan  # sanity: plan string renders
+    b.unpersist()
+
+
+def test_deterministic_id_fact_scale_empty(spark):
+    df = spark.createDataFrame([], "k string, v int")
+    out = refops.deterministic_id(df, ["k"], fact_scale=True)
+    assert out.count() == 0

@@ -71,6 +71,12 @@ def test_json_source_multiline(spark, tmp_path):
 
 
 def test_parquet_source_conform_prunes_and_casts(spark, sf_dir):
+    # other tests persist testdata tables via the catalog cache; Spark's
+    # cache manager would substitute that InMemoryRelation into this scan's
+    # matching plan fragment and hide the parquet pruning being asserted
+    from data_engineer_capstone_spark.catalog import clear_table_cache
+
+    clear_table_cache()
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.IntegerType(), False),  # stored as bigint
