@@ -33,6 +33,10 @@ HEADLINE = [
     "q40_row_number_topk",
     "q02_projection_arithmetic",
     "q43_running_sum",
+    # scale-critical families regression-tracked since round 2 (BASELINE.md)
+    "q92_minhash_lsh_dedup",
+    "q113_curation_pipeline",
+    "q80_stream_tumbling",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -40,7 +44,18 @@ HEADLINE = [
 PIPELINE_COMPOSITE = ["q70_visitor_pipeline", "q71_worker_pipeline", "q72_time_fact_accumulation"]
 # Wide results: don't collect millions of rows to the driver; count() still
 # executes the full plan.
-COUNT_ONLY = {"q02_projection_arithmetic", "q43_running_sum"}
+COUNT_ONLY = {"q02_projection_arithmetic", "q43_running_sum", "q113_curation_pipeline"}
+
+
+# Streaming replays and checkpoint-heavy iterative plans time 2-10× noisier
+# than batch queries in local mode (state-store init, /tmp checkpoint IO,
+# maintenance-thread scheduling) — report their best-of-3 floor instead of
+# the median so the regression signal is the plan cost, not the jitter.
+MIN_OF_RUNS = {
+    "q92_minhash_lsh_dedup",
+    "q113_curation_pipeline",
+    "q80_stream_tumbling",
+}
 
 
 def run_one(spark, fn, name: str, sf_dir: str) -> float:
@@ -53,7 +68,7 @@ def run_one(spark, fn, name: str, sf_dir: str) -> float:
         else:
             df.collect()
         times.append(time.time() - t0)
-    return statistics.median(times[1:])
+    return min(times[1:]) if name in MIN_OF_RUNS else statistics.median(times[1:])
 
 
 def main() -> None:

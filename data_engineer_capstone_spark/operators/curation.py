@@ -45,9 +45,16 @@ def curate(
         (F.col("quality") >= quality_min) & (F.col("pred_lang") != "und")
     )
 
+    # Materialize the gated+exact-deduped corpus ONCE: it feeds the MinHash
+    # candidate pipeline, the components' vertex set, and the final
+    # canonical join — without the checkpoint the langid/quality/window
+    # lineage re-executes per consumer (and per label-prop round).
+    # Production at 100 TB: reliable checkpoint / intermediate table.
     exact = exact_dedup_groups(gated, text_col=text_col, id_col=id_col).filter(
         F.col(id_col) == F.col("canonical_id")
-    ).select(id_col, text_col, "pred_lang", "quality", "n_tokens")
+    ).select(
+        id_col, text_col, "pred_lang", "quality", "n_tokens"
+    ).localCheckpoint(eager=True)
 
     pairs = minhash_lsh_pairs(exact, threshold=jaccard_threshold)
     labels = connected_components(pairs, exact, id_col=id_col)

@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from ..functions.text import h64, minhash_signature, shingles, words
 
 
+def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Project to the named columns and guarantee at least
+    ``defaultParallelism`` partitions before CPU-heavy per-row expressions
+    (shingling, n_perm salted hashes).
+
+    Why: per-row dedup math is embarrassingly parallel, but Spark's task
+    count is inherited from the SCAN — a single-row-group parquet file (or
+    a skewed/concatenated upstream) serializes the whole signature pass
+    onto one core. One round-robin shuffle of the slim (id, text)
+    projection is O(input bytes) and unlocks full-cluster CPU; when the
+    input already has enough splits this is a no-op.
+    """
+    slim = df.select(*cols)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    return slim
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: every row annotated with its group's
     canonical (minimum) id and group size. A single hash-partition shuffle
@@ -47,13 +66,19 @@ def ngram_jaccard_pairs(
     materialized are those with |A∩B| ≥ 1). |A∩B| falls out of the group
     count; |A∪B| = |A|+|B|-|A∩B|. At 100 TB: add a document-frequency cap
     (drop shingles appearing in >d docs) to bound join fan-out on boilerplate.
+
+    Set semantics come from a distributed dedup of the exploded (doc,
+    shingle) stream + a per-doc window count — NOT per-row
+    ``array_distinct``, whose O(n²) string scans dominate the whole pass;
+    the dedup rides the same hash shuffle the inverted index needs anyway.
     """
-    sized = df.select(
+    ex = _spread(df, [id_col, text_col]).select(
         F.col(id_col).alias("did"),
-        shingles(text_col, k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sized = sized.withColumn("n_sh", F.size("sh"))
-    inv = sized.select("did", "n_sh", F.explode("sh").alias("shingle"))
+        F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
+    ).dropDuplicates(["did", "shingle"])
+    inv = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("did"))
+    )
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
@@ -95,15 +120,24 @@ def minhash_lsh_pairs(
     At 100 TB this is the canonical dedup: the signature pass is
     embarrassingly parallel; the band join shuffles only (doc_id, band_key)
     pairs — n_perm/band_rows rows per document, independent of text size.
+    The shingle sets are NOT carried through the band join (that would ship
+    every doc's full shingle array n_bands× through the exchange and again
+    per band collision); the exact-verify stage re-derives shingles only
+    for docs that appear in some candidate pair — a semi-join-bounded
+    recompute, O(candidates) not O(corpus).
     """
     n_bands = n_perm // band_rows
-    base = df.select(
-        F.col(id_col).alias("did"), shingles(text_col, k).alias("sh")
+    slim = _spread(df, [id_col, text_col])
+    # distinct=False: MinHash is duplicate-invariant (min over a multiset ==
+    # min over its set), and array_distinct's per-row O(n²) string scans are
+    # 10× the cost of the whole shingle pass — set semantics are deferred to
+    # the candidate-bounded verify stage below.
+    base = slim.select(
+        F.col(id_col).alias("did"), shingles(text_col, k, distinct=False).alias("sh")
     ).where(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_perm))
+    sig = base.select("did", minhash_signature(F.col("sh"), n_perm).alias("sig"))
     bands = sig.select(
         "did",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -121,22 +155,39 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("did", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.did") < F.col("b.did")),
         )
-        .select(
-            F.col("a.did").alias("doc_a"),
-            F.col("b.did").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    need = (
+        cand_ids.select(F.col("doc_a").alias("did"))
+        .unionAll(cand_ids.select(F.col("doc_b").alias("did")))
+        .distinct()
+    )
+    sh_small = (
+        slim.select(F.col(id_col).alias("did"), F.col(text_col).alias("_t"))
+        .join(need, "did", "left_semi")
+        .select("did", shingles(F.col("_t"), k, distinct=True).alias("sh"))
+    )
+    cand = (
+        cand_ids.join(
+            sh_small.select(F.col("did"), F.col("sh").alias("sha")),
+            cand_ids.doc_a == F.col("did"),
+        )
+        .drop("did")
+        .join(
+            sh_small.select(F.col("did"), F.col("sh").alias("shb")),
+            cand_ids.doc_b == F.col("did"),
+        )
+        .drop("did")
     )
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
@@ -159,7 +210,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     conditional sums → bit-pack. One shuffle on doc_id with map-side
     partial aggregation.
     """
-    w = df.select(
+    w = _spread(df, [id_col, text_col]).select(
         F.col(id_col).alias("did"), F.explode(F.array_distinct(words(text_col))).alias("word")
     ).withColumn("h", h64(F.col("word")))
     votes = w.groupBy("did").agg(
@@ -210,10 +261,16 @@ def connected_components(
     clusters are small and dense (a handful of rounds). For huge-diameter
     graphs use ``connected_components_star`` (O(log n) rounds).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionAll(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # materialize the symmetric edge list ONCE: it is re-joined every round,
+    # and without the checkpoint each iteration re-executes the whole
+    # upstream plan that produced the pairs (for near-dup dedup that is the
+    # entire MinHash pipeline — measured 3-10× the total runtime at sf0.1)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -276,7 +333,10 @@ def incremental_dedup(
         .select(id_col, text_col)
     )
     un = corpus.select(id_col, text_col).unionByName(bexact)
-    pairs = minhash_lsh_pairs(un, threshold=threshold)
+    # near-dup pairs are consumed by three branches (cross-corpus drop,
+    # within-batch pairs, and the components loop) — materialize ONCE; the
+    # pair list is O(near-dups), tiny next to the pipeline that made it
+    pairs = minhash_lsh_pairs(un, threshold=threshold).localCheckpoint(eager=True)
     ca = corpus.select(F.col(id_col).alias("doc_a"), F.lit(True).alias("a_corp"))
     cb = corpus.select(F.col(id_col).alias("doc_b"), F.lit(True).alias("b_corp"))
     fl = (
@@ -291,7 +351,7 @@ def incremental_dedup(
         )
         .distinct()
     )
-    kept = bexact.join(cross_ids, id_col, "left_anti")
+    kept = bexact.join(cross_ids, id_col, "left_anti").localCheckpoint(eager=True)
     bpairs = (
         fl.filter(~F.col("a_corp") & ~F.col("b_corp"))
         .join(kept.select(F.col(id_col).alias("doc_a")), "doc_a", "left_semi")

@@ -2,10 +2,13 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is STUBBED (the container has no image/audio codecs):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder stands in so the Spark-side plumbing —
-schema, batch shape, partitioning, UDF signature — is real and tested.
+The decode step auto-detects a codec: when Pillow (PIL) is importable the
+real decode/resize paths run; in this container (no codecs) ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder stands in so the Spark-side plumbing — schema,
+batch shape, partitioning, UDF signature — is real and tested either way.
+The stage wrappers (``extract_features``/``resize``) default to
+``fake_decode=None`` = "real if PIL is present, else fake".
 
 Scale notes: binary payloads ride the normal columnar path (parquet BYTE_ARRAY
 with dictionary off); feature extraction is one Arrow batch -> numpy roundtrip
@@ -21,6 +24,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional codec — absent in this container, present in a real deploy
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,11 +50,21 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (height, width, channels).
 
-    STUB: real decoding needs an image codec (PIL/opencv), absent from this
-    environment. ``fake=True`` produces a deterministic fake decode derived
-    from the payload bytes so downstream plumbing is testable.
+    Real path (PIL importable): decode via ``Image.open``. Without a codec
+    and without ``fake=True``: NotImplementedError. ``fake=True`` produces
+    a deterministic fake decode derived from the payload bytes so
+    downstream plumbing is testable in codec-less environments.
     """
     if not fake:
+        if HAS_PIL:
+            import io
+
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {
+                    "height": im.height,
+                    "width": im.width,
+                    "channels": len(im.getbands()),
+                }
         raise NotImplementedError(
             "image decode requires an image codec; not available in this "
             "environment — use fake=True for plumbing tests"
@@ -54,11 +75,16 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
 
 
 def extract_features(
-    df: DataFrame, payload_col: str = "payload", fake_decode: bool = True
+    df: DataFrame, payload_col: str = "payload", fake_decode: bool | None = None
 ) -> DataFrame:
     """mapInPandas feature-extraction stage: payload -> (height, width,
-    channels, mean_byte). Arrow-batched; one numpy pass per batch."""
+    channels, mean_byte). Arrow-batched; one numpy pass per batch.
+    ``fake_decode=None`` auto-selects: real decode when PIL is importable
+    (payloads must then be actual encoded images), else the fake decoder."""
     import numpy as np
+
+    if fake_decode is None:
+        fake_decode = not HAS_PIL
 
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -86,12 +112,19 @@ def resize_image(
 ) -> bytes:
     """Resize an image payload to ``target`` (th, tw).
 
-    STUB like decode_image: the real path needs a codec. The fake path is a
-    deterministic nearest-neighbor downsample over the raw bytes treated as
-    an h×w single-channel grid — wrong as image math, right as plumbing:
-    output length is exactly th*tw and derives only from the input.
+    Real path (PIL importable): decode, nearest-neighbor resize, return raw
+    pixel bytes. The fake path is a deterministic nearest-neighbor
+    downsample over the raw bytes treated as an h×w single-channel grid —
+    wrong as image math, right as plumbing: output length is exactly th*tw
+    and derives only from the input.
     """
     if not fake:
+        if HAS_PIL:
+            import io
+
+            th, tw = target
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return im.resize((tw, th), _PILImage.NEAREST).tobytes()
         raise NotImplementedError(
             "image resize requires an image codec; not available in this "
             "environment — use fake=True for plumbing tests"
@@ -112,11 +145,14 @@ def resize(
     df: DataFrame,
     target: tuple[int, int],
     payload_col: str = "payload",
-    fake_decode: bool = True,
+    fake_decode: bool | None = None,
 ) -> DataFrame:
     """mapInPandas resize stage: payload + decoded dims -> fixed-size
     payload (the normalization step before batch feature models). Expects
-    ``extract_features`` upstream (height/width columns present)."""
+    ``extract_features`` upstream (height/width columns present).
+    ``fake_decode=None`` auto-selects like ``extract_features``."""
+    if fake_decode is None:
+        fake_decode = not HAS_PIL
     th, tw = target
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)

@@ -1998,3 +1998,119 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("shared_5grams"), "train_doc_id")
         .limit(25)
     )
+
+
+# ------------------------------------------------- round-2 curation adds --
+_COS = """
+    floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))))
+          * 1000000 + 0.5) / 1000000
+"""
+
+
+@query(
+    "q219_semantic_dedup_onehop",
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.45
+    ),
+    sym AS (
+        SELECT id_a AS id, id_b AS nb FROM p
+        UNION ALL
+        SELECT id_b, id_a FROM p
+    ),
+    m AS (SELECT id, MIN(nb) AS min_nb FROM sym GROUP BY id)
+    SELECT e.vec_id,
+           LEAST(e.vec_id, COALESCE(m.min_nb, e.vec_id)) AS canonical_id,
+           (LEAST(e.vec_id, COALESCE(m.min_nb, e.vec_id)) < e.vec_id) AS is_dup
+    FROM embeddings e LEFT JOIN m ON e.vec_id = m.id
+    ORDER BY e.vec_id
+    """,
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, one-hop contract: every vector's
+    canonical is the smallest id among itself and its cosine-similar
+    (≥ 0.45) neighbors. One hop — not transitive closure — is exactly
+    SQL-expressible, so the oracle pins it; the transitive variant is the
+    same pairs fed to connected_components (q108's machinery). Scale: the
+    pair generation here reuses the exact cosine_pairs baseline (bounded
+    corpora); at 100 TB swap in the LSH/IVF candidate join (q96/q106) and
+    keep this min-neighbor reduction — one groupBy shuffle of O(pairs)."""
+    emb = load_table(spark, sf, "embeddings")
+    p = cosine_pairs(emb, threshold=0.45)
+    sym = p.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionAll(
+        p.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    mins = sym.groupBy("id").agg(F.min("nb").alias("min_nb"))
+    canonical = F.least(F.col("vec_id"), F.coalesce("min_nb", F.col("vec_id")))
+    return (
+        emb.select("vec_id")
+        .join(mins, emb.vec_id == mins.id, "left")
+        .select(
+            "vec_id",
+            canonical.alias("canonical_id"),
+            (canonical < F.col("vec_id")).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q220_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS.format(c="text")}) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tot FROM tok),
+    s AS (
+        SELECT t.doc_id,
+               CAST(floor(ln(CAST(n_tot AS DOUBLE) / cnt) * 1000000 + 0.5)
+                    AS BIGINT) AS su
+        FROM tok t JOIN freq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(floor(SUM(su) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+               AS avg_surprisal_micro
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality score (the KenLM-perplexity proxy a curation
+    pipeline runs when no external model is allowed): token surprisal
+    -ln p(w) against the corpus's own unigram distribution, averaged per
+    document — low = boilerplate/repetitive, high = rare-token noise.
+
+    Determinism across engines: each token's surprisal is quantized to
+    integer micro-nats BEFORE summing (float addition is not associative;
+    long addition is), and the final mean is one double division + one
+    quantization. Scale shape: token stream → vocab-keyed equi-join with
+    the frequency table (both sides shuffle on the word — the frequency
+    side is vocab-sized, NOT forced broadcast), corpus total is a one-row
+    broadcast, then one groupBy(doc) with mergeable (sum, count) partials."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tot"))
+    su = F.floor(
+        F.log(F.col("n_tot").cast("double") / F.col("cnt")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", su.alias("su"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.sum("su") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("avg_surprisal_micro"),
+        )
+        .orderBy("doc_id")
+    )

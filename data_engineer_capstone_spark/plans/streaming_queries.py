@@ -99,8 +99,12 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         FROM events
     ),
     flagged AS (
+        -- STRICT >: Spark's session_window keeps an event arriving at
+        -- exactly last+gap in the SAME session (verified by the boundary
+        -- property test in tests/test_streaming_infra.py); >= here would
+        -- disagree on measure-zero deltas real event data never hits
         SELECT user_id, t,
-               CASE WHEN prev_t IS NULL OR t - prev_t >= INTERVAL 10 MINUTE
+               CASE WHEN prev_t IS NULL OR t - prev_t > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM seq
     ),

@@ -292,3 +292,24 @@ def test_connected_components_driver_action_budget(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
     jobs = sc.statusTracker().getJobIdsForGroup("cc-budget")
     assert len(jobs) <= 60, f"driver-action blowup: {len(jobs)} jobs"
+
+
+def test_real_decode_path_when_codec_present():
+    """Auto-detect: with Pillow importable the real decode/resize run; in
+    this container (no codec) the gates hold and the fake path is selected
+    by default. The real branch is exercised conditionally so a deploy with
+    PIL picks it up without code changes."""
+    from data_engineer_capstone_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 7), (1, 2, 3)).save(buf, format="PNG")
+    meta = mm.decode_image(buf.getvalue())
+    assert meta == {"height": 7, "width": 5, "channels": 3}
+    out = mm.resize_image(buf.getvalue(), 7, 5, (4, 4))
+    assert len(out) == 4 * 4 * 3

@@ -263,3 +263,27 @@ def test_avro_source_gated_without_connector(spark, tmp_path):
         pytest.skip("avro connector on classpath; gate not exercised")
     else:
         pytest.fail("expected an error for missing connector or path")
+
+
+def test_parse_excel_workbooks_real_engine(tmp_path):
+    """Real Excel extraction (ref parse_excel_files.py:15-39) when an engine
+    is importable; skipped in codec-less containers where the gated fake
+    covers the plumbing."""
+    try:
+        import openpyxl
+    except ImportError:
+        pytest.skip("openpyxl not installed in this environment")
+    from data_engineer_capstone_spark.sources.fixture_prep import parse_excel_workbooks
+
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.append(["country", "year", "value"])
+    ws.append(["aa", 2015, 10])
+    ws.append(["bb", 2016, 20])
+    p = str(tmp_path / "t.xlsx")
+    wb.save(p)
+    rows = parse_excel_workbooks([p])
+    assert rows == [
+        {"country": "aa", "year": 2015, "value": 10},
+        {"country": "bb", "year": 2016, "value": 20},
+    ]

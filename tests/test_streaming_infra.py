@@ -127,3 +127,81 @@ def test_transform_with_state_gated(spark, sf_dir):
         return
     out = run_to_table(running_max_tws(s), "update").collect()
     assert len(out) > 0
+
+
+def test_session_window_gap_boundary_lockstep(spark):
+    """q82's oracle is SURVEY §7.7's trickiest (gaps-and-islands in DuckDB
+    vs Spark session_window). Property: perturb event times around ±gap/2
+    and the two stay in lockstep — especially AT the gap boundary, where
+    Spark keeps an event at exactly last+gap in the SAME session, so the
+    oracle's new-session rule must be STRICT `delta > gap` (this test
+    caught the `>=` variant: real event timestamps never land on the exact
+    boundary, so the q82 driver gate alone could not). Batch
+    session_window has identical semantics to the streamed one, so the
+    property runs batch-side for speed."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    GAP_MIN = 10
+    base = datetime.datetime(2024, 1, 1)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),        # user
+                st.integers(min_value=0, max_value=12),       # half-gap steps
+                st.integers(min_value=-1, max_value=1),       # ±1 min jitter
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(evts):
+        rows = [
+            (u, base + datetime.timedelta(minutes=steps * GAP_MIN / 2 + jit))
+            for u, steps, jit in evts
+        ]
+        sdf = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r.user_id, r.session_start, r.last_ts, r.n)
+            for r in sdf.groupBy(
+                F.session_window("ts", f"{GAP_MIN} minutes").alias("win"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+            .select(
+                "user_id", F.col("win.start").alias("session_start"), "last_ts", "n"
+            )
+            .collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        con = duckdb.connect()
+        con.register("ev", pdf)
+        want = {
+            (int(u), s, e, int(n))
+            for u, s, e, n in con.execute(f"""
+                WITH seq AS (
+                    SELECT user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM ev),
+                flagged AS (
+                    SELECT user_id, ts,
+                           CASE WHEN prev IS NULL
+                                  OR ts - prev > INTERVAL {GAP_MIN} MINUTE
+                                THEN 1 ELSE 0 END AS ns
+                    FROM seq),
+                numbered AS (
+                    SELECT user_id, ts,
+                           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM flagged)
+                SELECT user_id, MIN(ts), MAX(ts), COUNT(*)
+                FROM numbered GROUP BY user_id, sid
+            """).fetchall()
+        }
+        assert got == want, f"session mismatch\nspark={sorted(got)}\nduck={sorted(want)}"
+
+    check()
