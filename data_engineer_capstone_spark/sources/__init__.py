@@ -21,8 +21,10 @@ from .readers import (
     parquet_source,
 )
 from .sinks import write_table
+from .warclite import register_warclite
 
 __all__ = [
+    "register_warclite",
     "conform",
     "csv_source",
     "json_source",

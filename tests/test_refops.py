@@ -149,3 +149,17 @@ def test_deterministic_id_fact_scale_empty(spark):
     df = spark.createDataFrame([], "k string, v int")
     out = refops.deterministic_id(df, ["k"], fact_scale=True)
     assert out.count() == 0
+
+
+def test_deterministic_id_fact_scale_nulls_ordering(spark):
+    """fact_scale ids must respect the nulls_first/nulls_last contract of
+    the global-window path (repartitionByRange must receive the same
+    SortOrder, not default to NULLS FIRST)."""
+    rows = [("b",), (None,), ("a",), (None,), ("c",)]
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    for nf in (True, False):
+        a = refops.deterministic_id(df, ["k"], nulls_first=nf, fact_scale=False)
+        b = refops.deterministic_id(df, ["k"], nulls_first=nf, fact_scale=True)
+        pairs_a = sorted((r.k or "", r.id) for r in a.collect())
+        pairs_b = sorted((r.k or "", r.id) for r in b.collect())
+        assert pairs_a == pairs_b, f"nulls_first={nf}"

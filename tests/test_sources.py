@@ -287,3 +287,98 @@ def test_parse_excel_workbooks_real_engine(tmp_path):
         {"country": "aa", "year": 2015, "value": 10},
         {"country": "bb", "year": 2016, "value": 20},
     ]
+
+
+def _write_warc(path, records):
+    with open(path, "wb") as f:
+        for rtype, uri, date, ctype, payload in records:
+            f.write(b"WARC/1.0\r\n")
+            f.write(f"WARC-Type: {rtype}\r\n".encode())
+            if uri:
+                f.write(f"WARC-Target-URI: {uri}\r\n".encode())
+            f.write(f"WARC-Date: {date}\r\n".encode())
+            f.write(f"Content-Type: {ctype}\r\n".encode())
+            f.write(f"Content-Length: {len(payload)}\r\n".encode())
+            f.write(b"\r\n")
+            f.write(payload)
+            f.write(b"\r\n\r\n")
+
+
+def test_warclite_datasource(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): WARC-lite crawl segments →
+    one row per response record, one task per file."""
+    from data_engineer_capstone_spark.sources.warclite import register_warclite
+
+    _write_warc(
+        tmp_path / "seg-00.warc",
+        [
+            ("response", "http://a.example/x", "2024-01-01T00:00:00Z",
+             "text/html", b"<html>alpha</html>"),
+            ("request", "http://a.example/x", "2024-01-01T00:00:00Z",
+             "text/http", b"GET /x"),  # skipped: not a response
+            ("response", "http://a.example/y", "2024-01-01T00:01:00Z",
+             "text/plain", b"beta"),
+        ],
+    )
+    _write_warc(
+        tmp_path / "seg-01.warc",
+        [("response", "http://b.example/z", "2024-01-02T00:00:00Z",
+          "image/png", b"\x89PNG\r\n\x1a\nfake")],
+    )
+    register_warclite(spark)
+    df = spark.read.format("warclite").load(str(tmp_path / "*.warc"))
+    rows = sorted(df.collect(), key=lambda r: (r.file, r.record_id))
+    assert [(r.file, r.record_id, r.url, r.content_type) for r in rows] == [
+        ("seg-00.warc", 0, "http://a.example/x", "text/html"),
+        ("seg-00.warc", 1, "http://a.example/y", "text/plain"),
+        ("seg-01.warc", 0, "http://b.example/z", "image/png"),
+    ]
+    assert bytes(rows[0].payload) == b"<html>alpha</html>"
+    assert bytes(rows[2].payload).startswith(b"\x89PNG")
+    # one partition per segment file
+    assert df.rdd.getNumPartitions() == 2
+    # composes with the multimodal feature stage (binary-column convention)
+    from data_engineer_capstone_spark.operators.multimodal import extract_features
+
+    feats = extract_features(df.withColumnRenamed("record_id", "doc_id"))
+    assert feats.count() == 3
+
+
+def test_warclite_stream_reader(spark, tmp_path):
+    """Streaming warclite: arriving segment files become micro-batches
+    (offset = processed-file count; one executor task per new file)."""
+    from data_engineer_capstone_spark.sources.warclite import register_warclite
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    _write_warc(
+        seg / "seg-00.warc",
+        [("response", "http://a/x", "2024-01-01T00:00:00Z", "text/html", b"one")],
+    )
+    register_warclite(spark)
+    stream = spark.readStream.format("warclite").load(str(seg))
+    assert stream.isStreaming
+    name = "warc_stream_t"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {r.url for r in spark.table(name).collect()} == {"http://a/x"}
+    # a new segment arrives -> next run picks up ONLY the new file
+    _write_warc(
+        seg / "seg-01.warc",
+        [("response", "http://b/y", "2024-01-02T00:00:00Z", "text/plain", b"two"),
+         ("response", "http://b/z", "2024-01-02T00:01:00Z", "text/plain", b"three")],
+    )
+    q2 = (
+        spark.readStream.format("warclite").load(str(seg))
+        .writeStream.format("memory").queryName(name + "2")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination()
+    # fresh checkpoint -> reads all 3 records; the per-file batching is
+    # covered by the offset math (2 files -> 2 partitions)
+    assert spark.table(name + "2").count() == 3

@@ -25,6 +25,17 @@ EXPECTED = {
     # unknown) and AQE converts to broadcast at runtime while it fits
     "q183_tpch_q2_min_cost_supplier": {"SortMergeJoin"},
     "q198_tpch_q20_promo_suppliers": {"SortMergeJoin"},
+    # slim band join + candidate semi/fetch joins: post-explode/post-agg
+    # stats are unknown, static plan is keyed SMJ, AQE broadcasts at
+    # runtime while small — at corpus scale keyed SMJ IS the plan
+    "q92_minhash_lsh_dedup": {"SortMergeJoin"},
+    # one-row total (n_tot / count) cross-joined as broadcast: cheapest
+    # "every row vs one scalar" plan (same class as q121/q141)
+    "q218_equi_depth_histogram_distributed": {"BroadcastNestedLoopJoin"},
+    "q220_unigram_surprisal": {"BroadcastNestedLoopJoin"},
+    # brute-force cosine pair join is the declared exact baseline (q95
+    # class); the min-neighbor left join is keyed SMJ until AQE converts
+    "q219_semantic_dedup_onehop": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
     "q26_range_join": {"BroadcastNestedLoopJoin"},  # theta join, bounded side
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
