@@ -235,3 +235,28 @@ def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:
         df.schema[f.name].dataType == f.dataType for f in schema.fields
     )
     return {"non_empty": non_empty, "cols_match": cols_match, "types_match": types_match}
+
+
+def with_quality_observation(
+    df: DataFrame, name: str, not_null: list[str] | None = None
+):
+    """Zero-extra-action DQ: attach an ``Observation`` collecting row count
+    and per-column null counts that is computed AS A SIDE EFFECT of
+    whatever action the caller was going to run anyway.
+
+    The reference's gate (and ``data_quality_checks`` above) spends one
+    extra Spark job per table on `head(1)`; at 100 TB a row-count or
+    null-rate check as a separate action is a second full pass. ``observe``
+    rides the existing action's scan for free — the idiomatic Spark shape
+    for pipeline health metrics. Returns (observed_df, observation); read
+    ``observation.get`` AFTER an action has run on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null or []:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    return df.observe(obs, *metrics), obs

@@ -23,28 +23,43 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join. Right rows sort before left rows at equal
-    timestamps, so an exact tie matches (<= semantics, like DuckDB ASOF).
+    """As-of join, ``direction`` ∈ {'backward', 'forward'}.
+
+    backward: most recent right row with right.ts <= left.ts (tie matches —
+    right rows sort before left at equal timestamps, like DuckDB ASOF).
+    forward: earliest right row with right.ts >= left.ts (tie matches) —
+    the "next quote/reading after the event" lookup; same one-shuffle
+    union-timeline plan, with the window frame flipped to the FOLLOWING
+    side and ``first(... ignorenulls)`` instead of ``last``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     value_cols = value_cols or [right_ts]
+    # side ordering makes the exact tie land inside the frame either way:
+    # backward → right first (0,1); forward → right after left (1,0 via -1)
+    r_side = 0 if back else 2
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    r_proj = [F.col(on), F.col(right_ts).alias("_ats"), F.lit(0).alias("_side")] + [
+    r_proj = [F.col(on), F.col(right_ts).alias("_ats"), F.lit(r_side).alias("_side")] + [
         F.col(c).alias(f"{c}{suffix}") for c in value_cols
     ]
     r_tagged = right.select(*r_proj)
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ats", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(on).orderBy("_ats", "_side")
+    if back:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = {
+            c: F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in value_cols
+        }
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = {
+            c: F.first(f"{c}{suffix}", ignorenulls=True).over(w) for c in value_cols
+        }
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        "*", *[expr.alias(f"_f_{c}") for c, expr in fill.items()]
     )
     out = filled.where(F.col("_side") == 1)
     for c in value_cols:

@@ -2114,3 +2114,35 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q221_asof_forward",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           (SELECT MIN(CAST(p.ts AS TIMESTAMP)) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts >= e.ts) AS next_purchase_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: for each error event, the same user's EARLIEST
+    purchase at-or-after it ("did the error precede a purchase, and when")
+    — q101's mirror. Same one-shuffle union-timeline plan with the window
+    frame flipped to FOLLOWING + first IGNORE NULLS
+    (operators/asof.py:direction='forward'); the oracle is the correlated
+    min-subquery DuckDB decorrelates itself."""
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        errors, purchases, on="user_id", value_cols=["ts"], direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        F.col("ts_asof").cast("timestamp").alias("next_purchase_ts"),
+    ).orderBy("event_id")

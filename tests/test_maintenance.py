@@ -1,0 +1,47 @@
+"""Compaction / clustering maintenance operators (SCALE.md §7)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from data_engineer_capstone_spark.operators.maintenance import cluster_by, compact
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # simulate a fragmented table: 16 writer tasks for a tiny dataset
+    spark.range(10_000).repartition(16).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before == 16
+    stats = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(100_000).withColumnRenamed("id", "k")
+    cluster_by(df, path, ["k"], n_files=4)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # every file owns a disjoint slice of the key space -> footer min/max
+    # prunes whole files for selective predicates
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    assert spark.read.parquet(path).count() == 100_000

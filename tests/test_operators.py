@@ -201,6 +201,32 @@ def test_asof_join_tie_and_missing(spark):
     assert out["e3"] is None  # no right rows for the key
 
 
+def test_asof_join_forward_direction(spark):
+    """forward: earliest right row with right.ts >= left.ts; exact tie
+    matches; no later right row -> null."""
+    TS = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0), "e1"), (1, TS(2024, 1, 1, 11, 30), "e2"),
+         (1, TS(2024, 1, 1, 13, 0), "e3"), (2, TS(2024, 1, 1, 10, 0), "e4")],
+        "user_id int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0)), (1, TS(2024, 1, 1, 12, 0))],
+        "user_id int, ts timestamp_ntz",
+    )
+    out = {r.tag: r.ts_asof for r in asof_join(
+        left, right, on="user_id", value_cols=["ts"], direction="forward"
+    ).collect()}
+    assert out["e1"] == TS(2024, 1, 1, 10, 0)  # exact tie matches (>= semantics)
+    assert out["e2"] == TS(2024, 1, 1, 12, 0)  # next reading after the event
+    assert out["e3"] is None                   # nothing later
+    assert out["e4"] is None                   # no right rows for the key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", direction="nearest")
+
+
 def test_star_components_high_diameter_converges_fast(spark):
     """A 64-vertex path (diameter 63) resolves within 12 alternation
     rounds — the O(log n) bound that makes the star algorithm the scale

@@ -163,3 +163,22 @@ def test_deterministic_id_fact_scale_nulls_ordering(spark):
         pairs_a = sorted((r.k or "", r.id) for r in a.collect())
         pairs_b = sorted((r.k or "", r.id) for r in b.collect())
         assert pairs_a == pairs_b, f"nulls_first={nf}"
+
+
+def test_with_quality_observation_rides_main_action(spark):
+    """DQ metrics via observe(): computed by the SAME job as the caller's
+    action — job count must not grow vs the bare action."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id int, v string"
+    )
+    observed, obs = refops.with_quality_observation(df, "dq1", not_null=["v"])
+    sc.setJobGroup("obs-dq", "observe dq", interruptOnCancel=False)
+    try:
+        n = observed.count()
+    finally:
+        sc.setJobGroup("", "")
+    assert n == 3
+    assert obs.get == {"n_rows": 3, "nulls_v": 1}
+    jobs = sc.statusTracker().getJobIdsForGroup("obs-dq")
+    assert len(jobs) <= 2, f"observation spawned extra jobs: {len(jobs)}"
