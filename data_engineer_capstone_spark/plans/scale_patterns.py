@@ -352,3 +352,61 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
                COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_supps
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.format(dec="CAST(floor(l_extendedprice * 10000 + 0.5) / 10000 AS DECIMAL(18,4))"))
+
+
+# --------------------------------------------------- salted hot-key agg ----
+@query(
+    "q222_salted_hot_key_agg",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS k,
+               value
+        FROM events
+    )
+    SELECT k, COUNT(*) AS n,
+           {sql_money_sum('value', 'total')},
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM keyed GROUP BY k ORDER BY k
+    """,
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation for a pathologically hot key (half the
+    table shares one group). Phase 1 aggregates on (key, salt) — the hot
+    group's state spreads over 16 reducers instead of one; phase 2 merges
+    the 16 partials per key. The oracle runs the direct single-phase GROUP
+    BY — the hash match proves the decomposition (mergeable partials:
+    decimal SUM of SUMs, SUM of COUNTs, MIN/MAX of MINs/MAXs).
+
+    When it matters: Spark's partial (map-side) aggregation already
+    absorbs most skew for algebraic aggregates, but the REDUCE side still
+    funnels each key's partials to one task — fine at 16 partials/key,
+    fatal when per-key state is large (collect_list, exact distinct) or
+    when AQE skew handling is unavailable (it does not split skewed
+    AGGREGATE partitions, only joins). The salt is deterministic
+    (md5-derived), so the plan stays reproducible."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events")
+    keyed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "value",
+        (h64(F.col("event_id").cast("string")) % 16).alias("_salt"),
+    )
+    partial = keyed.groupBy("k", "_salt").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(_dec4(F.col("value"))).alias("sum_p"),
+        F.min("value").alias("lo_p"),
+        F.max("value").alias("hi_p"),
+    )
+    return (
+        partial.groupBy("k")
+        .agg(
+            F.sum("n_p").alias("n"),
+            F.round(F.sum("sum_p"), 2).cast("double").alias("total"),
+            F.min("lo_p").alias("lo"),
+            F.max("hi_p").alias("hi"),
+        )
+        .orderBy("k")
+    )
