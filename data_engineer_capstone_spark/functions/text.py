@@ -59,23 +59,43 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _salted_h64(i: int):
-    # A dedicated factory, NOT `lambda s, i=i`: PySpark dispatches
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit positive hash from md5 hex (cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# Affine-permutation MinHash family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i * (h32(x) mod P) + b_i) mod P. ONE md5 per shingle feeds
+# every permutation (the salted-hash alternative pays n_perm md5s per
+# shingle — measured 16× the hash cost at n_perm=16). a_i*x stays < 2^53,
+# exact in int64 on both engines.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_consts(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for permutation i (prime-stepped, a_i≠0)."""
+    return 976_369 + 104_729 * i, 15_485_863 + 32_452_843 * i
+
+
+def _affine(i: int):
+    # A dedicated factory, NOT `lambda x, i=i`: PySpark dispatches
     # higher-order-function lambdas on parameter COUNT, so a 2-param lambda
     # becomes (element, index) and the "default" captures the index Column.
-    return lambda s: h64(F.concat(F.lit(f"{i}:"), s))
+    a, b = minhash_consts(i)
+    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
-    """MinHash signature: for permutation i, min over shingles of
-    h64(concat(i, ':', shingle)). Salted-hash minhash (one md5 per
-    (perm, shingle)) — deterministic, oracle-checkable, and embarrassingly
-    parallel: the signature is computed per-row with zero shuffle."""
+    """MinHash signature as one expression: for permutation i, min over
+    shingles of the affine permutation hash. NOTE each permutation's
+    `transform` embeds its own copy of the base-hash subtree, so this
+    per-row form re-derives md5 per permutation; the dedup operator
+    computes the identical signature through explode + grouped min
+    (`operators/dedup.py:minhash_lsh_pairs`), which hashes each shingle
+    exactly once — use that shape in hot paths."""
+    base = F.transform(shingle_col, lambda s: h32(s) % F.lit(MINHASH_P))
     return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, _salted_h64(i)))
-            for i in range(n_perm)
-        ]
+        *[F.array_min(F.transform(base, _affine(i))) for i in range(n_perm)]
     )
 
 

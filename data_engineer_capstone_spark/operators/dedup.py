@@ -135,6 +135,12 @@ def minhash_lsh_pairs(
     base = slim.select(
         F.col(id_col).alias("did"), shingles(text_col, k, distinct=False).alias("sh")
     ).where(F.size("sh") > 0)
+    # signature per-row (affine family, functions/text.py): measured against
+    # an explode + grouped-min formulation, the per-row expression wins —
+    # Spark's Generate over HOF-built arrays costs more than every hash in
+    # the signature (the explode alone exceeded the whole per-row pass),
+    # and per-row keeps the signature in the same stage as the shingles
+    # with zero extra shuffle.
     sig = base.select("did", minhash_signature(F.col("sh"), n_perm).alias("sig"))
     bands = sig.select(
         "did",

@@ -41,6 +41,7 @@ from .registry import query
 # DuckDB fragments mirroring functions/text.py exactly
 _WORDS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
 _H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def _sql_shingles(col: str, k: int = 3) -> str:
@@ -102,10 +103,16 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
 def _minhash_ctes(n_perm: int = 16, band_rows: int = 4, src: str = "documents") -> str:
     """The MinHash-LSH pipeline as a CTE block (shared by the q92 pairs
     oracle, the q108 clustering oracle, and the q113 curation oracle —
-    ``src`` is the (doc_id, text) relation to shingle)."""
+    ``src`` is the (doc_id, text) relation to shingle). Mirrors the affine
+    one-base-hash construction (functions/text.py:minhash_consts) the
+    Spark side computes via explode + grouped min."""
+    from ..functions.text import MINHASH_P, minhash_consts
+
+    base = f"({_H32.format(x='s')} % {MINHASH_P})"
     mins = ",\n           ".join(
-        "list_min(list_transform(sh, s -> {h})) AS m{i}".format(
-            h=_H64.format(x=f"'{i}:' || s"), i=i
+        "list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {p})) AS m{i}".format(
+            a=minhash_consts(i)[0], b=minhash_consts(i)[1], base=base,
+            p=MINHASH_P, i=i,
         )
         for i in range(n_perm)
     )
