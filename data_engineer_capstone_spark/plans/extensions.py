@@ -173,9 +173,11 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query(
-    "q108_near_dup_clusters",
-    oracle=f"""
+def _clusters_oracle() -> str:
+    """Near-dup clusters via recursive transitive closure — shared by q108
+    (label-propagation CC) and q223 (large-star/small-star CC): both Spark
+    algorithms must land on the identical component labeling."""
+    return f"""
     WITH RECURSIVE {_minhash_ctes()},
     pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
     edges AS (
@@ -198,8 +200,10 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, canonical_id,
            COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
     FROM labeled ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("q108_near_dup_clusters", oracle=_clusters_oracle())
 def q108(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS from MinHash pairs: iterative min-label
     propagation (connected components) picks the smallest doc_id as each
@@ -2153,3 +2157,35 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.col("ts_asof").cast("timestamp").alias("next_purchase_ts"),
     ).orderBy("event_id")
+
+
+@query("q223_near_dup_clusters_star", oracle=_clusters_oracle())
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """q108's O(log n)-rounds twin: identical clustering contract (same
+    oracle — recursive transitive closure), computed with the
+    large-star/small-star alternation (Kiveris et al. SoCC'14) instead of
+    min-label propagation. Convergence is independent of component
+    diameter, so this is the variant to reach for when near-dup graphs
+    chain (boilerplate templates linking long document runs); q108's loop
+    is O(diameter) rounds and wins on small dense clusters. Oracle-pinning
+    BOTH proves the two distributed algorithms agree with each other and
+    with the sequential closure."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, n_perm=16, band_rows=4, threshold=0.8)
+    labels = connected_components_star(pairs, docs)
+    return (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .orderBy("doc_id")
+    )
