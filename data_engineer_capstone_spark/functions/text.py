@@ -85,18 +85,30 @@ def _affine(i: int):
     return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
-    """MinHash signature as one expression: for permutation i, min over
-    shingles of the affine permutation hash. NOTE each permutation's
-    `transform` embeds its own copy of the base-hash subtree, so this
-    per-row form re-derives md5 per permutation; the dedup operator
-    computes the identical signature through explode + grouped min
-    (`operators/dedup.py:minhash_lsh_pairs`), which hashes each shingle
-    exactly once — use that shape in hot paths."""
-    base = F.transform(shingle_col, lambda s: h32(s) % F.lit(MINHASH_P))
+def minhash_base_hashes(shingle_col: Column) -> Column:
+    """The shared base-hash array: h32(shingle) mod P per element. Project
+    this into its OWN select before `minhash_signature_from_hashes` — as a
+    multiply-referenced non-cheap alias Catalyst keeps the projection
+    un-collapsed, so every shingle is md5-hashed exactly once (inlining it
+    into each permutation's transform re-derives md5 n_perm times; the
+    plan shows one `md5` occurrence in the two-step form, n_perm inlined)."""
+    return F.transform(shingle_col, lambda s: h32(s) % F.lit(MINHASH_P))
+
+
+def minhash_signature_from_hashes(hash_col: Column | str, n_perm: int = 32) -> Column:
+    """Signature from a precomputed base-hash array column: permutation i
+    is min over (a_i * h + b_i) mod P — pure integer transforms."""
     return F.array(
-        *[F.array_min(F.transform(base, _affine(i))) for i in range(n_perm)]
+        *[F.array_min(F.transform(hash_col, _affine(i))) for i in range(n_perm)]
     )
+
+
+def minhash_signature(shingle_col: Column, n_perm: int = 32) -> Column:
+    """MinHash signature as one expression (convenience form — re-derives
+    the base hash per permutation; hot paths should project
+    ``minhash_base_hashes`` separately and use
+    ``minhash_signature_from_hashes``, as the dedup operator does)."""
+    return minhash_signature_from_hashes(minhash_base_hashes(shingle_col), n_perm)
 
 
 def stopword_hits(col: Column | str, lang: str) -> Column:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import h64, minhash_signature, shingles, words
+from ..functions.text import h64, shingles, words
 
 
 def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -140,8 +140,12 @@ def minhash_lsh_pairs(
     # Spark's Generate over HOF-built arrays costs more than every hash in
     # the signature (the explode alone exceeded the whole per-row pass),
     # and per-row keeps the signature in the same stage as the shingles
-    # with zero extra shuffle.
-    sig = base.select("did", minhash_signature(F.col("sh"), n_perm).alias("sig"))
+    # with zero extra shuffle. The base-hash array is projected in its own
+    # select so each shingle is md5-hashed ONCE across all permutations.
+    from ..functions.text import minhash_base_hashes, minhash_signature_from_hashes
+
+    hv = base.select("did", minhash_base_hashes(F.col("sh")).alias("hv"))
+    sig = hv.select("did", minhash_signature_from_hashes("hv", n_perm).alias("sig"))
     bands = sig.select(
         "did",
         F.explode(
