@@ -40,10 +40,15 @@ def brute_force_topk(
     Deterministic: ranking on the (deterministically rounded) cosine with
     candidate-id tie-break.
     """
+    from .dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = candidates.select(
+    # the candidate side streams through the nested loop — spread it so the
+    # O(|q|·|c|·dim) cosine math isn't serialized onto the scan's (possibly
+    # single) input split
+    c = _spread(candidates, [id_col, vec_col]).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -70,8 +75,13 @@ def cosine_pairs(
     """Exact pairs with cosine >= threshold (embedding-cosine near-dup).
 
     O(n²) pair space — correct tool only for bounded n (verification,
-    per-bucket re-scoring). The scale path buckets first (lsh_ann_topk)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    per-bucket re-scoring). The scale path buckets first (lsh_ann_topk).
+    The streamed side is spread to full parallelism first — the quadratic
+    cosine work must not inherit a single-split scan's task count."""
+    from .dedup import _spread
+
+    spread_df = _spread(df, [id_col, vec_col])
+    a = spread_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
