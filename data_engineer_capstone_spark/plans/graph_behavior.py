@@ -328,11 +328,20 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q205(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary per user, quartiled
-    with NTILE over a total order (user_id tiebreak makes the tile
-    assignment deterministic), then segment population counts. Monetary
-    sums cents as exact bigints. The NTILE over a global order is the one
-    single-partition stage — at scale it would be replaced by
-    approx-quantile cut points; this is the exact-contract variant."""
+    over a total order (user_id tiebreak makes the tile assignment
+    deterministic), then segment population counts. Monetary sums cents
+    as exact bigints.
+
+    The quartiles are EXACT NTILE semantics but fully distributed (the
+    q218 pattern): per metric, a global rank via the zipWithIndex shape
+    (`deterministic_id(fact_scale=True)` — range partition, per-partition
+    row_number, prefix-sum offsets) and the closed form
+    ``floor((rank-1)·4/n)+1``. DESC metrics rank on the negated value.
+    No partitionless window anywhere (round-1 finding #4's class,
+    enforced by tools/audit_plans.py); the oracle stays the plain NTILE
+    SQL, hash-exact."""
+    from ..functions.refops import deterministic_id
+
     ev = load_table(spark, sf, "events")
     mx = ev.agg(F.max("ts").alias("mx"))
     rfm = (
@@ -346,12 +355,17 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(F.broadcast(mx))
         .withColumn("recency_days", F.datediff(F.col("mx"), F.col("last_ts")))
+        .withColumn("neg_f", -F.col("frequency"))
+        .withColumn("neg_m", -F.col("monetary_c"))
     )
-    scored = rfm.select(
-        "user_id",
-        F.ntile(4).over(W.orderBy("recency_days", "user_id")).alias("r"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary_c"), "user_id")).alias("m"),
+    ranked = deterministic_id(rfm, ["recency_days", "user_id"], name="rnk_r", fact_scale=True)
+    ranked = deterministic_id(ranked, ["neg_f", "user_id"], name="rnk_f", fact_scale=True)
+    ranked = deterministic_id(ranked, ["neg_m", "user_id"], name="rnk_m", fact_scale=True)
+    total = ranked.agg(F.count(F.lit(1)).alias("n_tot"))
+    scored = ranked.crossJoin(F.broadcast(total)).select(
+        (F.expr("((rnk_r - 1) * 4) div n_tot").cast("int") + 1).alias("r"),
+        (F.expr("((rnk_f - 1) * 4) div n_tot").cast("int") + 1).alias("f"),
+        (F.expr("((rnk_m - 1) * 4) div n_tot").cast("int") + 1).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

@@ -89,6 +89,40 @@ MARKERS = [
 ]
 STREAMING = {"q80", "q81", "q82", "q83", "q84", "q85"}
 
+# Queries ALLOWED to run a partitionless (single-task) window: only those
+# whose docstring declares the exact-global contract and registers a
+# distributed twin. Everything else funneling a table through one window
+# partition is a scale bug (round-1 finding #3).
+GLOBAL_WINDOW_OK = {
+    "q210_equi_depth_histogram",  # exact-contract twin of distributed q218
+    # global windows over PROVABLY BOUNDED pre-aggregated inputs (the raw
+    # table is reduced by a hash aggregate first; docstrings state the
+    # bound): 25 (region,nation) rows; O(weeks) rows; lookup-dim ids in
+    # the q70-q72 pipeline (worker, the fact-scale table, uses
+    # fact_scale=True partition-offset ids)
+    "q174_contribution",
+    "q175_new_vs_returning",
+    "q72_time_fact_accumulation",
+    "q73_dq_checks",
+}
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Window operator lines with NO partition spec. The executed-plan
+    string renders `Window [exprs], [partitionCols], [orderCols]`, where
+    either trailing group may be absent: two groups → partitioned+ordered;
+    one group → partitioned-only (bare cols) OR global-ordered (cols carry
+    ASC/DESC); zero groups → global-unordered. Flag the global forms."""
+    out = []
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln or "Window" not in ln:
+            continue
+        n = ln.count("], [")
+        tail = ln.rsplit("], [", 1)[-1] if n else ""
+        if n == 0 or (n == 1 and (" ASC" in tail or " DESC" in tail)):
+            out.append(ln.strip()[:120])
+    return out
+
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -101,9 +135,11 @@ def main() -> int:
         plan = df._jdf.queryExecution().executedPlan().toString()
         found = {m for m in MARKERS if m in plan}
         unexpected = found - EXPECTED.get(name, set())
-        status = "UNEXPECTED " + " ".join(sorted(unexpected)) if unexpected else "ok"
+        gw = [] if name in GLOBAL_WINDOW_OK else global_window_lines(plan)
+        flags = sorted(unexpected) + (["GLOBAL-WINDOW"] if gw else [])
+        status = "UNEXPECTED " + " ".join(flags) if flags else "ok"
         print(f"{name:35s} exch={plan.count('Exchange'):2d} {status}")
-        bad += bool(unexpected)
+        bad += bool(flags)
     print(f"\n{bad} queries with unexpected operators")
     return 1 if bad else 0
 
