@@ -285,21 +285,27 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+
+    def _hop(lab: DataFrame, with_chg: bool) -> DataFrame:
         nmin = (
-            e.join(labels, e.dst == labels.id)
+            e.join(lab, e.dst == lab.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         newlab = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
-        new = (
-            labels.join(nmin, labels.id == nmin.src, "left")
-            .select(
-                labels.id.alias("id"),
-                newlab.alias("label"),
-                (newlab < F.col("label")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+        cols = [lab.id.alias("id"), newlab.alias("label")]
+        if with_chg:
+            cols.append((newlab < F.col("label")).alias("_chg"))
+        return lab.join(nmin, lab.id == nmin.src, "left").select(*cols)
+
+    # two propagation hops per materialized round: halves the
+    # checkpoint+probe fixed cost per hop. Convergence is read off the
+    # SECOND hop only — "hop 2 changed nothing" means its input (hop 1's
+    # output) was already a fixed point, and then hop 2's output equals
+    # hop 1's, so returning it is exact.
+    for _ in range(max_iter):
+        new = _hop(_hop(labels, with_chg=False), with_chg=True).localCheckpoint(
+            eager=True
         )
         converged = new.filter(F.col("_chg")).isEmpty()
         labels = new.drop("_chg")
