@@ -65,6 +65,45 @@ def sql_money_sum(expr: str, alias: str) -> str:
     return f"CAST(ROUND(SUM({_sql_dec4(expr)}), 2) AS DOUBLE) AS {alias}"
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division for nonnegative longs (b > 0). Subtracting the
+    remainder first makes the double division exact (an exactly divisible
+    quotient of integers < 2^53 has no rounding error), so this never hits
+    the floor(4.9999…) trap of a plain ``(a / b).cast("long")``."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` from a precomputed 1-based global rank and the
+    row total, for plans that mint the rank distributedly (the zipWithIndex
+    shape) instead of a partitionless window.
+
+    SQL NTILE semantics: with ``q = n div k`` and ``r = n mod k``, the first
+    ``r`` buckets hold ``q+1`` rows and the remaining ``k-r`` hold ``q``
+    rows. Closed form::
+
+        bucket = (rank-1) div (q+1) + 1              if rank <= r*(q+1)
+               = r + (rank-1 - r*(q+1)) div q + 1    otherwise
+
+    The naive ``(rank-1)*k div n + 1`` is NOT NTILE — it spreads the extra
+    rows Bresenham-style across the buckets and diverges whenever
+    ``n mod k`` ∈ {2..k-2} (the round-2 ADVICE high finding). The else
+    branch's divisor is ``greatest(q, 1)``: when n < k (q = 0) every rank
+    satisfies the first branch, so the guard only silences a div-by-zero on
+    a branch that is never taken."""
+    rank = rank.cast("long")
+    n = n.cast("long")
+    kq = F.lit(int(k)).cast("long")
+    q = _idiv(n, kq)
+    r = n % kq
+    cut = r * (q + 1)
+    return (
+        F.when(rank <= cut, _idiv(rank - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rank - 1 - cut, F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
 def sql_money_avg(expr: str, alias: str) -> str:
     q = f"CAST(SUM({_sql_dec4(expr)}) AS DOUBLE) / COUNT({expr})"
     return f"{sql_round_det(q, 2)} AS {alias}"

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import round_det, sql_round_det
+from ._util import ntile_from_rank, round_det, sql_round_det
 from .registry import query
 
 # Undirected co-purchase edges: parts appearing in the same order, a < b,
@@ -335,11 +335,14 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     The quartiles are EXACT NTILE semantics but fully distributed (the
     q218 pattern): per metric, a global rank via the zipWithIndex shape
     (`deterministic_id(fact_scale=True)` — range partition, per-partition
-    row_number, prefix-sum offsets) and the closed form
-    ``floor((rank-1)·4/n)+1``. DESC metrics rank on the negated value.
-    No partitionless window anywhere (round-1 finding #4's class,
-    enforced by tools/audit_plans.py); the oracle stays the plain NTILE
-    SQL, hash-exact."""
+    row_number, prefix-sum offsets) and `_util.ntile_from_rank`, the true
+    NTILE closed form (first n mod 4 buckets take the extra row). The old
+    ``floor((rank-1)·4/n)+1`` form was NOT NTILE and diverged whenever the
+    user count ≡ 2 (mod 4) — e.g. the 150 users at sf0.01 (round-2 ADVICE
+    high finding; regression-tested in tests/test_refops.py). DESC metrics
+    rank on the negated value. No partitionless window anywhere (round-1
+    finding #4's class, enforced by tools/audit_plans.py); the oracle
+    stays the plain NTILE SQL, hash-exact."""
     from ..functions.refops import deterministic_id
 
     ev = load_table(spark, sf, "events")
@@ -363,9 +366,9 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     ranked = deterministic_id(ranked, ["neg_m", "user_id"], name="rnk_m", fact_scale=True)
     total = ranked.agg(F.count(F.lit(1)).alias("n_tot"))
     scored = ranked.crossJoin(F.broadcast(total)).select(
-        (F.expr("((rnk_r - 1) * 4) div n_tot").cast("int") + 1).alias("r"),
-        (F.expr("((rnk_f - 1) * 4) div n_tot").cast("int") + 1).alias("f"),
-        (F.expr("((rnk_m - 1) * 4) div n_tot").cast("int") + 1).alias("m"),
+        ntile_from_rank(F.col("rnk_r"), F.col("n_tot"), 4).alias("r"),
+        ntile_from_rank(F.col("rnk_f"), F.col("n_tot"), 4).alias("f"),
+        ntile_from_rank(F.col("rnk_m"), F.col("n_tot"), 4).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

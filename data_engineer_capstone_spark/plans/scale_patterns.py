@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import DEC, _dec4, _sql_dec4, money_sum, sql_money_sum
+from ._util import DEC, _dec4, _sql_dec4, money_sum, ntile_from_rank, sql_money_sum
 from .registry import query
 
 
@@ -154,9 +154,12 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
     minted with the zipWithIndex shape (range-repartition on the sort key,
     per-partition row_number, broadcast prefix-sum offsets —
     `functions/refops.py:deterministic_id(fact_scale=True)`), then the
-    decile comes from NTILE's closed form over (rank, total):
-    ``floor((rank-1)*k/n) + 1`` — the first ``n mod k`` buckets take the
-    extra row, exactly as SQL NTILE assigns them. The total is a one-row
+    decile comes from `_util.ntile_from_rank`, the exact NTILE closed form
+    over (rank, total): with q = n div 10 and r = n mod 10 the first r
+    buckets hold q+1 rows. (The earlier ``floor((rank-1)*k/n)+1`` form was
+    NOT NTILE — it only matched because every test SF's order count is
+    divisible by 10; round-2 ADVICE medium finding, regression-tested at a
+    non-divisible count in tests/test_refops.py.) The total is a one-row
     broadcast. Every stage is bounded by a partition, so the same plan
     histograms a 100 TB column; the cheaper-but-approximate alternative
     (approx_percentile cut points + bin join) trades the exact-count
@@ -172,8 +175,7 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(total))
         .select(
             "o_totalprice",
-            # integer div, not double: boundary ranks must not float-round
-            (F.expr("((rnk - 1) * 10) div n_tot").cast("int") + 1).alias("decile"),
+            ntile_from_rank(F.col("rnk"), F.col("n_tot"), 10).alias("decile"),
         )
         .groupBy("decile")
         .agg(

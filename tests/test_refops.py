@@ -182,3 +182,32 @@ def test_with_quality_observation_rides_main_action(spark):
     assert obs.get == {"n_rows": 3, "nulls_v": 1}
     jobs = sc.statusTracker().getJobIdsForGroup("obs-dq")
     assert len(jobs) <= 2, f"observation spawned extra jobs: {len(jobs)}"
+
+
+def test_ntile_from_rank_matches_sql_ntile_all_residues(spark):
+    """The exact-NTILE closed form must agree with Spark's NTILE window for
+    EVERY residue n mod k — including the n ≡ 2 (mod 4) and n mod 10 ∈
+    {2..8} counts where the old Bresenham form diverged (round-2 ADVICE
+    high/medium findings: q205 at sf0.01 has 150 users, 150 % 4 == 2)."""
+    from pyspark.sql import Window as W
+
+    from data_engineer_capstone_spark.plans._util import ntile_from_rank
+
+    for k, ns in ((4, [1, 2, 3, 5, 6, 150, 151]), (10, [7, 12, 153, 155, 158])):
+        for n in ns:
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rank"), F.lit(n).alias("n_tot")
+            )
+            got = {
+                r["rank"]: r["b"]
+                for r in df.select(
+                    "rank", ntile_from_rank(F.col("rank"), F.col("n_tot"), k).alias("b")
+                ).collect()
+            }
+            want = {
+                r["rank"]: r["b"]
+                for r in df.select(
+                    "rank", F.ntile(k).over(W.orderBy("rank")).alias("b")
+                ).collect()
+            }
+            assert got == want, f"k={k} n={n}: closed form != SQL NTILE"
