@@ -49,7 +49,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # only — at real scale the gate never trips and load_table is pure planning).
 _PERSIST_MAX_BYTES = 64 * 1024 * 1024
 
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Session-unique cache key. ``id(spark)`` is NOT unique across a
+    session's lifetime: after a stop+GC a new session can reuse the same
+    id() and receive cached DataFrames bound to the dead JVM state
+    (round-2 ADVICE). applicationId+startTime is unique per SparkContext."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
 
 
 def _cache_mode() -> str:
@@ -80,7 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if _cache_mode() == "off":
         return _read_table(spark, path, name)
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    key = (_session_key(spark), os.path.abspath(sf_dir), name)
     df = _DF_CACHE.get(key)
     if df is None:
         df = _read_table(spark, path, name)

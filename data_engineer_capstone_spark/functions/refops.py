@@ -174,12 +174,26 @@ def deterministic_id(
       dims, small lookups), where it saves the extra jobs below.
     - ``fact_scale=True``: the `zipWithIndex` shape, fully distributed.
       Range-repartition on the key (global order across partitions, rows
-      sorted within), count rows per partition (one tiny job — O(partitions)
-      rows to the driver), prefix-sum those counts into offsets, then
-      id = offset[partition] + row_number within the partition. No window
-      ever sees more than one partition's rows; the offset lookup is a
-      literal map, not a join. Used for the person-level worker table
-      (fact-scale at 100 TB).
+      sorted within), count rows per partition (one tiny job —
+      O(partitions) rows to the driver), prefix-sum those counts into
+      offsets, then id = offset[partition] + row_number within the
+      partition. No window ever sees more than one partition's rows; the
+      offset lookup is a literal map, not a join.
+
+      The ranged frame is persisted ONLY as scaffolding: the range
+      exchange samples its partition boundaries independently per
+      materialization (ReuseExchange does not apply across the two
+      separate jobs — verified empirically: unpersisted twin exchanges
+      minted 311 duplicate ids at sf0.01), so the counts job and the
+      output projection must read the same materialization. The output is
+      eagerly truncated with ``localCheckpoint(eager=True)`` and the
+      scaffolding is released immediately (the round-2 ADVICE leak fix:
+      the old form persisted and never released — q205 mints ids three
+      times per run). The checkpointed result lives in executor storage
+      until the caller's DataFrame is garbage-collected, which is
+      Spark's normal ContextCleaner lifecycle, and recomputation is
+      impossible (lineage is cut), so released scaffolding can never
+      cause a boundary resample.
     """
     from pyspark.sql import Window as W
 
@@ -193,33 +207,36 @@ def deterministic_id(
 
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist so the two jobs (offset count + final projection) see the same
-    # range-partitioner sample → identical partition boundaries
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r["_pid"]: r["n"] for r in
-              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        )[F.col("_pid")]
-    else:  # empty input — map() is untyped (VOID) and won't analyze
-        off_map = F.lit(0)
-    w = W.partitionBy("_pid").orderBy(*cols)
-    return (
-        ranged.withColumn(
-            name,
-            (F.row_number().over(w).cast("long") + off_map),
+    try:
+        counts = {r["_pid"]: r["n"] for r in
+                  ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            )[F.col("_pid")]
+        else:  # empty input — map() is untyped (VOID) and won't analyze
+            off_map = F.lit(0)
+        w = W.partitionBy("_pid").orderBy(*cols)
+        out = (
+            ranged.withColumn(
+                name,
+                (F.row_number().over(w).cast("long") + off_map),
+            )
+            .drop("_pid")
+            .localCheckpoint(eager=True)
         )
-        .drop("_pid")
-    )
+    finally:
+        ranged.unpersist(blocking=True)
+    return out
 
 
 def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:

@@ -67,8 +67,11 @@ def h32(col: Column) -> Column:
 # Affine-permutation MinHash family over the Mersenne prime 2^31-1:
 # h_i(x) = (a_i * (h32(x) mod P) + b_i) mod P. ONE md5 per shingle feeds
 # every permutation (the salted-hash alternative pays n_perm md5s per
-# shingle — measured 16× the hash cost at n_perm=16). a_i*x stays < 2^53,
-# exact in int64 on both engines.
+# shingle — measured 16× the hash cost at n_perm=16). Exactness bound:
+# a_i*(P-1)+b_i < 2^63 for every supported i (at the default n_perm=32,
+# a_31*(P-1) ≈ 9.1e15), so the arithmetic is exact in int64 — which is how
+# BOTH engines evaluate it (Spark long, DuckDB BIGINT). It does NOT stay
+# under 2^53, so a double-arithmetic engine would need smaller constants.
 MINHASH_P = 2_147_483_647
 
 

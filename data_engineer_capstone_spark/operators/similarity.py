@@ -94,6 +94,65 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed cosine near-dup pairs — the scale twin of ``cosine_pairs``
+    (round-2 VERDICT next #1): hyperplane-LSH buckets replace the O(n²)
+    pair space with per-(table, bucket) equi-join candidates, which are
+    then EXACT cosine-verified — same schema and per-pair scores as
+    ``cosine_pairs``, minus pairs that collide in no table (the LSH
+    s-curve: P(candidate) = 1-(1-(1-θ/π)^n_planes)^n_tables; recall is
+    measured against the exact baseline in tests).
+
+    Scale shape mirrors minhash_lsh_pairs: the bucket join ships only slim
+    (id, table, bucket) rows — n_tables per vector, never the embedding
+    array; candidate pairs are distinct-ed and the vectors re-fetched by a
+    candidate-bounded equi-join, O(candidates) not O(corpus). Skewed
+    buckets split via AQE; a degenerate mega-bucket is bounded the q92 way
+    (cap candidates per bucket) if a corpus ever needs it.
+    """
+    from .dedup import _spread
+
+    bucketed = add_hyperplane_buckets(
+        _spread(df, [id_col, vec_col]), dim, n_planes, n_tables, vec_col=vec_col
+    )
+    slim = bucketed.select(
+        F.col(id_col).alias("did"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("vid"), F.col("v").alias("va")), cand.id_a == F.col("vid"))
+        .drop("vid")
+        .join(vecs.select(F.col("vid"), F.col("v").alias("vb")), cand.id_b == F.col("vid"))
+        .drop("vid")
+        .select(
+            "id_a",
+            "id_b",
+            _rounded_cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def add_hyperplane_buckets(
     df: DataFrame,
     dim: int,

@@ -339,3 +339,80 @@ def test_real_decode_path_when_codec_present():
     assert meta == {"height": 7, "width": 5, "channels": 3}
     out = mm.resize_image(buf.getvalue(), 7, 5, (4, 4))
     assert len(out) == 4 * 4 * 3
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark, sf_dir):
+    """q224's generator: emitted pairs must be a SUBSET of the exact
+    cosine_pairs output with identical (deterministically rounded) scores —
+    LSH bucketing can only lose candidates, never invent one (exact
+    verify) — and recall against the exact baseline must clear the floor
+    for the seeded deterministic config (all corpus pairs sit in the
+    0.45-0.55 band, the hardest case for the s-curve)."""
+    from data_engineer_capstone_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in cosine_pairs(emb, threshold=0.45).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos_sim
+           for r in cosine_pairs_lsh(
+               emb, dim=64, threshold=0.45, n_planes=4, n_tables=16
+           ).collect()}
+    assert set(lsh) <= set(exact), "LSH emitted a pair the exact baseline lacks"
+    for pair, sim in lsh.items():
+        assert sim == exact[pair], f"score mismatch on {pair}"
+    recall = len(lsh) / len(exact) if exact else 1.0
+    assert recall >= 0.8, f"LSH pair recall too low: {recall}"
+    # determinism: seeded planes -> identical candidates on re-run
+    again = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(
+        emb, dim=64, threshold=0.45, n_planes=4, n_tables=16).collect()}
+    assert set(lsh) == again
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """A boilerplate mega-bucket (every doc sharing one band key) is the
+    classic MinHash production incident: the capped run must drop the
+    over-cap band rows (counted via observe on the SAME action), emit only
+    exact-verified pairs, and produce a candidate set that is a subset of
+    the uncapped run's."""
+    from pyspark.sql import Observation
+
+    from data_engineer_capstone_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail{i % 3}") for i in range(120)]
+    rows += [(1000 + i, f"totally unrelated document number {i} with unique words {i*7}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    obs = Observation("lsh_drops")
+    capped_df = minhash_lsh_pairs(
+        docs, threshold=0.8, max_bucket_size=30, drop_observation=obs
+    )
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    assert obs.get["dropped_band_rows"] > 0, "cap never triggered on the mega-bucket"
+    assert capped <= uncapped
+    # the mega-bucket (120 boilerplate docs in every band) is fully over
+    # cap, so the capped candidate space collapses
+    assert len(capped) < len(uncapped)
+
+
+def test_ngram_df_cap_guard(spark):
+    """df_cap drops over-frequent shingles from the inverted index: capped
+    output is a subset of the uncapped (Jaccard only under-estimates), and
+    pairs sharing ONLY boilerplate shingles disappear."""
+    from data_engineer_capstone_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "standard license header text "
+    rows = [(i, boiler + f"unique body {i} content {i * 13}") for i in range(40)]
+    rows += [(100, boiler + "shared tail alpha"), (101, boiler + "shared tail alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in ngram_jaccard_pairs(docs, threshold=0.5, df_cap=10).collect()}
+    assert capped <= uncapped
+    assert (100, 101) in uncapped  # true near-dup pair exists either way

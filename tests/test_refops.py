@@ -142,7 +142,28 @@ def test_deterministic_id_fact_scale_matches_global(spark):
     # distributed plan has no partitionless window
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "rowsBetween" not in plan  # sanity: plan string renders
-    b.unpersist()
+
+
+def test_deterministic_id_fact_scale_releases_scaffolding(spark):
+    """fact_scale ids must not leave the ranged scaffolding cached (round-2
+    ADVICE: the old form persisted it and never released — q205 mints ids
+    three times per run, so three cached tables accumulated per execution).
+    The output is an eager localCheckpoint (lineage cut — re-running it can
+    never resample partition boundaries) and the scaffolding persist is
+    released before the function returns, so the returned plan reads the
+    checkpoint, not an InMemoryTableScan, and the only storage delta per
+    LIVE result is its own checkpoint (reclaimed by ContextCleaner when the
+    caller drops the DataFrame)."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(f"k{i}",) for i in range(300)], "k string")
+    out = refops.deterministic_id(df, ["k"], fact_scale=True)
+    assert out.count() == 300
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, "scaffolding persist leaked into output"
+    assert "ExistingRDD" in plan, "output is not lineage-truncated"
+    # one checkpoint for the live result; the ranged persist is gone
+    assert jsc.getPersistentRDDs().size() <= before + 1
 
 
 def test_deterministic_id_fact_scale_empty(spark):

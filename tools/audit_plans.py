@@ -34,8 +34,17 @@ EXPECTED = {
     "q218_equi_depth_histogram_distributed": {"BroadcastNestedLoopJoin"},
     "q220_unigram_surprisal": {"BroadcastNestedLoopJoin"},
     # brute-force cosine pair join is the declared exact baseline (q95
-    # class); the min-neighbor left join is keyed SMJ until AQE converts
+    # class); the min-neighbor left join is keyed SMJ until AQE converts.
+    # Scale twin: q224 (hyperplane-LSH bucketed pair generation, keyed
+    # equi-join — registered rows-only, recall-pinned in tests)
     "q219_semantic_dedup_onehop": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # LSH bucket self-join + candidate vector re-fetch: keyed equi-joins,
+    # post-mapInPandas stats unknown → static SMJ, AQE broadcasts if small;
+    # the bucketing itself is the Arrow-batched mapInPandas projection
+    "q224_semantic_dedup_lsh": {"SortMergeJoin", "ArrowEvalPython"},
+    # pigeonhole block self-join on (block, value): keyed equi-join over
+    # the O(n·(b+1)) slim block rows — SMJ is the at-scale plan
+    "q225_simhash_pairs": {"SortMergeJoin"},
     "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
     "q26_range_join": {"BroadcastNestedLoopJoin"},  # theta join, bounded side
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
