@@ -534,9 +534,9 @@ def connected_components_star(
       smaller neighbors (and itself) to the minimum — consolidates into
       stars.
     Fixed point = a star per component (every vertex directly attached to
-    its component min). Per round: two groupBy shuffles + two joins + a
-    distinct; ``localCheckpoint`` cuts lineage (production: reliable
-    ``checkpoint``).
+    its component min). Per round: two groupBy shuffles + two joins + one
+    full-outer convergence probe (a single ``isEmpty`` action);
+    ``localCheckpoint`` cuts lineage (production: reliable ``checkpoint``).
     """
     canon = (
         edges.select(
@@ -580,10 +580,22 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # e is already distinct and every row has a > b (small-star attaches
+        # strictly-larger vertices to the minimum), so the least/greatest
+        # swap is a 1-1 relabel — no extra distinct shuffle needed.
         new_canon = e.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        ).distinct()
-        if new_canon.exceptAll(canon).isEmpty() and canon.exceptAll(new_canon).isEmpty():
+        )
+        # single-probe convergence: one full-outer join on the canonical edge
+        # key with presence markers — symmetric difference empty ⟺ fixed
+        # point. One shuffle + one isEmpty per round (round 2 paid two
+        # exceptAll shuffles + two driver actions here).
+        sym_diff = (
+            new_canon.withColumn("_new", F.lit(1))
+            .join(canon.withColumn("_old", F.lit(1)), ["a", "b"], "full_outer")
+            .filter(F.col("_new").isNull() | F.col("_old").isNull())
+        )
+        if sym_diff.isEmpty():
             # fixed point: e is a star forest, a (child, root) mapping
             stars = e.select(
                 F.greatest("a", "b").alias("id"), F.least("a", "b").alias("label")

@@ -241,6 +241,33 @@ def test_star_components_high_diameter_converges_fast(spark):
     assert labels == {i: 0 for i in range(n)}
 
 
+def test_star_components_driver_action_budget(spark):
+    """The star loop's convergence probe must stay at ONE driver action per
+    round (full-outer symmetric-difference isEmpty) — round 2 paid two
+    exceptAll shuffles + two isEmpty actions, two extra shuffles a round.
+    With the single probe the measured job total for this graph is 54
+    (each AQE shuffle stage counts as a job); the round-2 double-probe
+    shape measures 60, so the bound below trips if it comes back."""
+    from data_engineer_capstone_spark.operators.dedup import connected_components_star
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, 7)] + [(10,), (11,)], "doc_id long"
+    )
+    sc.setJobGroup("star-budget", "star action budget", interruptOnCancel=False)
+    try:
+        labels = {r.id: r.label for r in
+                  connected_components_star(edges, vertices, id_col="doc_id").collect()}
+    finally:
+        sc.setJobGroup("", "")
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    jobs = sc.statusTracker().getJobIdsForGroup("star-budget")
+    assert len(jobs) <= 57, f"driver-action blowup: {len(jobs)} jobs"
+
+
 def test_quality_checks_crafted_violations(spark):
     from data_engineer_capstone_spark.operators.quality import (
         fused_row_checks,
