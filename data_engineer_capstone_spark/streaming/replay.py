@@ -83,17 +83,43 @@ def read_stream(spark: SparkSession, sf_dir: str, n_batches: int = 1) -> DataFra
     return reader
 
 
-def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_table(
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory sink
-    and return the result as a batch DataFrame."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    and return the result as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful exchange. Unlike batch shuffles
+    (where AQE coalesces at runtime), a streaming query's state-partition
+    count is FIXED at checkpoint creation and each partition carries real
+    per-micro-batch overhead (an HDFSBackedStateStore instance, delta +
+    snapshot files, maintenance work) — so it must be sized to expected
+    state rows, not inherited from the batch shuffle default. Measured here:
+    the tumbling-window agg over 100k events runs 6-10 s with 32 state
+    partitions and ~1.2 s with 8 (batch floor 1.24 s) — the 5× gap is pure
+    per-partition state-store fixed cost. At cluster scale set
+    SPARK_GRAFT_STREAM_SHUFFLE to executor-count × cores (state rows per
+    partition stay bounded; repartitioning state later requires a new
+    checkpoint). ``None`` keeps the session's shuffle setting.
+    """
     spark = stream_df.sparkSession
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        state_partitions = int(env)
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     return spark.table(name)
