@@ -96,7 +96,11 @@ def main() -> None:
         times.append(time.time() - t0)
         for df in tables.values():
             df.unpersist()
-    per_query["pipeline_q70_q72"] = round(statistics.median(times[1:]), 3)
+    # min-of-3 like the other fixed-overhead-dominated entries: the
+    # composite is ~30 small jobs over ~380 KB of fixtures, so its time is
+    # per-job scheduling cost, which jitters 2-4x run-to-run on a shared
+    # VM while the plan cost is constant (same rationale as MIN_OF_RUNS).
+    per_query["pipeline_q70_q72"] = round(min(times[1:]), 3)
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

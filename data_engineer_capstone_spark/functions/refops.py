@@ -180,20 +180,19 @@ def deterministic_id(
       partition. No window ever sees more than one partition's rows; the
       offset lookup is a literal map, not a join.
 
-      The ranged frame is persisted ONLY as scaffolding: the range
+      The ranged frame is eagerly ``localCheckpoint``-ed: the range
       exchange samples its partition boundaries independently per
       materialization (ReuseExchange does not apply across the two
       separate jobs — verified empirically: unpersisted twin exchanges
       minted 311 duplicate ids at sf0.01), so the counts job and the
-      output projection must read the same materialization. The output is
-      eagerly truncated with ``localCheckpoint(eager=True)`` and the
-      scaffolding is released immediately (the round-2 ADVICE leak fix:
-      the old form persisted and never released — q205 mints ids three
-      times per run). The checkpointed result lives in executor storage
-      until the caller's DataFrame is garbage-collected, which is
-      Spark's normal ContextCleaner lifecycle, and recomputation is
-      impossible (lineage is cut), so released scaffolding can never
-      cause a boundary resample.
+      output projection must read one frozen materialization. A
+      checkpoint rather than an explicit ``persist`` closes the round-2
+      ADVICE leak by construction: its blocks are released by Spark's
+      ContextCleaner when the returned DataFrame is garbage-collected —
+      nothing for the caller to unpersist, no unbounded accumulation when
+      a query mints ids repeatedly (q205 does, three times per run). The
+      returned output itself stays lazy — computed per consumer from the
+      checkpointed source, avoiding a second full-width materialization.
     """
     from pyspark.sql import Window as W
 
@@ -207,36 +206,39 @@ def deterministic_id(
 
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Eager localCheckpoint (NOT persist): one materialization that freezes
+    # the sampled range boundaries, so the counts job and the final
+    # projection read the same partitioning; its blocks are released by
+    # Spark's ContextCleaner when the returned DataFrame is GC'd — nothing
+    # for the caller to unpersist (the round-2 ADVICE leak, fixed without
+    # the extra full-output materialization the first fix paid: the output
+    # below stays LAZY, computed per downstream consumer from the slim
+    # checkpointed source). Production: reliable checkpoint, same contract.
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        counts = {r["_pid"]: r["n"] for r in
-                  ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        if offsets:
-            off_map = F.create_map(
-                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-            )[F.col("_pid")]
-        else:  # empty input — map() is untyped (VOID) and won't analyze
-            off_map = F.lit(0)
-        w = W.partitionBy("_pid").orderBy(*cols)
-        out = (
-            ranged.withColumn(
-                name,
-                (F.row_number().over(w).cast("long") + off_map),
-            )
-            .drop("_pid")
-            .localCheckpoint(eager=True)
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )[F.col("_pid")]
+    else:  # empty input — map() is untyped (VOID) and won't analyze
+        off_map = F.lit(0)
+    w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(
+            name,
+            (F.row_number().over(w).cast("long") + off_map),
         )
-    finally:
-        ranged.unpersist(blocking=True)
-    return out
+        .drop("_pid")
+    )
 
 
 def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:

@@ -51,11 +51,24 @@ def _wd_type(weekday: str) -> T.DataType:
     return T.IntegerType() if weekday == "iso" else T.StringType()
 
 
+def _csv(spark: SparkSession, path: str, columns: str) -> DataFrame:
+    """CSV scan with an EXPLICIT all-string schema (types are cast later by
+    ``conform_schema``). A schema-less ``header=True`` read resolves the
+    header eagerly — one extra driver job per source per build; at 100 TB
+    an inferred-schema read would be a full extra pass. The declared names
+    double as a contract check: a reordered/renamed upstream export fails
+    the downstream selectExpr instead of silently shifting columns."""
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns.split(",")])
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
 def parse_asylum(spark: SparkSession, fixtures: str = FIXTURES_DIR) -> DataFrame:
     """Asylum dim (ref parse_asylum_data pyspark.py:170-183)."""
     df = (
-        spark.read.csv(
-            os.path.join(fixtures, "refugee_and_migrant_data", "*.csv"), header=True
+        _csv(
+            spark,
+            os.path.join(fixtures, "refugee_and_migrant_data", "*.csv"),
+            "country,year,num_arrivals,num_accepted_affirmitavely,num_accepted_defensively",
         )
         .dropDuplicates()
         .withColumn("country", clean_string("country"))
@@ -69,7 +82,11 @@ def parse_climate(
 ) -> DataFrame:
     """Temperature dim (ref parse_country_climate_data pyspark.py:186-207)."""
     df = (
-        spark.read.csv(os.path.join(fixtures, "climate_data", "*.csv"), header=True)
+        _csv(
+            spark,
+            os.path.join(fixtures, "climate_data", "*.csv"),
+            "dt,AverageTemperature,AverageTemperatureUncertainty,Country",
+        )
         .selectExpr(
             "dt",
             "AverageTemperature as avg_temperature",
@@ -157,7 +174,7 @@ def parse_worker(
     union by name, dedup, deterministic ids."""
     base = os.path.join(fixtures, "legal_immigrant_data")
     df1 = (
-        spark.read.csv(os.path.join(base, "h1b_kaggle.csv"), header=True)
+        _csv(spark, os.path.join(base, "h1b_kaggle.csv"), "CASE_STATUS,EMPLOYER_NAME,YEAR,WORKSITE")
         .selectExpr(
             "CASE_STATUS as case_status",
             "EMPLOYER_NAME as employer_name",
@@ -174,7 +191,12 @@ def parse_worker(
     df1 = df1.withColumn("worksite_state", abbreviate_state("worksite_state"))
 
     df2 = (
-        spark.read.csv(os.path.join(base, "H-1B_Disclosure_Data_FY17.csv"), header=True)
+        _csv(
+            spark,
+            os.path.join(base, "H-1B_Disclosure_Data_FY17.csv"),
+            "CASE_STATUS,VISA_CLASS,EMPLOYMENT_START_DATE,EMPLOYMENT_END_DATE,"
+            "EMPLOYER_NAME,EMPLOYER_CITY,EMPLOYER_STATE,WORKSITE_CITY,WORKSITE_STATE",
+        )
         .selectExpr(
             "CASE_STATUS as case_status",
             "VISA_CLASS as visa_class",
