@@ -161,3 +161,36 @@ def fingerprint(col: Column | str, k: int = 8) -> Column:
     n = F.length(col)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(col, i, k))))
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# restricted to syntax both dialects interpret identically — character
+# classes, bounded repetition, \b word boundaries; no lookaround/backrefs.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Struct of the PII-redacted text and per-category match counts.
+
+    Redaction order is load-bearing and must match any oracle: emails
+    first (an address can embed digit runs), then SSNs (whose tail would
+    otherwise match the shorter phone pattern), then phones; each count is
+    taken on the text as it stood BEFORE that category's own replacement.
+    Pure Catalyst regexp expressions — no UDF, fully codegen'd, scans
+    each document a bounded number of times regardless of corpus size.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
+    s2 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ssns = F.size(F.regexp_extract_all(s2, F.lit(PII_SSN_RE), F.lit(0)))
+    s3 = F.regexp_replace(s2, PII_SSN_RE, "<SSN>")
+    n_phones = F.size(F.regexp_extract_all(s3, F.lit(PII_PHONE_RE), F.lit(0)))
+    s4 = F.regexp_replace(s3, PII_PHONE_RE, "<PHONE>")
+    return F.struct(
+        s4.alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ssns.cast("long").alias("n_ssns"),
+        n_phones.cast("long").alias("n_phones"),
+    )

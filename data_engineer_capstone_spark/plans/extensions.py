@@ -2277,3 +2277,97 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q226_pii_redaction",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail-' || source || '.com or '
+                    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                    || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                    || ' ssn 123-45-6789' AS s1
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id,
+               len(regexp_extract_all(s1, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+               regexp_replace(s1, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') AS s2
+        FROM synth
+    ),
+    st2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(s2, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssns,
+               regexp_replace(s2, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS s3
+        FROM st
+    )
+    SELECT doc_id,
+           regexp_replace(s3, '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted,
+           n_emails, n_ssns,
+           len(regexp_extract_all(s3, '\\b[0-9]{3}-[0-9]{4}\\b')) AS n_phones
+    FROM st2 ORDER BY doc_id
+    """,
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus (functions/text.py:redact_pii): emails
+    → SSNs → phones replaced by typed tokens, with per-category match
+    counts. The synthetic corpus contains no organic PII, so the query
+    first WEAVES a deterministic PII line per document out of its own
+    columns (id/source) — both engines synthesize the identical string, so
+    the oracle verifies real replacements, not a no-op. Pure regexp
+    Catalyst expressions; the redaction order contract is documented on
+    the operator."""
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or "),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    r = redact_pii(synth)
+    return docs.select("doc_id", r.alias("_r")).select(
+        "doc_id",
+        F.col("_r.redacted").alias("redacted"),
+        F.col("_r.n_emails").alias("n_emails"),
+        F.col("_r.n_ssns").alias("n_ssns"),
+        F.col("_r.n_phones").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q227_domain_mix_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_WORDS.format(c="text")}) AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens) AS dom_total FROM t GROUP BY source),
+    m AS (SELECT MIN(dom_total) AS min_total FROM tot)
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN tot USING (source) CROSS JOIN m
+    WHERE ({_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 10000) * tot.dom_total
+          < m.min_total * 10000
+    ORDER BY doc_id
+    """,
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """Equalizing domain mixer (operators/mixing.py): every source domain
+    deterministically downsampled to ~the smallest domain's token count
+    via a salted int64 hash gate — the corpus-assembly step between
+    curation and packing. O(#domains) aggregate broadcast back; no
+    per-domain window, no rand(), membership reproducible on any
+    re-shard."""
+    from ..operators.mixing import domain_mix_sample
+
+    docs = load_table(spark, sf, "documents")
+    return domain_mix_sample(docs).orderBy("doc_id")

@@ -443,3 +443,60 @@ def test_ngram_df_cap_guard(spark):
               for r in ngram_jaccard_pairs(docs, threshold=0.5, df_cap=10).collect()}
     assert capped <= uncapped
     assert (100, 101) in uncapped  # true near-dup pair exists either way
+
+
+def test_redact_pii_crafted(spark):
+    """Redaction order contract: emails swallowed before SSN/phone scan,
+    SSN before phone (an SSN tail would otherwise match the phone
+    pattern), counts taken pre-replacement per category."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d@ex-1.co.uk then ssn 987-65-4321 then 555-0199 ok"),
+        (2, "no pii here at all"),
+        (3, "digits 123-4567 and 123-45-6789 and 12-34 and 1234-5678"),
+        (4, "two mails x@y.io z@w.ai one phone 000-0000"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {
+        r["id"]: r
+        for r in df.select("id", redact_pii("s").alias("r")).select("id", "r.*").collect()
+    }
+    assert out[1]["redacted"] == "mail <EMAIL> then ssn <SSN> then <PHONE> ok"
+    assert (out[1]["n_emails"], out[1]["n_ssns"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[2]["redacted"] == "no pii here at all"
+    assert (out[2]["n_emails"], out[2]["n_ssns"], out[2]["n_phones"]) == (0, 0, 0)
+    # 123-45-6789 is an SSN, not a phone; 123-4567 is a phone; 12-34 and
+    # 1234-5678 are neither (bounded repetition + \b, no partial matches)
+    assert out[3]["redacted"] == "digits <PHONE> and <SSN> and 12-34 and 1234-5678"
+    assert (out[3]["n_emails"], out[3]["n_ssns"], out[3]["n_phones"]) == (0, 1, 1)
+    assert out[4]["redacted"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ssns"], out[4]["n_phones"]) == (2, 0, 1)
+
+
+def test_domain_mix_equalizes_and_is_reshard_stable(spark):
+    """The mixer keeps the smallest domain whole, downsamples big domains
+    to ~its token total in expectation, and membership is a pure function
+    of doc_id — identical across partitionings."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.operators.mixing import domain_mix_sample
+
+    rows = [(i, "big", "w " * 10) for i in range(400)] + [
+        (1000 + i, "small", "w " * 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = domain_mix_sample(df).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["source"], []).append(r["doc_id"])
+    # smallest domain: keep-fraction 1 by construction
+    assert sorted(by_dom["small"]) == [1000 + i for i in range(40)]
+    # big domain: expected 40 of 400 kept; Bernoulli(0.1) over 400 draws —
+    # assert within 5 sigma (~±30) so the test is deterministic-safe
+    assert 10 <= len(by_dom["big"]) <= 70
+    # re-shard stability: same membership from a different partitioning
+    kept2 = domain_mix_sample(df.repartition(7, "text")).collect()
+    assert sorted(r["doc_id"] for r in kept2) == sorted(r["doc_id"] for r in kept)
