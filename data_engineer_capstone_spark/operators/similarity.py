@@ -341,3 +341,183 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    n_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train product-quantization codebooks on a bounded sample (numpy
+    Lloyd iterations per subspace on the driver — train small, encode big,
+    like ``train_ivf_centroids``). The vector is split into ``m_sub``
+    contiguous subspaces of dim/m_sub; each gets an independent
+    ``n_codes``-entry codebook. Deterministic: seeded init over an
+    id-ordered sample, fixed iterations, stable argmin. Returns an
+    (m_sub, n_codes, dim//m_sub) float64 ndarray."""
+    import numpy as np
+
+    assert dim % m_sub == 0, "dim must divide into m_sub subspaces"
+    dsub = dim // m_sub
+    sample = (
+        candidates.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.vstack([r[1] for r in sample]).astype("float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, n_codes, dsub))
+    for s in range(m_sub):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = xs[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[s, :k] = cent
+        if k < n_codes:  # degenerate tiny sample: pad with the first code
+            books[s, k:] = cent[0]
+    return books
+
+
+def ivf_pq_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the compressed scale path (the standard
+    FAISS ``IVFx,PQy`` shape): coarse inverted-file partitioning exactly as
+    ``ivf_ann_topk``, but candidates inside each list are scored from
+    their ``m_sub``-byte PQ codes via ADC (asymmetric distance: the query
+    stays exact; each subspace contributes a codebook lookup), then the
+    ADC top ``refine*k`` per query are EXACT-rescored from re-fetched true
+    vectors and the final top-k re-ranked.
+
+    Why this exists next to ivf_ann_topk: at 100 TB the candidate side's
+    vectors dominate the shuffle (dim floats/row through the list_id
+    exchange). PQ codes are dim/dsub ints — with dim=64, m_sub=8 that is
+    8 small ints vs 64 floats (~16×) through every exchange and in the
+    probed-list scan; full vectors are touched only for the
+    O(refine·k·|queries|) refine set, fetched by a candidate-bounded
+    equi-join. Training is bounded-sample driver numpy; encoding and ADC
+    are Arrow-batched mapInPandas; everything between is keyed equi-joins
+    — no all-pairs stage anywhere.
+
+    Determinism: seeded training, stable assignment, integer-rounded ADC
+    scores with (adc, candidate_id) ordering, exact rounded cosine at
+    refine — two runs return identical rows (pinned by pytest alongside
+    the recall floor vs brute_force_topk).
+    """
+    import numpy as np
+
+    cent = train_ivf_centroids(
+        candidates, dim, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        candidates, dim, m_sub=m_sub, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = dim // m_sub
+
+    # --- encode candidates: (candidate_id, list_id, codes) — the slim form
+    cl = _assign_lists(candidates, cent, 1, "candidate_id", "cv", id_col, vec_col)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bk = np.asarray(books)
+        for pdf in batches:
+            mat = np.vstack(pdf["cv"].to_numpy()).astype("float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), bk.shape[0]), dtype="int32")
+            for s in range(bk.shape[0]):
+                xs = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "candidate_id": pdf["candidate_id"].to_numpy(),
+                    "list_id": pdf["list_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    enc = cl.mapInPandas(
+        encode, schema="candidate_id bigint, list_id int, codes array<int>"
+    )
+
+    ql = _assign_lists(queries, cent, n_probe, "query_id", "qv", id_col, vec_col)
+    joined = ql.join(enc, "list_id")
+
+    # --- ADC scoring: per batch, LUT[q][s][code] = qv_s · book[s][code];
+    # score = sum_s LUT lookups. Integer-rounded for stable ordering.
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bk = np.asarray(books)  # (m, codes, dsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.vstack(pdf["qv"].to_numpy()).astype("float64")
+            qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+            qsub = qmat.reshape(len(qmat), bk.shape[0], dsub)  # (r, m, dsub)
+            lut = np.einsum("rmd,mcd->rmc", qsub, bk)  # (r, m, codes)
+            codes = np.vstack(pdf["codes"].to_numpy())  # (r, m)
+            rows = np.arange(len(qmat))[:, None]
+            subs = np.arange(bk.shape[0])[None, :]
+            scores = lut[rows, subs, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "candidate_id": pdf["candidate_id"].to_numpy(),
+                    "adc": np.floor(scores * 1_000_000 + 0.5).astype("int64"),
+                }
+            )
+
+    scored = joined.mapInPandas(
+        adc, schema="query_id bigint, candidate_id bigint, adc bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("candidate_id")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= refine * k)
+        .select("query_id", "candidate_id")
+    )
+
+    # --- exact refine: true vectors only for the shortlist (bounded fetch)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            _rounded_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )

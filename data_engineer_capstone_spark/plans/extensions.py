@@ -353,6 +353,23 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("q228_ann_ivf_pq")  # approximate by design: rows-only; equality-to-IVF + recall pytest
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivf_pq_ann_topk): the
+    compressed third scale path — coarse inverted-file probing as q106,
+    candidates scored from 8 PQ code bytes via ADC lookup tables, ADC
+    top-4k exact-rescored from re-fetched true vectors. At 100 TB the
+    probed exchange ships ints instead of dim floats (~16x lighter);
+    correctness pinned by the near-lossless-equals-IVF pytest."""
+    from ..operators.similarity import ivf_pq_ann_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_pq_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_lists=8, n_probe=3, m_sub=8, n_codes=16, refine=8,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------- text analysis --
 _STOP_SQL = {
     lg: "[" + ", ".join(f"'{w}'" for w in ws_) + "]"

@@ -500,3 +500,34 @@ def test_domain_mix_equalizes_and_is_reshard_stable(spark):
     # re-shard stability: same membership from a different partitioning
     kept2 = domain_mix_sample(df.repartition(7, "text")).collect()
     assert sorted(r["doc_id"] for r in kept2) == sorted(r["doc_id"] for r in kept)
+
+
+def test_ivf_pq_ann_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ correctness proof in two halves: (a) with near-lossless
+    codebooks (dsub=2, 128 codes) the ADC shortlist + exact refine must
+    reproduce the plain-IVF result EXACTLY — same coarse probing, so any
+    divergence is an ADC/encode bug, not quantization; (b) a production-
+    shaped coarse config (8 bytes/vector) keeps a recall floor on the
+    synthetic near-uniform-cosine corpus (the hardest case for PQ: signal
+    spread ≈ quantization noise) and is run-to-run deterministic (seeded
+    training, stable argmin, integer-rounded ADC)."""
+    from data_engineer_capstone_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    ivf = {(r.query_id, r.candidate_id) for r in
+           ivf_ann_topk(q, c, dim=64, k=5, n_lists=8, n_probe=3).collect()}
+    lossless = {(r.query_id, r.candidate_id) for r in
+                ivf_pq_ann_topk(q, c, dim=64, k=5, n_lists=8, n_probe=3,
+                                m_sub=32, n_codes=128, refine=4).collect()}
+    assert lossless == ivf, "near-lossless PQ must equal plain IVF"
+    exact = {(r.query_id, r.candidate_id) for r in brute_force_topk(q, c, k=5).collect()}
+    kw = dict(dim=64, k=5, n_lists=8, n_probe=3, m_sub=8, n_codes=16, refine=8)
+    coarse = {(r.query_id, r.candidate_id) for r in ivf_pq_ann_topk(q, c, **kw).collect()}
+    recall = len(exact & coarse) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ coarse recall too low: {recall}"
+    again = {(r.query_id, r.candidate_id) for r in ivf_pq_ann_topk(q, c, **kw).collect()}
+    assert coarse == again
