@@ -30,6 +30,7 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     seed: int = 0,
+    salt_src=None,
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side replicated.
 
@@ -37,10 +38,22 @@ def salted_join(
     output like a USING join). Supported ``how``: inner / left — the
     replication breaks right/full-outer null semantics (a dim row with no
     match would appear n_salts times), so those are rejected.
+
+    The salt only partitions — any value in [0, n_salts) yields the same
+    result set. Default is ``rand(seed)`` (cheapest); pass ``salt_src`` (a
+    Column, ideally a row-unique id) to derive it as a hash instead, which
+    makes the whole plan deterministic under retries/re-shards and lets an
+    oracle pin the salted plan to the unsalted join (q229).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    lg = large.withColumn(SALT, (F.rand(seed=seed) * n_salts).cast("int"))
+    if salt_src is not None:
+        from ..functions.text import h64
+
+        salt_col = h64(F.concat(F.lit("jsalt:"), salt_src.cast("string"))) % n_salts
+    else:
+        salt_col = (F.rand(seed=seed) * n_salts).cast("int")
+    lg = large.withColumn(SALT, salt_col)
     sm = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -412,3 +412,52 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------------------ salted hot-key join --
+@query(
+    "q229_salted_hot_key_join",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END AS k,
+               l_orderkey, l_extendedprice
+        FROM lineitem
+    )
+    SELECT p.p_brand, COUNT(*) AS n,
+           {sql_money_sum("keyed.l_extendedprice", "total")}
+    FROM keyed JOIN part p ON keyed.k = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join for a pathologically hot join key (half the fact
+    rows remapped onto ONE part key — the skew AQE's splitter handles for
+    sort-merge joins but salting must handle when the join is
+    shuffled-hash or the engine predates AQE). The fact side gets a
+    DETERMINISTIC hash salt in [0,16), the dim side is exploded 16x, and
+    the join runs on (key, salt) so the hot key's rows land on 16 tasks
+    (operators/skew.py:salted_join with salt_src — rand() salting would
+    also be row-count-correct but not oracle-pinnable). The oracle runs
+    the plain unsalted join + GROUP BY; the hash match proves the salt is
+    a partitioning artifact only."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    pt = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, pt, on=["p_partkey"], n_salts=16, salt_src=F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_extendedprice"), "total"),
+        )
+        .orderBy("p_brand")
+    )
