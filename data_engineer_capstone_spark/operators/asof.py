@@ -24,6 +24,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join, ``direction`` ∈ {'backward', 'forward'}.
 
@@ -33,11 +34,25 @@ def asof_join(
     the "next quote/reading after the event" lookup; same one-shuffle
     union-timeline plan, with the window frame flipped to the FOLLOWING
     side and ``first(... ignorenulls)`` instead of ``last``.
+
+    ``tolerance`` (pandas merge_asof semantics): a maximum allowed gap —
+    matches farther than it are nulled out. Compared with the column
+    type's native ``-``: pass ``F.expr("INTERVAL 10 MINUTES")`` for
+    timestamps, a number for numeric ts. Zero extra shuffles: the matched
+    right timestamp already rides the fill window; the gap check is a
+    row-local projection after it.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
     value_cols = value_cols or [right_ts]
+    # the gap check needs the matched right timestamp even when the caller
+    # didn't ask for it — carry it through the same fill window
+    if tolerance is not None and right_ts not in value_cols:
+        value_cols = [*value_cols, right_ts]
+        drop_rts = True
+    else:
+        drop_rts = False
     # side ordering makes the exact tie land inside the frame either way:
     # backward → right first (0,1); forward → right after left (1,0 via -1)
     r_side = 0 if back else 2
@@ -64,4 +79,17 @@ def asof_join(
     out = filled.where(F.col("_side") == 1)
     for c in value_cols:
         out = out.drop(f"{c}{suffix}").withColumnRenamed(f"_f_{c}", f"{c}{suffix}")
+    if tolerance is not None:
+        matched_rts = F.col(f"{right_ts}{suffix}")
+        gap = (
+            (F.col("_ats") - matched_rts) if back else (matched_rts - F.col("_ats"))
+        )
+        ok = gap <= tolerance
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(ok, F.col(f"{c}{suffix}")),
+            )
+        if drop_rts:
+            out = out.drop(f"{right_ts}{suffix}")
     return out.drop("_side", "_ats")

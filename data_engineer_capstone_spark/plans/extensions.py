@@ -2388,3 +2388,38 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return domain_mix_sample(docs).orderBy("doc_id")
+
+
+@query(
+    "q230_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           (SELECT MAX(CAST(p.ts AS TIMESTAMP)) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts <= e.ts
+              AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 10 MINUTE)
+             AS prior_purchase_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof semantics): the most
+    recent purchase per user at-or-before each error, but only within a
+    10-minute gap — staler matches are nulled. Same one-shuffle
+    union-timeline plan as q101/q221; the gap check is a row-local
+    projection on the matched timestamp that already rides the fill
+    window (operators/asof.py tolerance param). Oracle: the windowed
+    correlated MAX (the most-recent match is in-window iff any match is)."""
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        errors, purchases, on="user_id", value_cols=["ts"],
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return joined.select(
+        "event_id", "ts",
+        F.col("ts_asof").cast("timestamp").alias("prior_purchase_ts"),
+    ).orderBy("event_id")

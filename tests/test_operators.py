@@ -531,3 +531,31 @@ def test_ivf_pq_ann_recall_and_determinism(spark, sf_dir):
     assert recall >= 0.4, f"IVF-PQ coarse recall too low: {recall}"
     again = {(r.query_id, r.candidate_id) for r in ivf_pq_ann_topk(q, c, **kw).collect()}
     assert coarse == again
+
+
+def test_asof_tolerance_crafted(spark):
+    """tolerance nulls matches farther than the gap, keeps in-window ones,
+    ties (gap == tolerance) match, and works in both directions."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 300.0)], "k int, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 95.0, "a"), (2, 150.0, "b"), (3, 290.0, "c")], "k int, ts double, v string"
+    )
+    out = {r["k"]: r for r in asof_join(
+        left, right, on="k", value_cols=["v"], tolerance=10.0
+    ).collect()}
+    assert out[1]["v_asof"] == "a"      # gap 5 <= 10
+    assert out[2]["v_asof"] is None     # gap 50 > 10
+    assert out[3]["v_asof"] == "c"      # gap 10 == 10 (inclusive)
+    fwd = {r["k"]: r for r in asof_join(
+        left, right.withColumn("ts", F.col("ts") + 12), on="k",
+        value_cols=["v"], direction="forward", tolerance=10.0
+    ).collect()}
+    assert fwd[1]["v_asof"] == "a"      # right at 107, gap 7
+    assert fwd[2]["v_asof"] is None     # right at 162 is BEFORE left? no match ahead within 10
+    assert fwd[3]["v_asof"] == "c"      # right at 302, gap 2
