@@ -53,18 +53,29 @@ _DRIVER_VERIFIED_R1_R2 = (
 )
 
 
+# Queries added this round: front of the sample so brand-new operators get
+# driver rows in their first round out.
+_NEW_THIS_ROUND = (
+    "q224_semantic_dedup_lsh", "q225_simhash_pairs", "q226_pii_redaction",
+    "q227_domain_mix_sample", "q228_ann_ivf_pq", "q229_salted_hot_key_join",
+    "q230_asof_tolerance",
+)
+
+
 def _rotate(reg: dict) -> dict:
-    """Unverified-by-the-driver queries first (registration order), the
-    already-twice-verified 50 last; optional SPARK_GRAFT_QUERY_SUBSET
-    (comma-separated names) narrows to an explicit subset."""
+    """This round's new queries first, then never-driver-checked queries
+    (registration order), the already-twice-verified 50 last; optional
+    SPARK_GRAFT_QUERY_SUBSET (comma-separated names) narrows to an
+    explicit subset."""
     subset = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
     if subset:
         want = [s.strip() for s in subset.split(",") if s.strip()]
         return {k: reg[k] for k in want if k in reg}
-    seen = set(_DRIVER_VERIFIED_R1_R2)
-    fresh = {k: v for k, v in reg.items() if k not in seen}
-    fresh.update({k: reg[k] for k in _DRIVER_VERIFIED_R1_R2 if k in reg})
-    return fresh
+    seen = set(_DRIVER_VERIFIED_R1_R2) | set(_NEW_THIS_ROUND)
+    out = {k: reg[k] for k in _NEW_THIS_ROUND if k in reg}
+    out.update({k: v for k, v in reg.items() if k not in seen})
+    out.update({k: reg[k] for k in _DRIVER_VERIFIED_R1_R2 if k in reg})
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
