@@ -250,3 +250,63 @@ def test_fused_row_checks_match_python(spark, vals):
     assert got["x_in_range"] == sum(
         1 for v in vals if v is not None and (v < -50 or v > 50)
     )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from([None, 0, 5, 20]),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol, direction):
+    """asof_join must agree with pandas.merge_asof (by='key',
+    allow_exact_matches=True, same tolerance/direction) on arbitrary
+    integer timelines — the independent reference implementation for the
+    union-timeline window construction, including the tolerance null-out.
+
+    merge_asof requires unique sort keys per side for an unambiguous
+    match, so (key, ts) pairs are deduplicated keeping the LAST value —
+    matching asof_join's last-wins-within-frame tie behavior for backward
+    (first-wins for forward, via keep='first')."""
+    import pandas as pd
+
+    from data_engineer_capstone_spark.operators.asof import asof_join
+
+    lpdf = (
+        pd.DataFrame(left_rows, columns=["key", "ts"])
+        .astype("int64")
+        .drop_duplicates()
+        .sort_values(["ts", "key"], kind="stable")
+        .reset_index(drop=True)
+    )
+    keep = "last" if direction == "backward" else "first"
+    rpdf = (
+        pd.DataFrame(right_rows, columns=["key", "ts", "v"])
+        .astype("int64")
+        .drop_duplicates(subset=["key", "ts"], keep=keep)
+        .sort_values(["ts", "key"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="key", direction=direction,
+        tolerance=tol, allow_exact_matches=True,
+    )
+    exp = {
+        (r.key, r.ts): (None if pd.isna(r.v) else int(r.v))
+        for r in expected.itertuples()
+    }
+    ldf = spark.createDataFrame(lpdf, "key long, ts long").dropDuplicates()
+    rdf = spark.createDataFrame(rpdf, "key long, ts long, v long")
+    got_rows = asof_join(
+        ldf, rdf, on="key", value_cols=["v"],
+        direction=direction, tolerance=tol,
+    ).collect()
+    got = {(r["key"], r["ts"]): r["v_asof"] for r in got_rows}
+    assert got == exp
