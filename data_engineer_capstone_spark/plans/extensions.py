@@ -2423,3 +2423,81 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "ts",
         F.col("ts_asof").cast("timestamp").alias("prior_purchase_ts"),
     ).orderBy("event_id")
+
+
+@query(
+    "q231_hashed_linear_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           COALESCE(list_sum([
+               ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
+               for w in {_WORDS.format(c="text")}
+           ]), 0) AS logit,
+           COALESCE(list_sum([
+               ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
+               for w in {_WORDS.format(c="text")}
+           ]), 0) > 0 AS keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear text classifier — the fasttext-style quality
+    gate shape every large corpus pipeline runs, with the ML swapped for
+    determinism: words hash into 1024 feature buckets, each bucket carries
+    a pseudo-random INTEGER weight derived from the same md5 family both
+    engines share, and the document score is the exact integer logit sum
+    (no floats, no sigmoid — the keep decision thresholds the logit, so
+    the oracle matches bit-for-bit). The real-model path is identical plan
+    shape with a broadcast weight map; scoring is one HOF fold per row —
+    whole-stage codegen, zero shuffles before the sort."""
+    docs = load_table(spark, sf, "documents")
+    from ..functions.text import h32
+
+    def weight(w):
+        bucket = h32(w) % 1024
+        return (h32(F.concat(F.lit("w:"), bucket.cast("string"))) % 101) - 50
+
+    logit = F.aggregate(
+        words("text"), F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+    return docs.select(
+        "doc_id", logit.alias("logit"), (logit > 0).alias("keep")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q232_fim_transform",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT doc_id, text, len(text) AS n,
+               1 + {_H64.format(x="'fim1:' || CAST(doc_id AS VARCHAR)")}
+                   % GREATEST(len(text), 1) AS c1,
+               1 + {_H64.format(x="'fim2:' || CAST(doc_id AS VARCHAR)")}
+                   % GREATEST(len(text), 1) AS c2
+        FROM documents
+    )
+    SELECT doc_id,
+           substr(text, 1, LEAST(c1, c2) - 1) AS prefix,
+           substr(text, LEAST(c1, c2), GREATEST(c1, c2) - LEAST(c1, c2)) AS middle,
+           substr(text, GREATEST(c1, c2), n) AS suffix
+    FROM cuts ORDER BY doc_id
+    """,
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transform: each document split
+    into (prefix, middle, suffix) at two DETERMINISTIC hash-derived cut
+    points (pure function of doc_id — stable across runs/shards, the
+    q109 argument; production swaps the hash for a seeded per-epoch salt).
+    Pure substring arithmetic, row-local, zero shuffles; reassembling
+    prefix||middle||suffix is the identity, asserted in pytest."""
+    docs = load_table(spark, sf, "documents")
+    n = F.length("text")
+    c1 = 1 + h64(F.concat(F.lit("fim1:"), F.col("doc_id").cast("string"))) % F.greatest(n, F.lit(1))
+    c2 = 1 + h64(F.concat(F.lit("fim2:"), F.col("doc_id").cast("string"))) % F.greatest(n, F.lit(1))
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    return docs.select(
+        "doc_id",
+        F.substring("text", F.lit(1), lo - 1).alias("prefix"),
+        F.substring("text", lo, hi - lo).alias("middle"),
+        F.substring("text", hi, n).alias("suffix"),
+    ).orderBy("doc_id")

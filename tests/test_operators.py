@@ -559,3 +559,39 @@ def test_asof_tolerance_crafted(spark):
     assert fwd[1]["v_asof"] == "a"      # right at 107, gap 7
     assert fwd[2]["v_asof"] is None     # right at 162 is BEFORE left? no match ahead within 10
     assert fwd[3]["v_asof"] == "c"      # right at 302, gap 2
+
+
+def test_fim_transform_reassembles_identity(spark, sf_dir):
+    """prefix || middle || suffix must reproduce the original text for
+    every document (cut points are in [1, len], substring windows tile
+    the string exactly), including len-0/len-1 edge docs."""
+    from data_engineer_capstone_spark.plans import get_queries
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(100000, ""), (100001, "x"), (100002, "ab")], "doc_id long, text string"
+    )
+    # run the registered query's plan on the real table, and the same
+    # reassembly predicate on crafted edge docs via the operator exprs
+    out = get_queries()["q232_fim_transform"](spark, sf_dir)
+    joined = out.join(docs, "doc_id").where(
+        F.concat_ws("", "prefix", "middle", "suffix") != F.col("text")
+    )
+    assert joined.isEmpty()
+    from pyspark.sql import functions as SF
+    from data_engineer_capstone_spark.functions.text import h64
+
+    n = SF.length("text")
+    c1 = 1 + h64(SF.concat(SF.lit("fim1:"), SF.col("doc_id").cast("string"))) % SF.greatest(n, SF.lit(1))
+    c2 = 1 + h64(SF.concat(SF.lit("fim2:"), SF.col("doc_id").cast("string"))) % SF.greatest(n, SF.lit(1))
+    lo, hi = SF.least(c1, c2), SF.greatest(c1, c2)
+    re = extra.select(
+        "text",
+        SF.concat_ws(
+            "",
+            SF.substring("text", SF.lit(1), lo - 1),
+            SF.substring("text", lo, hi - lo),
+            SF.substring("text", hi, n),
+        ).alias("re"),
+    )
+    assert re.where(SF.col("re") != SF.col("text")).isEmpty()
