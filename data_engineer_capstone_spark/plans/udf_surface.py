@@ -148,3 +148,39 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(zscore, schema="doc_id bigint, lang string, z_chars double")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q233_udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` exemplar — the zero-copy tier below the pandas UDFs
+    (q103-q105): RecordBatches stream straight from the JVM through
+    pyarrow.compute kernels, no pandas materialization. Token counting via
+    ``pc.count_substring_regex`` over lower-cased text (RE2, same
+    char-class semantics as the engine's WORD_RE), so the output is
+    integer-exact against q103's oracle. Use this tier when the Python
+    work is itself Arrow-kernel-shaped (regex counts, casts, takes);
+    pandas only pays off once you need its algorithms."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            n = pc.count_substring_regex(
+                pc.utf8_lower(batch.column("text")), pattern="[a-z0-9]+"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    return docs.mapInArrow(
+        count_tokens, schema="doc_id long, n_tokens long"
+    ).orderBy("doc_id")
