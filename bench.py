@@ -37,6 +37,11 @@ HEADLINE = [
     "q92_minhash_lsh_dedup",
     "q113_curation_pipeline",
     "q80_stream_tumbling",
+    # round-3 additions: bucketed semantic dedup, compressed ANN, and the
+    # columnar curation-gate family
+    "q224_semantic_dedup_lsh",
+    "q228_ann_ivf_pq",
+    "q231_hashed_linear_classifier",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -55,6 +60,9 @@ MIN_OF_RUNS = {
     "q92_minhash_lsh_dedup",
     "q113_curation_pipeline",
     "q80_stream_tumbling",
+    # Python-worker (mapInPandas) startup cost dominates these at small SF
+    "q224_semantic_dedup_lsh",
+    "q228_ann_ivf_pq",
 }
 
 
