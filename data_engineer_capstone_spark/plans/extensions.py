@@ -2501,3 +2501,93 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", lo, hi - lo).alias("middle"),
         F.substring("text", hi, n).alias("suffix"),
     ).orderBy("doc_id")
+
+
+def _er_oracle() -> str:
+    """Entity-resolution closure oracle: the same deterministic dirty-entity
+    synthesis, blocked Levenshtein pairing, and recursive transitive
+    closure as the Spark plan (q108's closure pattern over a different
+    pair generator)."""
+    return """
+    WITH RECURSIVE base AS (
+        SELECT c_custkey AS eid,
+               c_name || ' ' || substr(md5(c_name), 1, 6) AS s
+        FROM customer
+    ),
+    ents AS (
+        SELECT eid, s FROM base
+        UNION ALL
+        SELECT eid + 1000000, s || 'x' FROM base
+        UNION ALL
+        SELECT eid + 2000000, substr(s, 1, len(s) - 1) || '#' FROM base
+    ),
+    pairs AS (
+        SELECT a.eid AS src, b.eid AS dst
+        FROM ents a JOIN ents b
+          ON substr(a.s, 1, 20) = substr(b.s, 1, 20)
+         AND a.eid < b.eid
+         AND levenshtein(a.s, b.s) <= 2
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS eid, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    )
+    SELECT e.eid, COALESCE(c.canonical_id, e.eid) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(c.canonical_id, e.eid))
+             AS cluster_size
+    FROM ents e LEFT JOIN comp c USING (eid)
+    ORDER BY eid
+    """
+
+
+@query("q234_entity_resolution", oracle=_er_oracle())
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end — the MDM workload composed from the
+    engine's own pieces: deterministic dirty-entity synthesis (each
+    customer spawns two corrupted variants: one appended char, one
+    replaced tail char — the md5 suffix makes DISTINCT entities ≥ 6 edits
+    apart so the threshold cannot cross-merge), prefix BLOCKING (the
+    O(n²) pair space shrinks to per-block candidates on an equi-join
+    key — same bucketing argument as every dedup family here), exact
+    Levenshtein scoring at ≤ 2 on candidates only, and
+    large-star/small-star connected components for the transitive
+    cluster. Oracle replays the identical synthesis + pairing with a
+    recursive closure, so the hash match pins blocking, scoring, and
+    clustering at once."""
+    from ..operators.dedup import connected_components_star
+
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("eid"),
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.substring(F.md5("c_name"), 1, 6)
+        ).alias("s"),
+    )
+    v1 = base.select((F.col("eid") + 1000000).alias("eid"), F.concat("s", F.lit("x")).alias("s"))
+    v2 = base.select(
+        (F.col("eid") + 2000000).alias("eid"),
+        F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("#")).alias("s"),
+    )
+    ents = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
+    blocked = ents.withColumn("blk", F.substring("s", 1, 20))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.eid") < F.col("b.eid")))
+        .where(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 2)
+        .select(F.col("a.eid").alias("doc_a"), F.col("b.eid").alias("doc_b"))
+    )
+    labels = connected_components_star(pairs, ents, id_col="eid")
+    out = ents.join(labels, ents.eid == labels.id, "left").select(
+        "eid", F.coalesce("label", F.col("eid")).alias("canonical_id")
+    )
+    return out.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("canonical_id"))
+    ).orderBy("eid")

@@ -55,6 +55,7 @@ EXPECTED = {
     # at scale; post-localCheckpoint stats are unknown anyway → SMJ is right
     "q108_near_dup_clusters": {"SortMergeJoin"},
     "q223_near_dup_clusters_star": {"SortMergeJoin"},  # same class as q108
+    "q234_entity_resolution": {"SortMergeJoin"},  # same class (CC labels join)
     "q113_curation_pipeline": {"SortMergeJoin"},  # same (components stage)
     "q114_incremental_dedup": {"SortMergeJoin"},  # same + corpus anti-join
     "q116_corpus_report": {"SortMergeJoin"},  # same (curation components stage)
