@@ -59,7 +59,7 @@ _NEW_THIS_ROUND = (
     "q224_semantic_dedup_lsh", "q225_simhash_pairs", "q226_pii_redaction",
     "q227_domain_mix_sample", "q228_ann_ivf_pq", "q229_salted_hot_key_join",
     "q230_asof_tolerance", "q231_hashed_linear_classifier", "q232_fim_transform",
-    "q233_udf_map_in_arrow", "q234_entity_resolution",
+    "q233_udf_map_in_arrow", "q234_entity_resolution", "q235_ivm_delta_aggregate",
 )
 
 

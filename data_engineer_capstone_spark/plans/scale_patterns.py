@@ -461,3 +461,85 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ------------------------------------ incremental view maintenance (IVM) --
+@query(
+    "q235_ivm_delta_aggregate",
+    oracle=f"""
+    WITH final AS (
+        SELECT event_type, value FROM events
+        WHERE event_id % 89 <> 0                 -- deletes
+        UNION ALL
+        SELECT event_type, value * 2 FROM events -- updates: new image
+        WHERE event_id % 97 = 0 AND event_id % 89 <> 0
+    ),
+    adjusted AS (
+        -- an update retracts the old image: final = base - old + new,
+        -- expressed here as (all survivors) minus (old images of updated)
+        SELECT event_type, value FROM final
+        EXCEPT ALL
+        SELECT event_type, value FROM events
+        WHERE event_id % 97 = 0 AND event_id % 89 <> 0
+    )
+    SELECT event_type, COUNT(*) AS n,
+           {sql_money_sum("value", "total")}
+    FROM adjusted GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance under retractions — the pattern that
+    keeps a standing aggregate current WITHOUT rescanning the 100 TB base:
+    a CDC delta stream of (+1 insert, -1 retraction) rows is aggregated
+    alone and MERGED into the base aggregate (count += Σsign,
+    sum += Σ sign·value — exact decimal, so retraction is lossless).
+
+    Deterministic CDC synthesis: event_id % 89 == 0 → DELETE (one -1 row);
+    event_id % 97 == 0 (and not deleted) → UPDATE value→2·value (a -1 old
+    image + a +1 new image). The Spark side NEVER touches the base table
+    beyond the initial aggregate — the delta plan is O(changes); the
+    oracle recomputes the final state from scratch, so the hash match
+    proves base ⊕ deltas ≡ recompute. Groups whose count reaches zero are
+    dropped (the retraction-completeness edge)."""
+    ev = load_table(spark, sf, "events")
+    base_agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec4(F.col("value"))).alias("sum_dec"),
+    )
+    is_del = F.col("event_id") % 89 == 0
+    is_upd = (F.col("event_id") % 97 == 0) & ~is_del
+    deletes = ev.where(is_del).select(
+        "event_type", F.lit(-1).alias("sign"), F.col("value")
+    )
+    upd_old = ev.where(is_upd).select(
+        "event_type", F.lit(-1).alias("sign"), F.col("value")
+    )
+    upd_new = ev.where(is_upd).select(
+        "event_type", F.lit(1).alias("sign"), (F.col("value") * 2).alias("value")
+    )
+    deltas = deletes.unionByName(upd_old).unionByName(upd_new)
+    delta_agg = deltas.groupBy("event_type").agg(
+        F.sum("sign").alias("dn"),
+        F.sum(
+            F.when(F.col("sign") == 1, _dec4(F.col("value"))).otherwise(
+                -_dec4(F.col("value"))
+            )
+        ).alias("dsum"),
+    )
+    merged = (
+        base_agg.join(delta_agg, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("sum_dec"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("dsum"), F.lit(0).cast(DEC))
+            ).alias("sum_dec"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_dec"), 2).cast("double").alias("total"),
+    ).orderBy("event_type")

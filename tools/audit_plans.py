@@ -47,6 +47,8 @@ EXPECTED = {
     # the O(n·(b+1)) slim block rows — SMJ is the at-scale plan
     "q225_simhash_pairs": {"SortMergeJoin"},
     "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
+    "q235_ivm_delta_aggregate": {"SortMergeJoin"},  # full-outer merge of two O(groups) aggs
+
     "q26_range_join": {"BroadcastNestedLoopJoin"},  # theta join, bounded side
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
     "q94_cosine_topk": {"BroadcastNestedLoopJoin"},  # brute-force baseline
