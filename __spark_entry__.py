@@ -60,6 +60,7 @@ _NEW_THIS_ROUND = (
     "q227_domain_mix_sample", "q228_ann_ivf_pq", "q229_salted_hot_key_join",
     "q230_asof_tolerance", "q231_hashed_linear_classifier", "q232_fim_transform",
     "q233_udf_map_in_arrow", "q234_entity_resolution", "q235_ivm_delta_aggregate",
+    "q236_spatial_grid_join",
 )
 
 

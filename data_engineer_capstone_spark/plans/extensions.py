@@ -2591,3 +2591,74 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn(
         "cluster_size", F.count(F.lit(1)).over(W.partitionBy("canonical_id"))
     ).orderBy("eid")
+
+
+_PT_X = _H64.format(x="'x:' || CAST(event_id AS VARCHAR)") + " % 10000 / 100.0"
+_PT_Y = _H64.format(x="'y:' || CAST(event_id AS VARCHAR)") + " % 10000 / 100.0"
+
+
+@query(
+    "q236_spatial_grid_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id AS pid, {_PT_X} AS x, {_PT_Y} AS y
+        FROM events WHERE event_id % 10 = 0
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           CAST(floor(((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                      * 1000000 + 0.5) AS BIGINT) AS d2_q
+    FROM pts a JOIN pts b
+      ON a.pid < b.pid
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1.0
+    ORDER BY id_a, id_b
+    """,
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial distance join via grid bucketing — the geohash pattern that
+    turns an O(n²) within-radius search into an equi-join: points land in
+    r-sized grid cells, the probe side explodes into its 3×3 cell
+    neighborhood (9 slim rows/point — any pair within r shares one of
+    them, so the candidate set is provably complete), candidates equi-join
+    on the cell key and only then pay the exact distance check. The oracle
+    brute-forces all pairs; hash equality proves the neighborhood join
+    loses nothing. Coordinates are hash-synthesized (no geo columns in the
+    testdata); distances are row-local IEEE expressions evaluated in the
+    same operation order in both engines, quantized at 1e-6 in the output.
+    At scale the cell key is the shuffle key (AQE splits dense cells); the
+    same plan with lat/lon → (floor(lat/r), floor(lon/r)) cells is the
+    production spatial join."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 10 == 0)
+    x = h64(F.concat(F.lit("x:"), F.col("event_id").cast("string"))) % 10000 / 100.0
+    y = h64(F.concat(F.lit("y:"), F.col("event_id").cast("string"))) % 10000 / 100.0
+    pts = ev.select(
+        F.col("event_id").alias("pid"), x.alias("x"), y.alias("y"),
+        F.floor(x).alias("cx"), F.floor(y).alias("cy"),
+    )
+    neigh = pts.select(
+        F.col("pid").alias("pa"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("gx"), (F.col("cy") + dy).alias("gy")
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("pa", "xa", "ya", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    return (
+        neigh.join(
+            pts,
+            (F.col("gx") == F.col("cx")) & (F.col("gy") == F.col("cy"))
+            & (F.col("pa") < F.col("pid")),
+        )
+        .where(d2 <= 1.0)
+        .select(
+            F.col("pa").alias("id_a"),
+            F.col("pid").alias("id_b"),
+            F.floor(d2 * 1000000 + F.lit(0.5)).cast("long").alias("d2_q"),
+        )
+        .orderBy("id_a", "id_b")
+    )
