@@ -60,7 +60,9 @@ _NEW_THIS_ROUND = (
     "q227_domain_mix_sample", "q228_ann_ivf_pq", "q229_salted_hot_key_join",
     "q230_asof_tolerance", "q231_hashed_linear_classifier", "q232_fim_transform",
     "q233_udf_map_in_arrow", "q234_entity_resolution", "q235_ivm_delta_aggregate",
-    "q236_spatial_grid_join",
+    "q236_spatial_grid_join", "q237_doc_chunking", "q238_cluster_keep_best",
+    "q239_weighted_sample", "q240_rolling_median", "q241_bigram_novelty",
+    "q242_common_neighbors", "q243_jaccard_prefix_filter",
 )
 
 

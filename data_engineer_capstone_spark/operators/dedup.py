@@ -116,6 +116,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the SSJoin/PPJoin
+    principle) — `ngram_jaccard_pairs`'s scale twin for high thresholds.
+
+    The inverted-index join materializes a row for EVERY shingle two docs
+    share; prefix filtering indexes only each doc's first
+    ``L = n - ceil(t*n) + 1`` shingles under a global order (document
+    frequency ascending, then shingle — rare shingles first, which
+    minimizes candidates). Completeness: if J(A,B) >= t then
+    |A∩B| >= ceil(t*|A|), so at most ``ceil(t*|A|) - 1`` elements of A sit
+    outside A∩B's order-minimum x, placing x inside prefix(A) — and
+    symmetrically inside prefix(B); the prefixes therefore collide on x.
+    Candidates then fetch both docs' full shingle sets once and verify the
+    exact Jaccard row-locally (``array_intersect``), so the output is
+    bit-identical to the exhaustive inverted-index plan.
+
+    ``ceil(t*n)`` is computed in INTEGER arithmetic (t = 4/5 for the 0.8
+    default): ``ceil(0.8*5)`` in floats is 5, not 4 — a too-short prefix
+    silently loses pairs, the one failure mode this operator cannot have.
+
+    Scale: the index shrinks by ~t per doc and, more importantly, hot
+    boilerplate shingles (maximal document frequency) are ordered LAST and
+    fall out of every prefix — the df-cap guard falls out of the ordering
+    for free. Shuffles: one for df counts + prefix ranks (same shingle
+    key), one candidate equi-join, one bounded fetch join per side.
+    """
+    if abs(threshold - 0.8) > 1e-9:
+        raise ValueError("integer prefix arithmetic is derived for t=0.8")
+    sets = _spread(df, [id_col, text_col]).select(
+        F.col(id_col).alias("did"),
+        shingles(text_col, k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    ex = sets.select("did", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = ex.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("did").orderBy("sdf", "shingle")),
+    )
+    # L = n - ceil(4n/5) + 1, with ceil(4n/5) = (4n + 4) div 5 exactly
+    prefix_len = F.col("n_sh") - F.floor((4 * F.col("n_sh") + 4) / 5).cast("long") + 1
+    prefix = ranked.where(F.col("pos") <= prefix_len).select("did", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sets.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        verified.withColumn("jaccard", F.floor(jac * 1000000 + F.lit(0.5)) / 1000000)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     tpch_shapes,
     graph_behavior,
     scale_patterns,
+    training_data,
 )
 
 from .registry import QUERIES, get_queries, get_oracles  # noqa: F401

@@ -80,9 +80,10 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "q91_ngram_jaccard_dedup",
-    oracle=f"""
+# Brute-force exact-Jaccard oracle — shared by q91 (inverted-index plan)
+# and q243 (prefix-filtered plan, plans/training_data.py): both must land
+# on the identical pair set.
+JACCARD_PAIRS_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents
     ),
@@ -96,8 +97,10 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
                 / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
                 * 1000000 + 0.5) / 1000000 >= 0.8
     ORDER BY doc_a, doc_b
-    """,
-)
+    """
+
+
+@query("q91_ngram_jaccard_dedup", oracle=JACCARD_PAIRS_ORACLE)
 def q91(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via the
     inverted-index join — no O(n²) pair space on the Spark side; the

@@ -1,0 +1,413 @@
+"""Training-data preparation queries, batch 2 (q237-q243): context-window
+chunking, cluster-canonical selection, deterministic weighted sampling,
+rolling robust statistics, bigram-LM novelty scoring, link prediction, and
+the prefix-filtered exact-Jaccard scale twin.
+
+These extend the LLM-pipeline surface of `plans/extensions.py` — same
+oracle policy (full DuckDB oracle wherever semantics are deterministic
+cross-engine) and same scale discipline (candidate generation through
+equi-join keys, integer/quantized arithmetic at every cross-engine float
+boundary, no O(n²) pair spaces, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import h64, word_count, words
+from ..operators.dedup import jaccard_prefix_filter_pairs, minhash_lsh_pairs
+from .extensions import _WORDS, JACCARD_PAIRS_ORACLE, _minhash_ctes
+from .graph_behavior import _SQL_EDGES, _edges
+from .registry import query
+
+# --------------------------------------------------------------- chunking --
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q237_doc_chunking",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS.format(c='text')} AS ws FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               unnest(range(1, len(ws) + 1, {CHUNK_STRIDE})) AS st
+        FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           (st - 1) // {CHUNK_STRIDE} AS chunk_idx,
+           array_to_string(ws[st:st + {CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           least({CHUNK_SIZE}, n - st + 1) AS n_tokens
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: each document split into overlapping
+    {size}-token windows at stride {stride} (the standard LM pretraining
+    prep — trailing overlap keeps cross-boundary n-grams learnable).
+    Chunk starts are a per-row ``sequence(1, n_words, stride)`` exploded
+    into slim (doc, start) rows; the chunk text is a row-local
+    ``slice`` + ``array_join`` — zero shuffles, pure map-side work that
+    scales with input bytes. The final chunk is the natural short
+    remainder (``n_tokens`` carries its true length for the packer —
+    q110's sequence-packing input contract)."""
+    docs = load_table(spark, sf, "documents")
+    w = words("text")
+    n = F.size(w)
+    base = docs.where(n > 0).select("doc_id", w.alias("ws"), n.alias("n"))
+    s = base.select(
+        "doc_id", "ws", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))).alias("st"),
+    )
+    return s.select(
+        "doc_id",
+        F.floor((F.col("st") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.array_join(F.slice("ws", F.col("st"), CHUNK_SIZE), " ").alias("chunk_text"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+q237.__doc__ = q237.__doc__.format(size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+# ------------------------------------------------- cluster keep-best pick --
+def _quality_votes(col) -> Column:
+    """Integer vote count (0..3) behind functions/text.quality_score —
+    same three gates, no final /3 division, so cluster-canonical ordering
+    is exact integer comparison in both engines."""
+    col = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(col)
+    n_words = word_count(col)
+    alnum = F.length(F.regexp_replace(col, "[^A-Za-z0-9]", ""))
+    len_ok = (n_words >= 5) & (n_words <= 100000)
+    awl = F.when(n_words > 0, (alnum * 10) / n_words).otherwise(F.lit(0.0))
+    awl_ok = (awl >= 25) & (awl <= 120)
+    dens = F.when(n_chars > 0, (alnum * 100) / n_chars).otherwise(F.lit(0.0))
+    dens_ok = dens >= 60
+    return (len_ok.cast("int") + awl_ok.cast("int") + dens_ok.cast("int")).alias(
+        "q_votes"
+    )
+
+
+_SQL_QUALITY_VOTES = f"""
+    SELECT doc_id,
+           CAST((CASE WHEN nw >= 5 AND nw <= 100000 THEN 1 ELSE 0 END
+               + CASE WHEN nw > 0 AND (alnum * 10.0 / nw) >= 25
+                       AND (alnum * 10.0 / nw) <= 120 THEN 1 ELSE 0 END
+               + CASE WHEN nc > 0 AND (alnum * 100.0 / nc) >= 60 THEN 1 ELSE 0 END)
+             AS INT) AS q_votes
+    FROM (SELECT doc_id, length(text) AS nc,
+                 len({_WORDS.format(c='text')}) AS nw,
+                 length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+          FROM documents)
+"""
+
+
+@query(
+    "q238_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    qv AS ({_SQL_QUALITY_VOTES})
+    SELECT l.doc_id, l.canonical_id, qv.q_votes,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY l.canonical_id
+                    ORDER BY qv.q_votes DESC, l.doc_id) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM labeled l JOIN qv USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-representative selection — the curation step AFTER
+    near-dup clustering (q108): inside each cluster keep the
+    highest-quality document (integer quality votes, doc_id tie-break),
+    drop the rest. This is what production dedup actually ships: pair
+    detection (q92) → components (q108) → ONE survivor per cluster chosen
+    by a quality policy, not by accident of id order. Plan: the q108
+    cluster labels (MinHash-LSH pairs + distributed components) joined to
+    a row-local vote expression, then a per-cluster ``row_number`` —
+    partitioned window, O(cluster) state, no global sort."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, n_perm=16, band_rows=4, threshold=0.8)
+    labels = connected_components(pairs, docs)
+    labeled = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        _quality_votes("text"),
+    )
+    keep = (
+        F.row_number().over(
+            W.partitionBy("canonical_id").orderBy(F.desc("q_votes"), "doc_id")
+        )
+        == 1
+    ).cast("int")
+    return labeled.withColumn("keep", keep).orderBy("doc_id")
+
+
+# ------------------------------------------- deterministic weighted top-k --
+_TWO_POW_60 = 1152921504606846976
+
+
+@query(
+    "q239_weighted_sample",
+    oracle=f"""
+    SELECT o_orderkey, weight FROM (
+        SELECT o_orderkey, o_totalprice AS weight,
+               ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) + 1) / {_TWO_POW_60}.0) / o_totalprice AS k
+        FROM orders ORDER BY k DESC, o_orderkey LIMIT 100
+    ) ORDER BY o_orderkey
+    """,
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, fully
+    deterministic — the Efraimidis-Spirakis A-ES scheme: each row draws
+    u ∈ (0,1] from a salted hash of its key (not ``rand()`` — reruns and
+    retried tasks must agree, the q109 argument) and takes priority
+    ``ln(u)/w``; the global top-k by priority IS a weighted sample
+    without replacement. At scale this is Spark's ``TakeOrderedAndProject``:
+    each partition keeps its local top-k heap, the driver merges k-sized
+    heads — no global sort, no shuffle of the data, O(k) rows move.
+    The priority is compared, never emitted, so the one float op (ln)
+    cannot reach the output contract; selected keys are returned in key
+    order with their weights."""
+    orders = load_table(spark, sf, "orders")
+    u = (
+        h64(F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))) + 1
+    ) / F.lit(float(_TWO_POW_60))
+    k = F.log(u) / F.col("o_totalprice")
+    top = (
+        orders.select(
+            "o_orderkey", F.col("o_totalprice").alias("weight"), k.alias("k")
+        )
+        .orderBy(F.desc("k"), "o_orderkey")
+        .limit(100)
+    )
+    return top.select("o_orderkey", "weight").orderBy("o_orderkey")
+
+
+# ------------------------------------------------------- rolling median ----
+@query(
+    "q240_rolling_median",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS lst
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, len(lst) AS n,
+               CASE WHEN len(lst) % 2 = 1 THEN lst[(len(lst) + 1) // 2]
+                    ELSE (lst[len(lst) // 2] + lst[len(lst) // 2 + 1]) / 2
+               END AS med
+        FROM l
+    )
+    SELECT user_id, event_id,
+           CAST(floor(med * 1000000 + 0.5) AS BIGINT) AS med_q
+    FROM m ORDER BY user_id, event_id
+    """,
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT rolling median (trailing 7-row frame per user) — the robust
+    smoother `percentile_approx` can't give exactly and SQL has no
+    native window form for. Implementation: ``collect_list`` over the
+    rows-frame (bounded at 7 elements — O(frame) per row, not O(partition)),
+    ``array_sort``, middle-element arithmetic. Even frames average the two
+    middle values with the same IEEE ``(a+b)/2`` both engines execute;
+    the output quantizes at 1e-6. At scale the single shuffle is the
+    user_id partitioning every per-user window shares; frame state is
+    constant-bounded so executor memory is O(rows-in-flight), never
+    O(partition)."""
+    win = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    )
+    ev = load_table(spark, sf, "events")
+    lst = F.array_sort(F.collect_list("value").over(win))
+    n = F.size(lst)
+    odd = F.element_at(lst, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(lst, (n / 2).cast("int"))
+        + F.element_at(lst, (n / 2).cast("int") + 1)
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return (
+        ev.select("user_id", "event_id", med.alias("med"))
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("med") * 1000000 + F.lit(0.5)).cast("long").alias("med_q"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ------------------------------------------------------ bigram LM novelty --
+@query(
+    "q241_bigram_novelty",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS.format(c='text')} AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(ws[1:len(ws) - 1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS cnt12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY w1),
+    terms AS (
+        SELECT doc_id,
+               CAST(floor(cnt1 / cnt12 * 1000000 + 0.5) AS BIGINT) AS t
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(t) AS BIGINT) AS s
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(floor(s / n_bigrams + 0.5) AS BIGINT) AS avg_ratio_q
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram-LM novelty score per document: train conditional
+    bigram counts C(w1,w2), C(w1·) over the whole corpus, score each doc
+    by its mean INVERSE conditional frequency C(w1·)/C(w1,w2) — high
+    means the doc's word transitions are rare for their context, the
+    gibberish/boilerplate-outlier curation signal (q220's unigram
+    surprisal one order up). The plan is the full distributed LM-scoring
+    shape: token-pair explode → two hash aggregates (model train) → two
+    equi-joins back onto the token stream (scoring) → per-doc aggregate.
+    Common-bigram skew on the join key is the documented AQE-skew-join
+    case. Exactness: each per-occurrence term is an IEEE division of two
+    bigints quantized to 1e-6 — identical bits in both engines (division
+    is a rounded IEEE op, unlike libm ln, which is why production's
+    ``-ln(C12/C1)`` is expressed here as the ratio: same ordering, same
+    plan, none of the cross-libm hash risk); per-doc sums are integer."""
+    docs = load_table(spark, sf, "documents")
+    w = words("text")
+    n = F.size(w)
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    ex = (
+        docs.where(n >= 2)
+        .select("doc_id", F.explode(bg).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt12"))
+    c1 = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    terms = (
+        ex.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.floor(F.col("cnt1") / F.col("cnt12") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("t").alias("s")
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.floor(F.col("s") / F.col("n_bigrams") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_ratio_q"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------- link prediction ------
+@query(
+    "q242_common_neighbors",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    cn AS (
+        SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common
+        FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY x.dst, y.dst
+    ),
+    nonadj AS (
+        SELECT cn.a, cn.b, cn.common
+        FROM cn LEFT JOIN edges e ON cn.a = e.a AND cn.b = e.b
+        WHERE e.a IS NULL
+    )
+    SELECT a, b, common FROM nonadj
+    ORDER BY common DESC, a, b LIMIT 25
+    """,
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbors link prediction over the co-purchase graph
+    (q200's edge list): for every NON-adjacent part pair, count shared
+    neighbors; the top pairs are the recommended 'bought together'
+    candidates. Plan: one self-join of the undirected edge list on the
+    shared endpoint generates each wedge once (a < b orients it), a hash
+    aggregate counts them, and a left-anti join removes already-connected
+    pairs; top-k is TakeOrdered, no global sort. Wedge fan-out is
+    Σ deg(n)² — the scale guard is the same hot-bucket cap as the dedup
+    family (drop hub nodes above a degree cap before wedging; the cap
+    parameter is the q91 ``df_cap`` pattern, not applied here so the
+    oracle contract stays exhaustive)."""
+    e = _edges(spark, sf)
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cn = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonadj = cn.join(e, ["a", "b"], "left_anti")
+    return nonadj.orderBy(F.desc("common"), "a", "b").limit(25)
+
+
+# ------------------------------------- prefix-filtered Jaccard scale twin --
+@query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    """q91's scale twin: EXACT 3-gram Jaccard pairs (t=0.8) via prefix
+    filtering (SSJoin/PPJoin) instead of the full inverted index — only
+    each doc's ``n - ceil(t·n) + 1`` globally-rarest shingles are indexed,
+    and hot boilerplate shingles fall out of every prefix by construction
+    (they order last). Pinned to the SAME brute-force oracle as q91: the
+    pruning is provably lossless, and the hash match proves it on real
+    data. See `operators.dedup.jaccard_prefix_filter_pairs` for the
+    completeness argument and the integer ceil arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    return jaccard_prefix_filter_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")

@@ -1,0 +1,134 @@
+"""Property tests for the training-data batch-2 queries (q237-q243) —
+semantics the DuckDB oracle gate can't express: pruning losslessness
+against the exhaustive twin, chunk-coverage reconstruction, sampling
+determinism under repartitioning, per-cluster keep-exactly-one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_capstone_spark.catalog import load_table
+from data_engineer_capstone_spark.operators.dedup import (
+    jaccard_prefix_filter_pairs,
+    ngram_jaccard_pairs,
+)
+from data_engineer_capstone_spark.plans.training_data import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    q237,
+    q238,
+    q239,
+)
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """The PPJoin prefix prune must be lossless: identical pair set and
+    identical quantized Jaccard as the exhaustive inverted-index plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    pruned = {(r.doc_a, r.doc_b, r.jaccard) for r in jaccard_prefix_filter_pairs(docs, threshold=0.8).collect()}
+    assert pruned == full
+    assert full, "corpus should contain at least one near-dup pair"
+
+
+def test_prefix_filter_indexes_fewer_postings(spark, sf_dir):
+    """The point of the prefix filter: the indexed posting list must be a
+    strict subset of the full inverted index (≈ (1-t) of it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineer_capstone_spark.functions.text import shingles
+
+    ex = docs.select(F.explode(shingles("text", 3)).alias("s"))
+    total = ex.count()
+    # replicate the operator's prefix-length arithmetic
+    sets = docs.select(F.size(shingles("text", 3)).alias("n")).where(F.col("n") > 0)
+    prefix_total = sets.select(
+        F.sum(F.col("n") - F.floor((4 * F.col("n") + 4) / 5).cast("long") + 1)
+    ).collect()[0][0]
+    assert prefix_total < total * 0.4, (prefix_total, total)
+
+
+def test_chunking_reconstructs_tokens(spark, sf_dir):
+    """Keeping each non-final chunk's first STRIDE tokens (its
+    non-overlapping core) plus the final chunk whole, in chunk order,
+    must reproduce the document's token stream EXACTLY — stride coverage
+    with no gaps and no double-counting."""
+    out = q237(spark, sf_dir)
+    mx = out.groupBy("doc_id").agg(F.max("chunk_idx").alias("mx"))
+    rebuilt = (
+        out.join(mx, "doc_id")
+        .withColumn("toks", F.split("chunk_text", " "))
+        .withColumn(
+            "kept",
+            F.when(F.col("chunk_idx") < F.col("mx"), F.slice("toks", 1, CHUNK_STRIDE))
+            .otherwise(F.col("toks")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "kept")))["kept"]
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0), " "
+            ).alias("orig"),
+        )
+        .where(F.length("orig") > 0)  # zero-token docs produce no chunks
+    )
+    n_docs = docs.count()
+    joined = rebuilt.join(docs, "doc_id")
+    assert joined.count() == n_docs  # every tokenizable doc was chunked
+    assert joined.where(F.col("rebuilt") != F.col("orig")).count() == 0
+
+
+def test_weighted_sample_partitioning_invariant(spark, sf_dir):
+    """A-ES selection is a pure function of the data, not of physical
+    layout: repartitioning the input must not change the sample."""
+    base = {r.o_orderkey for r in q239(spark, sf_dir).collect()}
+
+    from data_engineer_capstone_spark.plans import training_data as td
+
+    orig = td.load_table
+
+    def scrambled(s, sf, name):
+        df = orig(s, sf, name)
+        return df.repartition(7) if name == "orders" else df
+
+    td.load_table = scrambled
+    try:
+        again = {r.o_orderkey for r in td.q239(spark, sf_dir).collect()}
+    finally:
+        td.load_table = orig
+    assert again == base
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
+    """Sanity on the weighting: the sampled orders' mean total price must
+    exceed the population mean (P(select) grows with weight)."""
+    sample_avg = q239(spark, sf_dir).agg(F.avg("weight")).collect()[0][0]
+    pop_avg = (
+        load_table(spark, sf_dir, "orders").agg(F.avg("o_totalprice")).collect()[0][0]
+    )
+    assert sample_avg > pop_avg
+
+
+def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
+    out = q238(spark, sf_dir).cache()
+    per_cluster = out.groupBy("canonical_id").agg(
+        F.sum("keep").alias("kept"), F.max("q_votes").alias("best"),
+    )
+    assert per_cluster.where(F.col("kept") != 1).count() == 0
+    # the kept doc carries the cluster-max vote count
+    kept = out.where(F.col("keep") == 1).select("canonical_id", "q_votes")
+    mism = kept.join(per_cluster, "canonical_id").where(
+        F.col("q_votes") != F.col("best")
+    )
+    assert mism.count() == 0
+    out.unpersist()

@@ -58,6 +58,11 @@ EXPECTED = {
     "q108_near_dup_clusters": {"SortMergeJoin"},
     "q223_near_dup_clusters_star": {"SortMergeJoin"},  # same class as q108
     "q234_entity_resolution": {"SortMergeJoin"},  # same class (CC labels join)
+    "q238_cluster_keep_best": {"SortMergeJoin"},  # same class (q108 CC labels join)
+    # wedge generation: the undirected edge list self-joined on the shared
+    # endpoint — both sides are the same O(E) relation, neither broadcasts
+    # at graph scale; keyed SMJ (or AQE shuffled-hash) is the intended plan
+    "q242_common_neighbors": {"SortMergeJoin"},
     "q113_curation_pipeline": {"SortMergeJoin"},  # same (components stage)
     "q114_incremental_dedup": {"SortMergeJoin"},  # same + corpus anti-join
     "q116_corpus_report": {"SortMergeJoin"},  # same (curation components stage)
