@@ -63,6 +63,7 @@ _NEW_THIS_ROUND = (
     "q236_spatial_grid_join", "q237_doc_chunking", "q238_cluster_keep_best",
     "q239_weighted_sample", "q240_rolling_median", "q241_bigram_novelty",
     "q242_common_neighbors", "q243_jaccard_prefix_filter",
+    "q244_vocab_coverage", "q245_embedding_quantize",
 )
 
 

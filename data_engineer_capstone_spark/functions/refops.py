@@ -241,6 +241,65 @@ def deterministic_id(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    name: str = "cumsum",
+    rank_name: str | None = None,
+) -> DataFrame:
+    """Global running total of ``value_col`` in ``order_by`` order, with NO
+    partitionless window — `deterministic_id(fact_scale=True)`'s sibling
+    for prefix SUMS instead of ranks (same zipWithIndex shape, same
+    eager-localCheckpoint rationale: the counts job and the projection must
+    read one frozen range partitioning).
+
+    Plan: range-repartition on the key, per-partition running sum via a
+    partition-local window, one tiny job collects each partition's total
+    (O(partitions) rows), prefix-sum those into offsets, add the offset as
+    a literal map lookup. ``value_col`` must be integer-typed so the
+    cross-partition re-aggregation is exact in any order. Optionally mints
+    the global rank too (``rank_name``) from the same materialization —
+    rank + cumsum in one range exchange instead of two.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c).asc_nulls_first() for c in order_by]
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_rows = ranged.groupBy("_pid").agg(
+        F.sum(value_col).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    totals = {r["_pid"]: r["s"] for r in part_rows}
+    counts = {r["_pid"]: r["n"] for r in part_rows}
+    sum_off, cnt_off, s_acc, c_acc = {}, {}, 0, 0
+    for pid in sorted(counts):
+        sum_off[pid], cnt_off[pid] = s_acc, c_acc
+        s_acc += totals[pid] or 0
+        c_acc += counts[pid]
+    def _lookup(d: dict):
+        if not d:
+            return F.lit(0)
+        return F.create_map(
+            *[F.lit(x) for pid in sorted(d) for x in (pid, d[pid])]
+        )[F.col("_pid")]
+    w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
+    out = ranged.withColumn(
+        name, (F.sum(value_col).over(w).cast("long") + _lookup(sum_off))
+    )
+    if rank_name is not None:
+        wr = W.partitionBy("_pid").orderBy(*cols)
+        out = out.withColumn(
+            rank_name, F.row_number().over(wr).cast("long") + _lookup(cnt_off)
+        )
+    return out.drop("_pid")
+
+
 def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:
     """Reference DQ gate (ref data_quality_checks pyspark.py:22-39):
     (a) non-emptiness — head(1) instead of the reference's limit(1).count();

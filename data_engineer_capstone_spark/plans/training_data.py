@@ -398,6 +398,145 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
     return nonadj.orderBy(F.desc("common"), "a", "b").limit(25)
 
 
+# -------------------------------------------------- vocabulary coverage ----
+@query(
+    "q244_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS.format(c='text')}) AS word FROM documents
+    ),
+    v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+    r AS (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_rank,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM v
+    )
+    SELECT word, cnt, vocab_rank,
+           CAST(floor(cum / (SELECT total FROM t) * 1000000 + 0.5) AS BIGINT)
+             AS coverage_q
+    FROM r WHERE vocab_rank <= 200 ORDER BY vocab_rank
+    """,
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: corpus word frequencies ranked
+    by count, with each rank's CUMULATIVE share of all token occurrences —
+    the build-the-vocab step of tokenizer training ("the top-N types cover
+    X% of the corpus"). The oracle's running total is a single global
+    window; the Spark plan mints rank AND running sum distributedly in ONE
+    range exchange via `functions/refops.py:distributed_cumsum` (the
+    zipWithIndex shape generalized from ranks to prefix sums: partition-
+    local running sums + broadcast per-partition offsets). Counts are
+    integers, so cross-partition re-aggregation is exact; the only float
+    op is the final share, an IEEE bigint/bigint division quantized at
+    1e-6. Top-200 keeps the driver contract flat; the full curve is the
+    same frame unfiltered."""
+    from ..functions.refops import distributed_cumsum
+
+    docs = load_table(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("neg", -F.col("cnt"))
+    )
+    curve = distributed_cumsum(
+        vocab, ["neg", "word"], "cnt", name="cum", rank_name="vocab_rank"
+    )
+    total = curve.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        curve.where(F.col("vocab_rank") <= 200)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            "vocab_rank",
+            F.floor(F.col("cum") / F.col("total") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("coverage_q"),
+        )
+        .orderBy("vocab_rank")
+    )
+
+
+# ----------------------------------------------- embedding quantization ----
+@query(
+    "q245_embedding_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes,
+               CASE WHEN scale > 0
+                    THEN list_max(list_transform(v,
+                         x -> abs(x - floor(x / scale + 0.5) * scale)))
+                    ELSE 0.0 END AS max_err
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_q,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           CAST(floor(max_err * 1000000000 + 0.5) AS BIGINT) AS max_err_q
+    FROM q ORDER BY vec_id
+    """,
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/serving
+    compression step for vector corpora (the scalar-quantization tier
+    below q228's PQ): per-vector scale = max|x|/127, codes =
+    round(x/scale) ∈ [-127,127], plus the reconstruction-error bound
+    max|x - code·scale| the recall analysis needs. Entirely row-local
+    higher-order functions — zero shuffles, codegen'd, scales with bytes
+    scanned. Rounding is the explicit ``floor(x+0.5)`` in BOTH engines
+    (native round() half-rule differs across engines); all arithmetic is
+    IEEE mul/div/sub/abs on doubles, bit-identical cross-engine. The
+    driver-flat output carries the code checksum; production writes the
+    codes as array<tinyint> (4× smaller than float32, 8× than double)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / 127
+    s = emb.withColumn("scale", scale)
+    code = lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")  # noqa: E731
+    codes = F.when(
+        F.col("scale") > 0, F.transform("v", code)
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("long")))
+    max_err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.transform(
+                "v",
+                lambda x: F.abs(x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    q = s.select(
+        "vec_id",
+        F.col("scale"),
+        codes.alias("codes"),
+        max_err.alias("max_err"),
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1000000000 + F.lit(0.5)).cast("long").alias("scale_q"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.floor(F.col("max_err") * 1000000000 + F.lit(0.5)).cast("long").alias("max_err_q"),
+    ).orderBy("vec_id")
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

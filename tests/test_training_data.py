@@ -119,6 +119,59 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
     assert sample_avg > pop_avg
 
 
+def test_distributed_cumsum_matches_global_window(spark, sf_dir):
+    """The range-partitioned prefix sum must equal the single-partition
+    window it replaces, including the optional rank."""
+    from pyspark.sql import Window as W
+
+    from data_engineer_capstone_spark.functions.refops import distributed_cumsum
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .limit(2000)
+    )
+    got = distributed_cumsum(o, ["o_orderkey"], "cents", name="cum", rank_name="rnk")
+    w = W.orderBy("o_orderkey")
+    want = o.withColumn(
+        "cum", F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("rnk", F.row_number().over(w).cast("long"))
+    assert (
+        got.select("o_orderkey", "cum", "rnk")
+        .exceptAll(want.select("o_orderkey", "cum", "rnk"))
+        .isEmpty()
+    )
+    assert got.count() == want.count()
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from data_engineer_capstone_spark.plans.training_data import q244
+
+    rows = q244(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 200  # synthetic corpus vocab is small (~31 types)
+    cov = [r.coverage_q for r in rows]
+    assert cov == sorted(cov)  # cumulative share never decreases
+    assert cov[-1] <= 1000000
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)  # rank order is by frequency
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: |x - code·scale| ≤ scale/2 per element
+    — verified via the emitted max_err against the emitted scale."""
+    from data_engineer_capstone_spark.plans.training_data import q245
+
+    out = q245(spark, sf_dir)
+    # max_err_q and scale_q share the 1e-9 quantum: err ≤ scale/2 (+1 ulp
+    # of quantization slack on each side)
+    bad = out.where(F.col("max_err_q") > F.col("scale_q") / 2 + 1).count()
+    assert bad == 0
+    assert out.where(F.col("scale_q") < 0).count() == 0
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
