@@ -537,6 +537,170 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# ----------------------------------------------------- column profiling ----
+@query(
+    "q246_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(floor(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    """Table profiling — the ANALYZE/describe-extended stats pass every
+    catalog and data-quality tool needs: per column, null count, exact
+    distinct count, and canonically-formatted min/max (ints as digits,
+    money as cents, timestamps ISO — never engine-default float/date
+    rendering, which differs across engines). The oracle scans the table
+    once PER COLUMN (six scans); the Spark plan computes ALL columns'
+    stats in ONE aggregate pass over one scan, then explodes the 1-row
+    result into the per-column rows — the profiling shape that matters at
+    100 TB, where each extra scan is the dominant cost. Exact distincts
+    ride Spark's multi-distinct expand; the 100 TB default would swap
+    them for approx_count_distinct (documented trade, q107's sketch)."""
+    o = load_table(spark, sf, "orders")
+    n = F.count(F.lit(1))
+    aggs = []
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"):
+        aggs += [
+            (n - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+
+    def fmt(c: str, mm: Column) -> Column:
+        if c == "o_totalprice":
+            return F.floor(mm * 100 + F.lit(0.5)).cast("long").cast("string")
+        if c == "o_orderdate":
+            return F.date_format(mm, "yyyy-MM-dd HH:mm:ss")
+        return mm.cast("string")
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            fmt(c, F.col(f"{c}__min")).alias("min_v"),
+            fmt(c, F.col(f"{c}__max")).alias("max_v"),
+        )
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                  "o_orderdate", "o_orderpriority")
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# ------------------------------------------------------- winsorization -----
+@query(
+    "q247_winsorize",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM c),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rnk FROM c),
+    cuts AS (
+        SELECT MAX(CASE WHEN rnk = (1 * n + 99) // 100 THEN cents END) AS lo,
+               MAX(CASE WHEN rnk = (99 * n + 99) // 100 THEN cents END) AS hi
+        FROM r, nn
+    )
+    SELECT n,
+           lo AS lo_cents, hi AS hi_cents,
+           (SELECT COUNT(*) FROM c WHERE cents < lo) AS n_clip_lo,
+           (SELECT COUNT(*) FROM c WHERE cents > hi) AS n_clip_hi,
+           (SELECT CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT) FROM c)
+             AS wins_sum_cents
+    FROM cuts, nn
+    """,
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization — clip a money column at its exact P1/P99 before
+    statistics, the standard outlier-robust preprocessing step. All
+    arithmetic is INTEGER: prices quantize to cents, the cut points are
+    the DISCRETE percentiles (value at rank ceil(p·n), integer ceil) —
+    not the interpolated ones, whose (a+99b)/100 form lands exactly on a
+    .5 rounding boundary for 1-in-100 cent pairs and would flip a cent
+    across engine libms. Rank selection is the q218 machinery
+    (`deterministic_id(fact_scale=True)`, no partitionless window);
+    the two cut rows broadcast; the clip is row-local ``greatest∘least``.
+    Scale: one range exchange + one broadcast + one agg — the 100 TB
+    default swaps exact ranks for approx_percentile cut points
+    (documented trade)."""
+    from ..functions.refops import deterministic_id
+
+    o = load_table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = deterministic_id(o, ["cents", "o_orderkey"], name="rnk", fact_scale=True)
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rnk") == F.floor((1 * F.col("n") + 99) / 100), F.col("cents")
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rnk") == F.floor((99 * F.col("n") + 99) / 100), F.col("cents")
+                )
+            ).alias("hi"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(n_row))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("lo").alias("lo_cents"),
+            F.first("hi").alias("hi_cents"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            F.sum(F.greatest("lo", F.least("hi", F.col("cents"))))
+            .cast("long")
+            .alias("wins_sum_cents"),
+        )
+    )
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

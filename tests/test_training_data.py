@@ -172,6 +172,35 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
     assert out.where(F.col("scale_q") < 0).count() == 0
 
 
+def test_winsorize_clip_fractions(spark, sf_dir):
+    """Discrete P1/P99 cuts: at most 1% of rows clip on each side, and the
+    winsorized sum is bounded by n·lo .. n·hi."""
+    from data_engineer_capstone_spark.plans.training_data import q247
+
+    r = q247(spark, sf_dir).collect()[0]
+    assert r.lo_cents <= r.hi_cents
+    assert r.n_clip_lo < r.n * 0.01
+    assert r.n_clip_hi <= r.n * 0.01
+    assert r.n * r.lo_cents <= r.wins_sum_cents <= r.n * r.hi_cents
+
+
+def test_column_profile_invariants(spark, sf_dir):
+    from data_engineer_capstone_spark.plans.training_data import q246
+
+    rows = {r.col_name: r for r in q246(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n - r.n_nulls
+        assert r.min_v <= r.max_v or r.col_name in ("o_orderkey", "o_custkey",
+                                                    "o_totalprice")
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
