@@ -701,6 +701,65 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ BPE merge step -----
+@query(
+    "q248_bpe_merge_step",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS.format(c='text')}) AS word FROM documents
+    ),
+    v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    ch AS (SELECT cnt, regexp_extract_all(word, '.') AS cs FROM v),
+    p AS (
+        SELECT cnt,
+               unnest(cs[1:len(cs) - 1]) AS a,
+               unnest(cs[2:len(cs)]) AS b
+        FROM ch WHERE len(cs) >= 2
+    )
+    SELECT a AS left_sym, b AS right_sym, CAST(SUM(cnt) AS BIGINT) AS total
+    FROM p GROUP BY a, b
+    ORDER BY total DESC, left_sym, right_sym LIMIT 20
+    """,
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    """The BPE tokenizer-training kernel: word-frequency-weighted adjacent
+    symbol-pair counts, ranked — the top pair IS the next BPE merge. The
+    load-bearing scale property: pair counting runs over the VOCABULARY
+    (word → corpus frequency, then chars within each distinct word,
+    weighted by the frequency), not over the corpus — O(vocab · word_len)
+    rows after one corpus-sized word-count shuffle, which is why
+    industrial BPE trainers survive trillion-token corpora. Subsequent
+    merge rounds re-segment the (bounded) vocabulary and repeat — a
+    driver loop over vocab-sized jobs, the connected-components iteration
+    pattern, not registered per-round here. Top-20 keeps the contract
+    flat; ties rank deterministically by the pair itself."""
+    docs = load_table(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cs = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    n = F.size(cs)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(cs, i).alias("a"), F.element_at(cs, i + 1).alias("b")
+        ),
+    )
+    ex = (
+        vocab.where(n >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .select("cnt", F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym"))
+    )
+    return (
+        ex.groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+        .orderBy(F.desc("total"), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

@@ -201,6 +201,32 @@ def test_column_profile_invariants(spark, sf_dir):
     assert rows["o_orderkey"].n_distinct == n  # primary key
 
 
+def test_bpe_merge_step_shape(spark, sf_dir):
+    """BPE merge candidates: single-char symbols, ranked by weighted count
+    nonincreasing, and the top pair's count matches a direct recount."""
+    from data_engineer_capstone_spark.plans.training_data import q248
+
+    rows = q248(spark, sf_dir).collect()
+    assert rows
+    assert all(len(r.left_sym) == 1 and len(r.right_sym) == 1 for r in rows)
+    totals = [r.total for r in rows]
+    assert totals == sorted(totals, reverse=True)
+    # recount one winning pair straight off the corpus token stream; use a
+    # pair with distinct symbols so regex matches can't overlap (in "aaa"
+    # the pair (a,a) occurs twice but the regex finds one non-overlapping)
+    top = next(r for r in rows if r.left_sym != r.right_sym)
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineer_capstone_spark.functions.text import words
+
+    direct = (
+        docs.select(F.explode(words("text")).alias("w"))
+        .select(F.size(F.regexp_extract_all("w", F.lit(top.left_sym + top.right_sym), 0)).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert direct == top.total
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
