@@ -760,6 +760,42 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q247's declared 100 TB path, registered (the q218/q224 pattern: scale
+# twins are code with pinned tests, not prose). approx_percentile is a
+# mergeable GK/KLL sketch — one pass, partial aggregation, no range
+# exchange, no rank selection — at the price of sketch-accuracy cut
+# points. Rows-only: the cut points are approximate by design; the
+# closeness contract vs q247 (same n, cuts within sketch tolerance, clip
+# fractions within 2·tolerance) is pinned in tests/test_training_data.py.
+@query("q249_winsorize_approx")
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    """q247's scale twin: winsorization with approx_percentile cut points
+    (accuracy 10000 ⇒ rank error ≤ n/10000) instead of exact distributed
+    rank selection. Same output schema; one aggregation pass for the cuts,
+    one for the clipped stats."""
+    o = load_table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    cuts = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("cents", 0.01, 10000).alias("lo"),
+        F.percentile_approx("cents", 0.99, 10000).alias("hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("lo").alias("lo_cents"),
+            F.first("hi").alias("hi_cents"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            F.sum(F.greatest("lo", F.least("hi", F.col("cents"))))
+            .cast("long")
+            .alias("wins_sum_cents"),
+        )
+    )
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

@@ -227,6 +227,26 @@ def test_bpe_merge_step_shape(spark, sf_dir):
     assert direct == top.total
 
 
+def test_winsorize_approx_twin_close_to_exact(spark, sf_dir):
+    """q249 (approx_percentile cuts) must agree with q247 (exact discrete
+    cuts) within the sketch's rank-error bound: accuracy 10000 ⇒ the cut
+    value sits within n/10000 ranks of the exact one, so clip fractions
+    differ by at most that, and the winsorized sum moves by at most the
+    rank slack times the cut spread."""
+    from data_engineer_capstone_spark.plans.training_data import q247, q249
+
+    exact = q247(spark, sf_dir).collect()[0]
+    approx = q249(spark, sf_dir).collect()[0]
+    assert approx.n == exact.n
+    slack = exact.n / 10000 + 1
+    assert abs(approx.n_clip_lo - exact.n_clip_lo) <= 2 * slack
+    assert abs(approx.n_clip_hi - exact.n_clip_hi) <= 2 * slack
+    assert exact.lo_cents <= approx.lo_cents or approx.lo_cents <= exact.hi_cents
+    # the clipped sums agree to within the moved mass at the tails
+    spread = exact.hi_cents - exact.lo_cents
+    assert abs(approx.wins_sum_cents - exact.wins_sum_cents) <= 4 * slack * spread
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(

@@ -36,6 +36,7 @@ EXPECTED = {
     "q227_domain_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row min_total scalar
     "q244_vocab_coverage": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total scalar
     "q247_winsorize": {"BroadcastNestedLoopJoin"},  # 1-row n / cut-point scalars
+    "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     # brute-force cosine pair join is the declared exact baseline (q95
     # class); the min-neighbor left join is keyed SMJ until AQE converts.
     # Scale twin: q224 (hyperplane-LSH bucketed pair generation, keyed
