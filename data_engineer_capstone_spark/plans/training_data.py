@@ -352,6 +352,37 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------- link prediction ------
+def common_neighbor_counts(
+    edges: DataFrame, degree_cap: int | None = None
+) -> DataFrame:
+    """Common-neighbor counts for non-adjacent pairs from an undirected
+    edge list ``(a, b)`` with a < b.
+
+    ``degree_cap`` is the hot-bucket guard (the q91 ``df_cap`` pattern for
+    graphs): wedge fan-out is Σ deg(n)² and ONE hub node (a
+    sold-with-everything part, a follow-everyone account) dominates the
+    whole job. Nodes whose degree exceeds the cap are excluded from the
+    WEDGE-CENTER role — their own pair counts drop, every other count is
+    unchanged (a wedge is counted at its center, so capping a center
+    never perturbs wedges centered elsewhere). ``None`` keeps the exact
+    contract; the capped path is covered by a crafted hub-graph pytest.
+    """
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    if degree_cap is not None:
+        und = und.withColumn(
+            "_deg", F.count(F.lit(1)).over(W.partitionBy("src"))
+        ).where(F.col("_deg") <= degree_cap).drop("_deg")
+    x, y = und.alias("x"), und.alias("y")
+    cn = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return cn.join(edges, ["a", "b"], "left_anti")
+
+
 @query(
     "q242_common_neighbors",
     oracle=f"""
@@ -380,22 +411,14 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
     shared endpoint generates each wedge once (a < b orients it), a hash
     aggregate counts them, and a left-anti join removes already-connected
     pairs; top-k is TakeOrdered, no global sort. Wedge fan-out is
-    Σ deg(n)² — the scale guard is the same hot-bucket cap as the dedup
-    family (drop hub nodes above a degree cap before wedging; the cap
-    parameter is the q91 ``df_cap`` pattern, not applied here so the
+    Σ deg(n)² — the hub-node guard is `common_neighbor_counts`'s
+    ``degree_cap`` (implemented + hub-graph-pytested; OFF here so the
     oracle contract stays exhaustive)."""
-    e = _edges(spark, sf)
-    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return (
+        common_neighbor_counts(_edges(spark, sf))
+        .orderBy(F.desc("common"), "a", "b")
+        .limit(25)
     )
-    x, y = und.alias("x"), und.alias("y")
-    cn = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
-        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    nonadj = cn.join(e, ["a", "b"], "left_anti")
-    return nonadj.orderBy(F.desc("common"), "a", "b").limit(25)
 
 
 # -------------------------------------------------- vocabulary coverage ----

@@ -247,6 +247,26 @@ def test_winsorize_approx_twin_close_to_exact(spark, sf_dir):
     assert abs(approx.wins_sum_cents - exact.wins_sum_cents) <= 4 * slack * spread
 
 
+def test_common_neighbor_degree_cap_drops_only_hub_wedges(spark):
+    """Crafted hub graph: a star center with 60 spokes plus a small clique.
+    Capped at 50, the hub stops generating wedges (its spoke pairs vanish)
+    while every wedge centered on a normal node survives unchanged."""
+    from data_engineer_capstone_spark.plans.training_data import common_neighbor_counts
+
+    hub = [(0, i) for i in range(1, 61)]  # hub 0, spokes 1..60
+    clique = [(100, 101), (100, 102), (101, 102), (101, 103)]
+    edges = spark.createDataFrame(hub + clique, ["a", "b"])
+    full = {(r.a, r.b): r.common for r in common_neighbor_counts(edges).collect()}
+    capped = {(r.a, r.b): r.common for r in
+              common_neighbor_counts(edges, degree_cap=50).collect()}
+    # hub-centered wedges (spoke-spoke pairs) exist only uncapped
+    assert (1, 2) in full and (1, 2) not in capped
+    # wedges centered on normal nodes are untouched: 102-103 via center 101
+    assert full[(102, 103)] == capped[(102, 103)] == 1
+    # and nothing capped is new
+    assert set(capped) <= set(full)
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
