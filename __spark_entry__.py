@@ -65,7 +65,7 @@ _NEW_THIS_ROUND = (
     "q242_common_neighbors", "q243_jaccard_prefix_filter",
     "q244_vocab_coverage", "q245_embedding_quantize",
     "q246_column_profile", "q247_winsorize", "q248_bpe_merge_step",
-    "q249_winsorize_approx",
+    "q249_winsorize_approx", "q250_kmeans_update_step",
 )
 
 

@@ -819,6 +819,107 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- k-means update step ---
+_ASSIGN_SQL = """
+    dist AS (
+        SELECT e.vec_id, c.clabel,
+               list_reduce(
+                   list_transform(
+                       list_zip(list_transform(e.embedding,
+                                               x -> CAST(x AS DOUBLE)),
+                                c.cvec),
+                       t -> (t[1] - t[2]) * (t[1] - t[2])),
+                   (a, b) -> a + b) AS d
+        FROM embeddings e CROSS JOIN carr c),
+    best AS (
+        SELECT vec_id, clabel, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dist)
+"""
+
+
+def _q250_oracle() -> str:
+    from .extensions import _CENTROID_SQL
+
+    return f"""
+    WITH {_CENTROID_SQL},
+    {_ASSIGN_SQL},
+    asg AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+    upd AS (
+        SELECT a.clabel AS new_label, u.i - 1 AS pos,
+               floor(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1e9 + 0.5)
+                              AS BIGINT))
+                     / (1e9 * COUNT(*)) * 1e6 + 0.5) / 1e6 AS centroid
+        FROM embeddings e JOIN asg a USING (vec_id),
+             unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY new_label, pos)
+    SELECT new_label, pos, centroid FROM upd ORDER BY new_label, pos
+    """
+
+
+@query("q250_kmeans_update_step", oracle=_q250_oracle())
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    """The k-means centroid UPDATE step — q167's missing half: after every
+    embedding is assigned to its nearest centroid (same broadcast
+    nested-loop assignment, same order-defined float fold and (d, label)
+    tie-break), recompute each cluster's centroid as the per-dimension
+    mean of its members. One full Lloyd iteration is assign∘update;
+    distributed k-means training is this pair in a driver loop (IVF
+    training, q106/q228, runs exactly this on a bounded sample instead).
+    Scale shape: assignment is map-side against k broadcast centroids
+    (zero shuffle), the update is ONE hash aggregate over the exploded
+    (cluster, dim) components — k·dim output rows, never a per-row array
+    reduce on the driver. Component sums quantize to 1e-9 bigints so the
+    re-aggregation is exact in any partition order and the next
+    iteration's input is bit-identical cross-engine."""
+    from ._util import round_det
+
+    emb = load_table(spark, sf, "embeddings")
+    comps0 = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label", "pos",
+        F.floor(F.col("x").cast("double") * 1e9 + 0.5).cast("long").alias("q"),
+    )
+    cent = comps0.groupBy("label", "pos").agg(
+        round_det(F.sum("q") / (F.lit(1e9) * F.count(F.lit(1))), 6).alias("centroid")
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s.centroid,
+        ).alias("cvec")
+    )
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = F.aggregate(
+        F.zip_with(ed, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    dist = emb.crossJoin(F.broadcast(carr)).select("vec_id", "clabel", d.alias("d"))
+    w = W.partitionBy("vec_id").orderBy("d", "clabel")
+    asg = (
+        dist.select("vec_id", "clabel", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    comps1 = (
+        emb.join(asg, "vec_id")
+        .select("clabel", F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .select(
+            F.col("clabel").alias("new_label"), "pos",
+            F.floor(F.col("x").cast("double") * 1e9 + 0.5).cast("long").alias("q"),
+        )
+    )
+    return (
+        comps1.groupBy("new_label", "pos")
+        .agg(
+            round_det(F.sum("q") / (F.lit(1e9) * F.count(F.lit(1))), 6).alias("centroid")
+        )
+        .orderBy("new_label", "pos")
+    )
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

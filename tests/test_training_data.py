@@ -267,6 +267,25 @@ def test_common_neighbor_degree_cap_drops_only_hub_wedges(spark):
     assert set(capped) <= set(full)
 
 
+def test_kmeans_update_step_shape(spark, sf_dir):
+    """The centroid update must emit one full dim-vector per surviving
+    cluster, with every centroid inside the corpus value range."""
+    from data_engineer_capstone_spark.plans.training_data import q250
+
+    out = q250(spark, sf_dir).cache()
+    per_cluster = out.groupBy("new_label").agg(F.count(F.lit(1)).alias("dims"))
+    assert per_cluster.where(F.col("dims") != 64).count() == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    lohi = emb.select(
+        F.explode(F.col("embedding").cast("array<double>")).alias("x")
+    ).agg(F.min("x").alias("lo"), F.max("x").alias("hi")).collect()[0]
+    bad = out.where(
+        (F.col("centroid") < lohi.lo - 1e-6) | (F.col("centroid") > lohi.hi + 1e-6)
+    ).count()
+    assert bad == 0
+    out.unpersist()
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(

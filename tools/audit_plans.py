@@ -37,6 +37,9 @@ EXPECTED = {
     "q244_vocab_coverage": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total scalar
     "q247_winsorize": {"BroadcastNestedLoopJoin"},  # 1-row n / cut-point scalars
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
+    # k broadcast centroids vs the vector stream — the map-side assignment
+    # nested loop that makes k-means scale (same class as q167)
+    "q250_kmeans_update_step": {"BroadcastNestedLoopJoin"},
     # brute-force cosine pair join is the declared exact baseline (q95
     # class); the min-neighbor left join is keyed SMJ until AQE converts.
     # Scale twin: q224 (hyperplane-LSH bucketed pair generation, keyed
