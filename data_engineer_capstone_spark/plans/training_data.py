@@ -212,6 +212,49 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("o_orderkey", "weight").orderBy("o_orderkey")
 
 
+@query(
+    "q251_grouped_weighted_sample",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, weight FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice AS weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ln((CAST(('0x' || substr(md5('gws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                                     AS BIGINT) + 1) / {_TWO_POW_60}.0)
+                            / o_totalprice DESC,
+                            o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 20 ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    """q239 per stratum: a weighted sample WITHOUT replacement of k=20
+    rows from EVERY group (the 'k docs per domain, weighted by quality'
+    curation op) — same deterministic Efraimidis-Spirakis priorities,
+    selected by a PARTITIONED row_number instead of a global top-k:
+    per-group window state, one shuffle on the group key, no global sort,
+    no driver involvement — the per-stratum sampler that runs at any
+    group cardinality. The priority stays comparison-only (never emitted),
+    so the ln never reaches the hash contract."""
+    orders = load_table(spark, sf, "orders")
+    u = (
+        h64(F.concat(F.lit("gws:"), F.col("o_orderkey").cast("string"))) + 1
+    ) / F.lit(float(_TWO_POW_60))
+    k = F.log(u) / F.col("o_totalprice")
+    w = W.partitionBy("o_orderpriority").orderBy(k.desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("weight"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 20)
+        .select("o_orderpriority", "o_orderkey", "weight")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
 # ------------------------------------------------------- rolling median ----
 @query(
     "q240_rolling_median",

@@ -286,6 +286,30 @@ def test_kmeans_update_step_shape(spark, sf_dir):
     out.unpersist()
 
 
+def test_grouped_weighted_sample_per_stratum(spark, sf_dir):
+    """Exactly k rows per stratum (every priority group is larger than k),
+    and each stratum's sample skews toward heavy weights."""
+    from data_engineer_capstone_spark.plans.training_data import q251
+
+    out = q251(spark, sf_dir).cache()
+    sizes = {r.o_orderpriority: r.n for r in
+             out.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes and all(n == 20 for n in sizes.values())
+    pop = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("pop_avg"))
+    )
+    biased = (
+        out.groupBy("o_orderpriority").agg(F.avg("weight").alias("s_avg"))
+        .join(pop, "o_orderpriority")
+        .where(F.col("s_avg") <= F.col("pop_avg"))
+        .count()
+    )
+    assert biased == 0
+    out.unpersist()
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
