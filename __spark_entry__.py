@@ -66,7 +66,7 @@ _NEW_THIS_ROUND = (
     "q244_vocab_coverage", "q245_embedding_quantize",
     "q246_column_profile", "q247_winsorize", "q248_bpe_merge_step",
     "q249_winsorize_approx", "q250_kmeans_update_step",
-    "q251_grouped_weighted_sample",
+    "q251_grouped_weighted_sample", "q252_exact_auc",
 )
 
 

@@ -963,6 +963,83 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ exact AUC ----
+@query(
+    "q252_exact_auc",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS s,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    g AS (SELECT s, COUNT(*) AS n_s, SUM(pos) AS p_s FROM r GROUP BY s),
+    c AS (
+        SELECT s, n_s, p_s,
+               SUM(n_s) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(SUM(p_s * (2 * cum_n - n_s + 1)) AS BIGINT) AS r2,
+               CAST(SUM(p_s) AS BIGINT) AS n_pos,
+               CAST(SUM(n_s) AS BIGINT) AS n
+        FROM c
+    )
+    SELECT n, n_pos, n - n_pos AS n_neg,
+           CAST(floor((r2 - n_pos * (n_pos + 1))
+                      / (2 * n_pos * (n - n_pos)) * 1000000 + 0.5) AS BIGINT)
+             AS auc_q
+    FROM agg
+    """,
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ROC AUC, distributed — the model-evaluation statistic every
+    training pipeline reports, computed as the Mann-Whitney rank sum with
+    tie-AVERAGED ranks (the definition sklearn uses), never by
+    materializing the O(n_pos·n_neg) pair space: group by (quantized)
+    score, global running count over score groups via
+    `refops.distributed_cumsum` (doubled average rank
+    ``2·cum − n_s + 1`` stays integer through ties), one final aggregate.
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), all integer until
+    the single IEEE division, quantized 1e-6. Scale: one groupBy shuffle
+    on score + one range exchange over DISTINCT scores (bounded by value
+    cardinality, not rows) — the oracle's global window is the
+    partitionless plan this replaces. Score = first embedding component,
+    positives = label < 5 (synthetic eval: labels carry no real signal,
+    the expected AUC ≈ 0.5 — the CONTRACT under test is the rank-sum
+    machinery, which any (score, label) pair stream reuses)."""
+    from ..functions.refops import distributed_cumsum
+
+    emb = load_table(spark, sf, "embeddings")
+    rows = emb.select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double") * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+    )
+    g = rows.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("p_s")
+    )
+    c = distributed_cumsum(g, ["s"], "n_s", name="cum_n")
+    agg = c.agg(
+        F.sum(F.col("p_s") * (2 * F.col("cum_n") - F.col("n_s") + 1)).alias("r2"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum("n_s").alias("n"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.floor(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("auc_q"),
+    )
+
+
 # ------------------------------------- prefix-filtered Jaccard scale twin --
 @query("q243_jaccard_prefix_filter", oracle=JACCARD_PAIRS_ORACLE)
 def q243(spark: SparkSession, sf: str) -> DataFrame:

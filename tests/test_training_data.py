@@ -310,6 +310,38 @@ def test_grouped_weighted_sample_per_stratum(spark, sf_dir):
     out.unpersist()
 
 
+def test_exact_auc_matches_pairwise_definition(spark, sf_dir):
+    """The rank-sum AUC must equal the O(n²) pairwise definition
+    (P(score_pos > score_neg) + ½·P(tie)) computed directly on the
+    collected rows — the independent oracle-of-the-oracle."""
+    from data_engineer_capstone_spark.plans.training_data import q252
+
+    r = q252(spark, sf_dir).collect()[0]
+    assert r.n == r.n_pos + r.n_neg
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("s"),
+            (F.col("label") < 5).cast("int").alias("pos"),
+        )
+        .collect()
+    )
+    pos = sorted(x.s for x in rows if x.pos)
+    neg = sorted(x.s for x in rows if not x.pos)
+    import bisect
+
+    wins = halves = 0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo
+        halves += hi - lo
+    auc = (wins + halves / 2) / (len(pos) * len(neg))
+    assert abs(r.auc_q - round(auc * 1e6)) <= 1
+
+
 def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     out = q238(spark, sf_dir).cache()
     per_cluster = out.groupBy("canonical_id").agg(
