@@ -27,11 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return get_queries()["q30_tpch_q1_agg"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver already hash-verified in rounds 1 AND 2 (identical
-# 50-query sample both times — the driver takes the head of this dict's
-# iteration order). Rotating them to the back puts 50 not-yet-driver-checked
-# queries at the head, so each round broadens driver verification; the local
-# gate (tests/test_queries.py) still verifies the full registry either way.
+# Queries the driver already hash-verified in earlier rounds (the driver
+# takes the head of this dict's iteration order). Rotating them to the back
+# puts 50 not-yet-driver-checked queries at the head, so each round broadens
+# driver verification; the local gate (tests/test_queries.py) still verifies
+# the full registry either way.
 _DRIVER_VERIFIED_R1_R2 = (
     "q01_full_scan", "q02_projection_arithmetic", "q03_predicates",
     "q04_compound_gate", "q20_broadcast_code_lookup", "q21_star_join_revenue",
@@ -53,36 +53,66 @@ _DRIVER_VERIFIED_R1_R2 = (
 )
 
 
-# Queries added this round: front of the sample so brand-new operators get
-# driver rows in their first round out.
-_NEW_THIS_ROUND = (
+# Round-3 driver-green additions (the CORRECTNESS_r03.json sample minus the
+# rows that changed this round — those re-front via _RECHECK_THIS_ROUND).
+_DRIVER_VERIFIED_R3 = (
     "q224_semantic_dedup_lsh", "q225_simhash_pairs", "q226_pii_redaction",
     "q227_domain_mix_sample", "q228_ann_ivf_pq", "q229_salted_hot_key_join",
-    "q230_asof_tolerance", "q231_hashed_linear_classifier", "q232_fim_transform",
-    "q233_udf_map_in_arrow", "q234_entity_resolution", "q235_ivm_delta_aggregate",
+    "q230_asof_tolerance", "q232_fim_transform", "q233_udf_map_in_arrow",
+    "q234_entity_resolution", "q235_ivm_delta_aggregate",
     "q236_spatial_grid_join", "q237_doc_chunking", "q238_cluster_keep_best",
     "q239_weighted_sample", "q240_rolling_median", "q241_bigram_novelty",
     "q242_common_neighbors", "q243_jaccard_prefix_filter",
-    "q244_vocab_coverage", "q245_embedding_quantize",
-    "q246_column_profile", "q247_winsorize", "q248_bpe_merge_step",
-    "q249_winsorize_approx", "q250_kmeans_update_step",
-    "q251_grouped_weighted_sample", "q252_exact_auc",
+    "q244_vocab_coverage", "q245_embedding_quantize", "q246_column_profile",
+    "q247_winsorize", "q248_bpe_merge_step", "q249_winsorize_approx",
+    "q250_kmeans_update_step", "q251_grouped_weighted_sample", "q252_exact_auc",
+    "q152_weighted_avg", "q163_chi_square", "q164_regression_slope",
+    "q169_median_abs_deviation", "q170_lag1_autocorr", "q171_entropy",
+    "q40_row_number_topk", "q41_rank_dense_rank", "q42_lag_lead",
+    "q43_running_sum", "q44_sliding_frame_ntile", "q117_sessionize",
+    "q120_time_range_window", "q129_window_kit2", "q173_locf",
+    "q174_contribution", "q60_string_kit", "q61_split_index",
+    "q62_sas_epoch_date",
+)
+
+
+# Queries whose oracle SQL (or Spark edge typing) changed this round — the
+# r3 HUGEINT-red rows q160/q175/q231 plus the latent HUGEINT/DECIMAL class
+# found by the DESCRIBE sweep. Front of the sample so the fixes get driver
+# rows immediately.
+_RECHECK_THIS_ROUND = (
+    "q160_boolean_aggregates", "q175_new_vs_returning",
+    "q231_hashed_linear_classifier", "q110_sequence_packing",
+    "q116_corpus_report", "q140_bitwise_kit", "q153_merge_intervals",
+    "q154_time_weighted_avg", "q177_collated_compare",
+    "q192_tpch_q12_shipping_delay_priority", "q217_aggregate_filter_clause",
+)
+
+
+# Queries registered this round: right after the rechecks so brand-new
+# operators get driver rows in their first round out.
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "q253_ann_ivf_exhaustive", "q254_ann_ivf_pq_exhaustive",
+    "q255_winsorize_sketch_exhaustive",
 )
 
 
 def _rotate(reg: dict) -> dict:
-    """This round's new queries first, then never-driver-checked queries
-    (registration order), the already-twice-verified 50 last; optional
-    SPARK_GRAFT_QUERY_SUBSET (comma-separated names) narrows to an
-    explicit subset."""
+    """Changed-oracle rechecks first, then this round's new queries, then
+    never-driver-checked queries (registration order — scalar kits,
+    reference pipeline, streaming, and the dedup/curation core lead), the
+    already-verified 97 last; optional SPARK_GRAFT_QUERY_SUBSET
+    (comma-separated names) narrows to an explicit subset."""
     subset = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
     if subset:
         want = [s.strip() for s in subset.split(",") if s.strip()]
         return {k: reg[k] for k in want if k in reg}
-    seen = set(_DRIVER_VERIFIED_R1_R2) | set(_NEW_THIS_ROUND)
-    out = {k: reg[k] for k in _NEW_THIS_ROUND if k in reg}
+    verified = _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3
+    front = _RECHECK_THIS_ROUND + _NEW_THIS_ROUND
+    seen = set(verified) | set(front)
+    out = {k: reg[k] for k in front if k in reg}
     out.update({k: v for k, v in reg.items() if k not in seen})
-    out.update({k: reg[k] for k in _DRIVER_VERIFIED_R1_R2 if k in reg})
+    out.update({k: reg[k] for k in verified if k in reg})
     return out
 
 

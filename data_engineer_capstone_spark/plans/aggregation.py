@@ -675,10 +675,10 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     "q160_boolean_aggregates",
     oracle="""
     SELECT event_type,
-           count_if(value > 100) AS n_big,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
            bool_and(value >= 0) AS all_nonneg,
            bool_or(value > 400) AS any_huge,
-           COUNT(*) - count_if(value > 100) AS n_small
+           CAST(COUNT(*) - count_if(value > 100) AS BIGINT) AS n_small
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

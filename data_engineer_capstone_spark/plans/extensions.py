@@ -266,9 +266,10 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- similarity --
-@query(
-    "q94_cosine_topk",
-    oracle="""
+# Exact brute-force top-5 cosine for the 10 query vectors — the shared
+# oracle for q94 (brute force) and the exhaustive-config ANN certifications
+# q253/q254 (ANN machinery dialed so the approximation is lossless).
+_BRUTE_TOPK_ORACLE = """
     SELECT query_id, candidate_id, cos_sim, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
                floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
@@ -290,8 +291,10 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         WHERE q.vec_id < 10)
     WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+"""
+
+
+@query("q94_cosine_topk", oracle=_BRUTE_TOPK_ORACLE)
 def q94(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force top-5 cosine neighbors for the first 10 vectors against
     the rest — the exact ANN baseline."""
@@ -370,6 +373,44 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_pq_ann_topk(
         emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
         dim=64, k=5, n_lists=8, n_probe=3, m_sub=8, n_codes=16, refine=8,
+    ).orderBy("query_id", "rank")
+
+
+@query("q253_ann_ivf_exhaustive", oracle=_BRUTE_TOPK_ORACLE)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN at the exhaustive configuration (``n_probe = n_lists``):
+    every query probes every inverted list, so the candidate equi-join
+    covers the full candidate set and the exact cosine re-rank reduces to
+    brute force — the SAME training/assignment/equi-join machinery as
+    q106, certified against the exact q94 oracle. This converts the
+    rows-only check on the approximate path into a hash-verified row:
+    if the IVF plumbing dropped, duplicated, or mis-scored a candidate,
+    the exhaustive config would diverge from brute force and fail here."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_lists=8, n_probe=8,
+    ).orderBy("query_id", "rank")
+
+
+@query("q254_ann_ivf_pq_exhaustive", oracle=_BRUTE_TOPK_ORACLE)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN at the exhaustive configuration: ``n_probe = n_lists``
+    (all lists probed) and ``refine*k`` ≥ the candidate count (every ADC
+    shortlist covers all candidates, so the exact-refine stage rescoring
+    true vectors reduces to brute force regardless of PQ quantization
+    error). Certifies the full encode → ADC lookup → shortlist → refine
+    machinery against the exact q94 oracle. refine=400 covers ≤ 2000
+    candidates — the registered-test-scale bound (sf ≤ 0.1; at larger SF
+    this config is NOT exhaustive and the q228 recall contract applies)."""
+    from ..operators.similarity import ivf_pq_ann_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_pq_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_lists=8, n_probe=8, m_sub=8, n_codes=16, refine=400,
     ).orderBy("query_id", "rank")
 
 
@@ -595,7 +636,8 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
                            - n_tokens) / 2048) AS BIGINT) AS pack_id
         FROM t
     )
-    SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY lang, pack_id
     ORDER BY lang, pack_id
     """,
@@ -888,7 +930,7 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT pred_lang, split,
            GROUPING(pred_lang) * 2 + GROUPING(split) AS grp,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM curated
     GROUP BY ROLLUP(pred_lang, split)
     ORDER BY grp, pred_lang NULLS LAST, split NULLS LAST
@@ -1374,7 +1416,8 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     merged AS (
         SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
         FROM islands GROUP BY user_id, island)
-    SELECT user_id, COUNT(*) AS n_islands, SUM(hi - lo) AS covered_us
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(hi - lo) AS BIGINT) AS covered_us
     FROM merged GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -1445,7 +1488,7 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
                     ORDER BY ts, event_id) AS nxt
         FROM events)
     SELECT user_id,
-           SUM(nxt - s) AS total_dur_us,
+           CAST(SUM(nxt - s) AS BIGINT) AS total_dur_us,
            floor(SUM(v_cents * (nxt - s))
                  / (100.0 * SUM(nxt - s)) * 1e6 + 0.5) / 1e6 AS twa
     FROM seq WHERE nxt IS NOT NULL
@@ -2432,10 +2475,10 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     "q231_hashed_linear_classifier",
     oracle=f"""
     SELECT doc_id,
-           COALESCE(list_sum([
+           CAST(COALESCE(list_sum([
                ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
                for w in {_WORDS.format(c="text")}
-           ]), 0) AS logit,
+           ]), 0) AS BIGINT) AS logit,
            COALESCE(list_sum([
                ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
                for w in {_WORDS.format(c="text")}

@@ -371,9 +371,9 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            bit_and(a) AS band, bit_or(a) AS bor, bit_xor(a) AS bxor,
-           SUM(bit_count(a & b)) AS bits_total,
-           SUM(xor(a, b)) AS xor_sum,
-           SUM((a << 2) | (b >> 1)) AS shift_sum
+           CAST(SUM(bit_count(a & b)) AS BIGINT) AS bits_total,
+           CAST(SUM(xor(a, b)) AS BIGINT) AS xor_sum,
+           CAST(SUM((a << 2) | (b >> 1)) AS BIGINT) AS shift_sum
     FROM (SELECT event_type,
                  event_id % 256 AS a, user_id % 256 AS b
           FROM events)
@@ -607,14 +607,14 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     "q177_collated_compare",
     oracle="""
     SELECT c_nationkey,
-           count_if(lower(CASE WHEN c_custkey % 2 = 0
+           CAST(count_if(lower(CASE WHEN c_custkey % 2 = 0
                                THEN lower(c_mktsegment)
                                ELSE c_mktsegment END) = 'building')
-               AS n_building_ci,
-           count_if((CASE WHEN c_custkey % 2 = 0
+               AS BIGINT) AS n_building_ci,
+           CAST(count_if((CASE WHEN c_custkey % 2 = 0
                           THEN lower(c_mktsegment)
                           ELSE c_mktsegment END) = 'building')
-               AS n_building_cs
+               AS BIGINT) AS n_building_cs
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )

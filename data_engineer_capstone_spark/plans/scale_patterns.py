@@ -330,8 +330,8 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty_n,
-           SUM({_sql_dec4("l_extendedprice")})
-               FILTER (WHERE l_discount > 0.05) AS disc_rev_dec,
+           CAST(ROUND(SUM({_sql_dec4("l_extendedprice")})
+               FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS disc_rev,
            COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_supps
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -343,14 +343,18 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
     FILTER to the same conditional partials a CASE WHEN would produce;
     the one caveat is the DISTINCT aggregate, which still triggers the
     expand-based distinct plan — at scale that one would be split out
-    per the q30 pattern (SCALE.md §4). Decimal partial kept raw to stay
-    exact; the driver canonicalizes decimals and doubles identically."""
+    per the q30 pattern (SCALE.md §4). The decimal partial stays exact
+    through the SUM, then rounds and casts to DOUBLE at the query edge:
+    raw DECIMAL output is driver-hostile typing (pandas renders DuckDB
+    DECIMAL as float64 but Spark DECIMAL as decimal.Decimal objects —
+    the same latent class as the r3 HUGEINT reds)."""
     load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(f"""
         SELECT l_returnflag,
                COUNT(*) AS n,
                COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty_n,
-               SUM({{dec}}) FILTER (WHERE l_discount > 0.05) AS disc_rev_dec,
+               CAST(ROUND(SUM({{dec}}) FILTER (WHERE l_discount > 0.05), 2)
+                    AS DOUBLE) AS disc_rev,
                COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_supps
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.format(dec="CAST(floor(l_extendedprice * 10000 + 0.5) / 10000 AS DECIMAL(18,4))"))

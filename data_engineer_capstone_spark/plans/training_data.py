@@ -179,8 +179,10 @@ _TWO_POW_60 = 1152921504606846976
     oracle=f"""
     SELECT o_orderkey, weight FROM (
         SELECT o_orderkey, o_totalprice AS weight,
-               ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
-                        AS BIGINT) + 1) / {_TWO_POW_60}.0) / o_totalprice AS k
+               CAST(floor(
+                   ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                            AS BIGINT) + 1) / {_TWO_POW_60}.0)
+                   / o_totalprice * 1e12) AS BIGINT) AS k
         FROM orders ORDER BY k DESC, o_orderkey LIMIT 100
     ) ORDER BY o_orderkey
     """,
@@ -194,14 +196,18 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
     without replacement. At scale this is Spark's ``TakeOrderedAndProject``:
     each partition keeps its local top-k heap, the driver merges k-sized
     heads — no global sort, no shuffle of the data, O(k) rows move.
-    The priority is compared, never emitted, so the one float op (ln)
-    cannot reach the output contract; selected keys are returned in key
-    order with their weights."""
+    The priority is compared, never emitted, AND quantized to integer
+    units of 1e-12 (floor) with the key as tie-break before ranking: JVM
+    Math.log and DuckDB's C libm may differ by an ulp, and an unquantized
+    near-tie at the rank-k boundary could select different rows per
+    engine — after quantization an ulp flips the selection only when the
+    scaled priority straddles an integer (~1e-8/row), and the key
+    tie-break resolves every manufactured tie identically."""
     orders = load_table(spark, sf, "orders")
     u = (
         h64(F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))) + 1
     ) / F.lit(float(_TWO_POW_60))
-    k = F.log(u) / F.col("o_totalprice")
+    k = F.floor(F.log(u) / F.col("o_totalprice") * F.lit(1e12)).cast("long")
     top = (
         orders.select(
             "o_orderkey", F.col("o_totalprice").alias("weight"), k.alias("k")
@@ -219,9 +225,10 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderpriority, o_orderkey, o_totalprice AS weight,
                ROW_NUMBER() OVER (
                    PARTITION BY o_orderpriority
-                   ORDER BY ln((CAST(('0x' || substr(md5('gws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ORDER BY CAST(floor(
+                            ln((CAST(('0x' || substr(md5('gws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
                                      AS BIGINT) + 1) / {_TWO_POW_60}.0)
-                            / o_totalprice DESC,
+                            / o_totalprice * 1e12) AS BIGINT) DESC,
                             o_orderkey) AS rn
         FROM orders
     ) WHERE rn <= 20 ORDER BY o_orderpriority, o_orderkey
@@ -234,13 +241,14 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
     selected by a PARTITIONED row_number instead of a global top-k:
     per-group window state, one shuffle on the group key, no global sort,
     no driver involvement — the per-stratum sampler that runs at any
-    group cardinality. The priority stays comparison-only (never emitted),
-    so the ln never reaches the hash contract."""
+    group cardinality. The priority stays comparison-only (never emitted)
+    and is floor-quantized to 1e-12 units with the key tie-break, the
+    q239 bit-stability argument."""
     orders = load_table(spark, sf, "orders")
     u = (
         h64(F.concat(F.lit("gws:"), F.col("o_orderkey").cast("string"))) + 1
     ) / F.lit(float(_TWO_POW_60))
-    k = F.log(u) / F.col("o_totalprice")
+    k = F.floor(F.log(u) / F.col("o_totalprice") * F.lit(1e12)).cast("long")
     w = W.partitionBy("o_orderpriority").orderBy(k.desc(), "o_orderkey")
     return (
         orders.select(
@@ -692,9 +700,10 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------- winsorization -----
-@query(
-    "q247_winsorize",
-    oracle="""
+# Exact discrete-percentile winsorization oracle — shared by q247 (exact
+# distributed rank selection) and q255 (sketch path at exhaustive accuracy,
+# where the GK sketch's rank error is < 1 and the cut points are exact).
+_WINSORIZE_EXACT_ORACLE = """
     WITH c AS (
         SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         FROM orders
@@ -713,8 +722,10 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
            (SELECT CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT) FROM c)
              AS wins_sum_cents
     FROM cuts, nn
-    """,
-)
+"""
+
+
+@query("q247_winsorize", oracle=_WINSORIZE_EXACT_ORACLE)
 def q247(spark: SparkSession, sf: str) -> DataFrame:
     """Winsorization — clip a money column at its exact P1/P99 before
     statistics, the standard outlier-robust preprocessing step. All
@@ -846,6 +857,39 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("cents", 0.01, 10000).alias("lo"),
         F.percentile_approx("cents", 0.99, 10000).alias("hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("lo").alias("lo_cents"),
+            F.first("hi").alias("hi_cents"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            F.sum(F.greatest("lo", F.least("hi", F.col("cents"))))
+            .cast("long")
+            .alias("wins_sum_cents"),
+        )
+    )
+
+
+@query("q255_winsorize_sketch_exhaustive", oracle=_WINSORIZE_EXACT_ORACLE)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    """q249's sketch path at exhaustive accuracy (1e7): the GK sketch's
+    guaranteed rank error n/accuracy is < 1 for every registered SF, so
+    ``percentile_approx`` returns the value at the exact discrete rank
+    ceil(p·n) — verified to match q247's exact-rank oracle bit-for-bit.
+    Certifies the single-pass sketch machinery (the declared 100 TB
+    default for winsorization cut points) against the exact oracle the
+    same way q253/q254 certify the ANN paths; q249 keeps the production
+    accuracy=10000 configuration under its closeness contract."""
+    o = load_table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    cuts = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("cents", 0.01, 10_000_000).alias("lo"),
+        F.percentile_approx("cents", 0.99, 10_000_000).alias("hi"),
     )
     return (
         o.crossJoin(F.broadcast(cuts))

@@ -395,11 +395,11 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
         FROM events)
     SELECT a.wk,
-           count_if(a.wk = f.w0) AS new_users,
-           count_if(a.wk <> f.w0) AS returning_users,
-           SUM(count_if(a.wk = f.w0)) OVER (ORDER BY a.wk
+           CAST(count_if(a.wk = f.w0) AS BIGINT) AS new_users,
+           CAST(count_if(a.wk <> f.w0) AS BIGINT) AS returning_users,
+           CAST(SUM(count_if(a.wk = f.w0)) OVER (ORDER BY a.wk
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_acquired
+               AS BIGINT) AS cum_acquired
     FROM active a JOIN first_seen f USING (user_id)
     GROUP BY a.wk ORDER BY a.wk
     """,

@@ -21,6 +21,16 @@ from data_engineer_capstone_spark.catalog import TABLES
 
 
 def _canon(v: object) -> str:
+    """Driver-strict canonicalization.
+
+    Deliberately does NOT normalize integral floats to ints: the driver's
+    canonicalizer compares ``290.0`` (pandas float64, e.g. from a DuckDB
+    HUGEINT or a nullable-int column) against Spark's ``290`` as UNEQUAL
+    (the r3 q160/q175/q231 reds). Keeping the same strictness here means
+    an int-vs-float type divergence between a query and its oracle fails
+    locally before the driver ever sees it; oracle output typing is
+    additionally guarded by the DESCRIBE sweep in test_queries.py.
+    """
     if v is None:
         return "\\N"
     if isinstance(v, bool):
@@ -28,8 +38,6 @@ def _canon(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, Decimal):
         f = float(v)

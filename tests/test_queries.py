@@ -23,6 +23,39 @@ def test_oracle_match(spark, sf_dir, name):
     assert res["hash_match"], f"{name}: value hash mismatch: {res.get('first_diff')}"
 
 
+def test_no_hugeint_oracle_columns(sf_dir):
+    """No oracle may emit a HUGEINT/UHUGEINT output column.
+
+    The driver fetches DuckDB results via pandas, which renders HUGEINT as
+    float64; its canonicalizer then compares ``290.0`` against Spark's
+    ``290`` and the value hash diverges even though both engines computed
+    the same number (the r3 q160/q175/q231 reds — DuckDB's ``count_if``,
+    ``SUM(BIGINT)`` and ``list_sum`` all widen to HUGEINT). Every such
+    expression must be wrapped in ``CAST(... AS BIGINT)`` in the oracle.
+    """
+    import duckdb as _duckdb
+    import os as _os
+
+    from data_engineer_capstone_spark.catalog import TABLES
+
+    con = _duckdb.connect()
+    for t in TABLES:
+        path = _os.path.join(sf_dir, f"{t}.parquet")
+        if _os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    offenders = {}
+    for name, sql in ORACLES.items():
+        desc = con.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+        hug = [
+            (col, typ) for col, typ, *_ in desc if "HUGEINT" in typ.upper()
+        ]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"driver-hostile HUGEINT oracle columns: {offenders}"
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle must still execute and return a schema.
 
