@@ -42,6 +42,12 @@ HEADLINE = [
     "q224_semantic_dedup_lsh",
     "q228_ann_ivf_pq",
     "q231_hashed_linear_classifier",
+    # round-4 additions: the distributed-rank machinery (range exchange +
+    # per-partition window + literal-map offsets, refops.distributed_cumsum)
+    # is the most novel plan shape in the repo — regression-track it via
+    # its two heaviest consumers
+    "q247_winsorize",
+    "q252_exact_auc",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -63,6 +69,13 @@ MIN_OF_RUNS = {
     # Python-worker (mapInPandas) startup cost dominates these at small SF
     "q224_semantic_dedup_lsh",
     "q228_ann_ivf_pq",
+    # q21 drifted 1.45 -> 1.80 -> 2.07 s across round medians with a
+    # byte-identical executed plan (AQE double-broadcast star join,
+    # two-stage agg; profiled round 4: standalone 8-run median 1.27 s,
+    # evidence in BASELINE.md). The drift is shared-VM scheduling jitter
+    # over a 1-row-group scan, so the floor is the plan-cost signal —
+    # same rationale as the entries above.
+    "q21_star_join_revenue",
 }
 
 

@@ -29,14 +29,16 @@ def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
     count is inherited from the SCAN — a single-row-group parquet file (or
     a skewed/concatenated upstream) serializes the whole signature pass
     onto one core. One round-robin shuffle of the slim (id, text)
-    projection is O(input bytes) and unlocks full-cluster CPU; when the
-    input already has enough splits this is a no-op.
+    projection is O(input bytes) and unlocks full-cluster CPU.
+
+    Repartitions unconditionally: probing the current partition count via
+    ``df.rdd`` forces a logical->RDD plan conversion (a JVM round-trip per
+    call — q113 composes two operators that both call this), and AQE
+    coalesces the exchange's output anyway when the input is small, so the
+    conditional saved nothing the optimizer doesn't already handle.
     """
     slim = df.select(*cols)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < target:
-        slim = slim.repartition(target)
-    return slim
+    return slim.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -272,7 +272,7 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
                list_sort(list(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS lst
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     m AS (
         SELECT user_id, event_id, len(lst) AS n,
@@ -300,7 +300,12 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
     win = (
         W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
     )
-    ev = load_table(spark, sf, "events")
+    # explicit null gate: Spark's collect_list silently DROPS nulls while
+    # DuckDB's list() window retains them — without this filter the two
+    # engines would compute different medians (and different frame sizes)
+    # the moment a null value appears; the null contract is pinned, not
+    # accidental
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
     lst = F.array_sort(F.collect_list("value").over(win))
     n = F.size(lst)
     odd = F.element_at(lst, ((n + 1) / 2).cast("int"))
@@ -422,9 +427,17 @@ def common_neighbor_counts(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     if degree_cap is not None:
-        und = und.withColumn(
-            "_deg", F.count(F.lit(1)).over(W.partitionBy("src"))
-        ).where(F.col("_deg") <= degree_cap).drop("_deg")
+        # degrees via groupBy + join, NOT a whole-partition window: for
+        # exactly the hub nodes this cap guards against, an unbounded
+        # window would materialize the hub's full O(deg) partition on one
+        # task BEFORE filtering — the hot-partition cost the cap exists to
+        # avoid. groupBy keeps the hub's count in mergeable partials, and
+        # the node->degree table (O(nodes), slim) broadcasts.
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        und = (
+            und.join(F.broadcast(deg.where(F.col("_deg") <= degree_cap)), "src")
+            .drop("_deg")
+        )
     x, y = und.alias("x"), und.alias("y")
     cn = (
         x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))

@@ -238,10 +238,33 @@ def test_winsorize_approx_twin_close_to_exact(spark, sf_dir):
     exact = q247(spark, sf_dir).collect()[0]
     approx = q249(spark, sf_dir).collect()[0]
     assert approx.n == exact.n
-    slack = exact.n / 10000 + 1
+    slack = int(exact.n / 10000) + 1
     assert abs(approx.n_clip_lo - exact.n_clip_lo) <= 2 * slack
     assert abs(approx.n_clip_hi - exact.n_clip_hi) <= 2 * slack
-    assert exact.lo_cents <= approx.lo_cents or approx.lo_cents <= exact.hi_cents
+    # real two-sided bound on each cut: the approx cut value must lie
+    # between the exact cent values at ranks (target ± rank slack) — the
+    # GK sketch's actual guarantee. (The earlier `exact.lo <= approx.lo OR
+    # approx.lo <= exact.hi` form was tautological: it could only fail if
+    # approx.lo were simultaneously above exact.hi and below exact.lo.)
+    import duckdb
+
+    con = duckdb.connect()
+    cents = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY c"
+        ).fetchall()
+    ]
+    n = len(cents)
+    assert n == exact.n
+    for target_rank, cut in (
+        ((1 * n + 99) // 100, approx.lo_cents),
+        ((99 * n + 99) // 100, approx.hi_cents),
+    ):
+        lo_bound = cents[max(1, target_rank - slack) - 1]
+        hi_bound = cents[min(n, target_rank + slack) - 1]
+        assert lo_bound <= cut <= hi_bound, (target_rank, lo_bound, cut, hi_bound)
     # the clipped sums agree to within the moved mass at the tails
     spread = exact.hi_cents - exact.lo_cents
     assert abs(approx.wins_sum_cents - exact.wins_sum_cents) <= 4 * slack * spread

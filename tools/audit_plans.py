@@ -37,6 +37,7 @@ EXPECTED = {
     "q244_vocab_coverage": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total scalar
     "q247_winsorize": {"BroadcastNestedLoopJoin"},  # 1-row n / cut-point scalars
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
+    "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
     # k broadcast centroids vs the vector stream — the map-side assignment
     # nested loop that makes k-means scale (same class as q167)
     "q250_kmeans_update_step": {"BroadcastNestedLoopJoin"},
