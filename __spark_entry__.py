@@ -93,7 +93,9 @@ _RECHECK_THIS_ROUND = (
 # operators get driver rows in their first round out.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "q253_ann_ivf_exhaustive", "q254_ann_ivf_pq_exhaustive",
-    "q255_winsorize_sketch_exhaustive",
+    "q255_winsorize_sketch_exhaustive", "q256_ngram_containment",
+    "q257_vocab_oov_rate", "q258_pmi_collocations",
+    "q259_shard_manifest", "q260_mom_revenue_growth",
 )
 
 

@@ -54,6 +54,80 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ t.
+
+    Containment is the asymmetric near-dup relation Jaccard misses: a
+    paragraph quoted inside a much longer page has tiny Jaccard (the
+    union is dominated by the long side) but containment ≈ 1 — the
+    sub-document duplication every scraped training corpus is full of
+    (quoted posts, syndicated articles, boilerplate-wrapped bodies).
+
+    Plan: the SAME inverted shingle-index equi-join as
+    ``ngram_jaccard_pairs`` (docs sharing zero shingles never meet; one
+    hash shuffle on the shingle), with |A∩B| from the group count; each
+    unordered pair then emits up to two DIRECTED rows, one per side whose
+    set is sufficiently covered. No O(n²) stage; the hot-shingle
+    considerations of q91 (``df_cap``) apply identically and are not
+    duplicated here — the oracle-pinned query runs uncapped.
+    """
+    ex = _spread(df, [id_col, text_col]).select(
+        F.col(id_col).alias("did"),
+        F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
+    ).dropDuplicates(["did", "shingle"])
+    inv = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("did"))
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(
+            F.col("a.did").alias("id_lo"),
+            F.col("b.did").alias("id_hi"),
+            F.col("a.n_sh").alias("n_lo"),
+            F.col("b.n_sh").alias("n_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    # both directions minted by a row-local explode, NOT a self-union:
+    # a union of two selects over `pairs` re-plans the whole index join
+    # per branch (AQE's ReusedExchange recovers some of it at runtime,
+    # but the logical plan still doubles), while explode emits the two
+    # directed rows from the single aggregated pair row
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("doc_small"),
+                    F.col("id_hi").alias("doc_big"),
+                    F.col("n_lo").alias("n_small"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("doc_small"),
+                    F.col("id_lo").alias("doc_big"),
+                    F.col("n_hi").alias("n_small"),
+                ),
+            )
+        ).alias("d"),
+        F.col("inter"),
+    )
+    containment = F.floor(
+        F.col("inter") / F.col("d.n_small") * 1000000 + F.lit(0.5)
+    ) / 1000000
+    return directed.select(
+        F.col("d.doc_small").alias("doc_small"),
+        F.col("d.doc_big").alias("doc_big"),
+        containment.alias("containment"),
+    ).where(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

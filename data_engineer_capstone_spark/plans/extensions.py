@@ -31,6 +31,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -107,6 +108,47 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     oracle brute-forces the cross join (fine at oracle scale)."""
     docs = load_table(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q256_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, a.n AS n_lo, b.n AS n_hi,
+               len(list_intersect(a.sh, b.sh)) AS inter
+        FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    directed AS (
+        SELECT id_lo AS doc_small, id_hi AS doc_big,
+               floor(inter * 1.0 / n_lo * 1000000 + 0.5) / 1000000 AS containment
+        FROM pairs
+        UNION ALL
+        SELECT id_hi, id_lo,
+               floor(inter * 1.0 / n_hi * 1000000 + 0.5) / 1000000
+        FROM pairs
+    )
+    SELECT doc_small, doc_big, containment FROM directed
+    WHERE containment >= 0.7 ORDER BY doc_small, doc_big
+    """,
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup pairs (threshold 0.7) —
+    the asymmetric relation Jaccard misses: a short document quoted
+    inside a long one has tiny Jaccard (union dominated by the long
+    side) but containment ≈ 1; this is the sub-document duplication
+    (quoted posts, syndicated bodies, boilerplate wrappers) a training
+    corpus dedup pass must catch. Same inverted shingle-index equi-join
+    plan as q91 (one hash shuffle, no O(n²) stage); the oracle
+    brute-forces the pair space (fine at oracle scale)."""
+    docs = load_table(spark, sf, "documents")
+    return ngram_containment_pairs(docs, threshold=0.7).orderBy(
+        "doc_small", "doc_big"
+    )
 
 
 def _minhash_ctes(n_perm: int = 16, band_rows: int = 4, src: str = "documents") -> str:

@@ -1110,3 +1110,206 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
     completeness argument and the integer ceil arithmetic."""
     docs = load_table(spark, sf, "documents")
     return jaccard_prefix_filter_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------ vocab application / OOV --
+@query(
+    "q257_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS.format(c='text')}) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+            ORDER BY c DESC, word LIMIT 256
+        )
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.word IS NULL) AS n_oov,
+           CAST(floor(COUNT(*) FILTER (WHERE v.word IS NULL)
+                      * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS oov_rate_q
+    FROM tok t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id ORDER BY doc_id
+    """,
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary application: build the top-256 corpus
+    vocabulary (count desc, word asc — fully deterministic tie-break) and
+    score every document's out-of-vocabulary token rate — the coverage
+    check run before committing to a tokenizer, and the per-doc OOV gate
+    used to drop encoding-mangled documents.
+
+    Scale shape: the vocabulary is a global top-k over the token counts
+    (TakeOrdered — per-partition heaps, k rows to the driver) and is
+    BOUNDED (256 rows), so the apply step is a broadcast hash join against
+    the exploded token stream — no shuffle of the corpus beyond the one
+    doc_id re-aggregation; at 100 TB the same plan ships the vocab to
+    every executor once."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(256)
+        .select("word")
+    )
+    per = (
+        tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in").isNull()).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.floor(F.col("n_oov") * 1000000.0 / F.col("n_tokens") + F.lit(0.5))
+        .cast("long")
+        .alias("oov_rate_q"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------- PMI collocations ------
+@query(
+    "q258_pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS.format(c='text')} AS ws FROM documents
+    ),
+    bg AS (
+        SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    nn AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT w1, w2, c12,
+           CAST(floor(c12 * 1.0 * n / (c1 * c2) * 1000000 + 0.5) AS BIGINT)
+               AS lift_q
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nn
+    WHERE c12 >= 5
+    ORDER BY lift_q DESC, w1, w2 LIMIT 20
+    """,
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation extraction by PMI lift: for every bigram seen ≥ 5
+    times, lift = N·C(w1,w2) / (C(w1,·)·C(·,w2)) — the strength of the
+    association between adjacent words; the top pairs are the corpus's
+    multiword expressions (the phrase-mining step tokenizer and synthetic
+    -data teams run). Exactness: the textbook PMI takes a log of this
+    ratio, but log is monotone, so ranking by the RAW ratio (one IEEE
+    division, quantized at 1e-6) gives the identical top-k without any
+    libm in the cross-engine contract — the q241 argument.
+
+    Scale shape: bigram explode (row-local) → three hash aggregates over
+    the pair/margin keys → two keyed equi-joins back onto the PAIR COUNTS
+    (vocab²-bounded, not corpus-bounded) + one 1-row scalar broadcast →
+    TakeOrdered(20). Common-word skew on the margin joins is the AQE
+    skew-join case."""
+    docs = load_table(spark, sf, "documents")
+    w = words("text")
+    n = F.size(w)
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    ex = (
+        docs.where(n >= 2)
+        .select(F.explode(bg).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = ex.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    nn = ex.agg(F.count(F.lit(1)).alias("n"))
+    lift = (F.col("c12") * F.lit(1.0) * F.col("n")) / (F.col("c1") * F.col("c2"))
+    return (
+        c12.where(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1", "w2", "c12",
+            F.floor(lift * 1000000 + F.lit(0.5)).cast("long").alias("lift_q"),
+        )
+        .orderBy(F.desc("lift_q"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------- shard manifest ------
+@query(
+    "q259_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 16 AS shard,
+               doc_id,
+               len({_WORDS.format(c='text')}) AS n_tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM t GROUP BY shard
+    ),
+    nn AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM t)
+    SELECT shard, n_docs, total_tokens, min_doc, max_doc,
+           CAST(floor(total_tokens * 1000000.0 / corpus_tokens + 0.5) AS BIGINT)
+               AS token_share_q
+    FROM per, nn ORDER BY shard
+    """,
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard manifest: deterministic hash-assignment of documents
+    to 16 shards (salted md5 — NOT round-robin or rand(): retried tasks
+    and re-runs must agree on every doc's shard) with per-shard document
+    and token totals plus each shard's share of the corpus — the manifest
+    a dataloader consumes and the balance check run before a training job
+    (a skewed shard straggles every epoch).
+
+    Scale shape: the shard key is a row-local expression, so the manifest
+    is ONE hash aggregate (16 groups — mergeable partials, O(1) shuffle)
+    plus a 1-row corpus-total broadcast; the actual shard WRITE at 100 TB
+    is `df.repartition(16, shard).write.partitionBy(shard)` riding the
+    identical key (sources/sinks.py)."""
+    from ..functions.text import h64 as _h64
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        (_h64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 16)
+        .alias("shard"),
+        "doc_id",
+        word_count("text").alias("n_tokens"),
+    )
+    per = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    nn = t.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(nn))
+        .select(
+            "shard", "n_docs", "total_tokens", "min_doc", "max_doc",
+            F.floor(
+                F.col("total_tokens") * 1000000.0 / F.col("corpus_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("token_share_q"),
+        )
+        .orderBy("shard")
+    )

@@ -435,3 +435,48 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         "returning_users",
         F.sum("new_users").over(wcum).alias("cum_acquired"),
     ).orderBy("wk")
+
+
+# ------------------------------------------------------ MoM growth ---------
+@query(
+    "q260_mom_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(ROUND(SUM({_sql_dec4('o_totalprice')}), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           CAST(floor((revenue / lag(revenue) OVER (ORDER BY month) - 1)
+                      * 1000000 + 0.5) AS BIGINT) AS growth_q
+    FROM m ORDER BY month
+    """,
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth — the warehouse KPI query every
+    BI layer runs: monthly totals, then the lag-1 percent change.
+
+    Scale shape: the aggregate reduces the fact table to O(months) rows
+    FIRST (mergeable decimal partials, one hash shuffle), so the
+    partitionless lag window runs over a few dozen rows — the q175
+    bounded-window argument, never a window over raw facts. Exactness:
+    the monthly revenues are decimal-summed then rounded identically in
+    both engines, so the growth division is one IEEE op on identical
+    machine numbers, quantized at 1e-6; the first month's growth is NULL
+    by lag semantics on both sides."""
+    o = load_table(spark, sf, "orders")
+    dec = (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).cast(DEC)
+    m = (
+        o.groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+        )
+        .agg(F.round(F.sum(dec), 2).cast("double").alias("revenue"))
+    )
+    w = W.orderBy("month")
+    growth = (F.col("revenue") / F.lag("revenue").over(w) - 1)
+    return m.select(
+        "month",
+        "revenue",
+        F.floor(growth * 1000000 + F.lit(0.5)).cast("long").alias("growth_q"),
+    ).orderBy("month")

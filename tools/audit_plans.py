@@ -38,6 +38,8 @@ EXPECTED = {
     "q247_winsorize": {"BroadcastNestedLoopJoin"},  # 1-row n / cut-point scalars
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
+    "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
+    "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
     # k broadcast centroids vs the vector stream — the map-side assignment
     # nested loop that makes k-means scale (same class as q167)
     "q250_kmeans_update_step": {"BroadcastNestedLoopJoin"},
@@ -127,6 +129,7 @@ GLOBAL_WINDOW_OK = {
     # fact_scale=True partition-offset ids)
     "q174_contribution",
     "q175_new_vs_returning",
+    "q260_mom_revenue_growth",  # O(months) rows after the hash aggregate
     "q72_time_fact_accumulation",
     "q73_dq_checks",
 }
