@@ -96,6 +96,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q255_winsorize_sketch_exhaustive", "q256_ngram_containment",
     "q257_vocab_oov_rate", "q258_pmi_collocations",
     "q259_shard_manifest", "q260_mom_revenue_growth",
+    "q261_kcore_peel", "q262_ewma_sequential_state",
+    "q263_stream_rollup_maintenance", "q264_merge_matrix",
+    "q265_conversion_attribution",
 )
 
 

@@ -99,9 +99,20 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
     shuffles only the O(V) rank table. Per-edge contributions are
     quantized to 1e-12 bigint units so the re-aggregation is exact and
     iteration inputs stay bit-identical cross-engine."""
-    e = _edges(spark, sf)
-    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # both orientations via one row-local explode of a single edge-list
+    # derivation (the q256/q261 lesson: a self-union re-plans the
+    # co-purchase self-join per branch)
+    und = (
+        _edges(spark, sf)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
@@ -176,8 +187,9 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
     aggregates (degree per node, then node count per degree). The second
     agg's key space is tiny, so the plan is one real shuffle + one
     near-free one."""
-    e = _edges(spark, sf)
-    und = e.select(F.col("a").alias("src")).unionAll(e.select(F.col("b").alias("src")))
+    und = _edges(spark, sf).select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("src")
+    )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return (
         deg.groupBy("degree")
@@ -506,4 +518,74 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy(F.desc("users"), "path")
         .limit(20)
+    )
+
+
+# -------------------------------------------------------------- k-core -----
+@query(
+    "q261_kcore_peel",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg1 AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+    keep1 AS (SELECT src FROM deg1 WHERE d >= 80),
+    und1 AS (
+        SELECT u.src, u.dst FROM und u
+        JOIN keep1 s ON u.src = s.src
+        JOIN keep1 t ON u.dst = t.src
+    ),
+    deg2 AS (SELECT src, COUNT(*) AS d FROM und1 GROUP BY src),
+    keep2 AS (SELECT src, d FROM deg2 WHERE d >= 80)
+    SELECT src AS node, d AS degree FROM keep2 ORDER BY node
+    """,
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peeling (k=80), two rounds, on the co-purchase graph — the
+    degeneracy-ordering primitive behind community detection and graph
+    sparsification: repeatedly drop nodes with degree < k and recompute
+    degrees on the induced subgraph until fixpoint. Two explicit rounds
+    are registered (the q200 pagerank convention for iterative graph
+    algorithms); the fixpoint loop is the q108 connected-components
+    driver pattern — checkpoint per round, ONE isEmpty probe on the
+    delta (did any node fall below k?).
+
+    Scale shape per round: one degree aggregate (mergeable partials) +
+    two semi-joins restricting edges to surviving endpoints — the
+    survivor set is O(nodes), slim, broadcastable at realistic node/edge
+    ratios; the edge list is never collected or globally sorted."""
+    # both orientations from ONE derivation of the edge list via a
+    # row-local explode — a self-union would re-plan the co-purchase
+    # self-join per branch (the q256 lesson; halves the exchange count)
+    und = (
+        _edges(spark, sf)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+    def peel(u: DataFrame, k: int) -> DataFrame:
+        deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        return (
+            u.join(F.broadcast(keep), "src", "left_semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_semi",
+            )
+        )
+
+    und1 = peel(und, 80)
+    deg2 = und1.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg2.where(F.col("d") >= 80)
+        .select(F.col("src").alias("node"), F.col("d").alias("degree"))
+        .orderBy("node")
     )

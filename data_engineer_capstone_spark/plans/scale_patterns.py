@@ -547,3 +547,99 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("sum_dec"), 2).cast("double").alias("total"),
     ).orderBy("event_type")
+
+
+# -------------------------------------------------- MERGE op matrix --------
+@query(
+    "q264_merge_matrix",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    source AS (
+        SELECT c_custkey, c_acctbal + 1000 AS new_bal, 'U' AS op
+        FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, NULL, 'D'
+        FROM customer
+        WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0 AND c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 500, 'I'
+        FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 = 0
+    )
+    SELECT t.c_custkey AS c_custkey,
+           CASE WHEN s.op = 'U' THEN s.new_bal ELSE t.c_acctbal END
+               AS c_acctbal,
+           CASE WHEN s.op = 'U' THEN 'updated' ELSE 'kept' END AS row_src
+    FROM target t LEFT JOIN source s USING (c_custkey)
+    WHERE s.op IS NULL OR s.op <> 'D'
+    UNION ALL
+    SELECT c_custkey, new_bal, 'inserted' FROM source WHERE op = 'I'
+    ORDER BY c_custkey
+    """,
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    """The full MERGE INTO operation matrix (WHEN MATCHED THEN UPDATE /
+    WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT) in one pass
+    — Spark core has no MERGE statement (a table-format feature), so this
+    is the relational decomposition every lakehouse MERGE compiles to:
+    ONE outer join of target and change batch on the key, a row-local
+    CASE for the action, and a union of the insert arm. Change batch
+    synthesized deterministically (update keys %7, delete keys %13 with
+    update-precedence, insert keys from outside the target).
+
+    Scale shape: the change batch is small relative to the dimension —
+    Catalyst broadcasts it into the join, so the 100 TB target is scanned
+    once with ZERO shuffle and written back partition-aligned; the insert
+    arm is O(changes). Complements q126 (SCD2 versioning) and q215
+    (CDC latest-wins): this is the in-place op matrix."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    target = c.where(F.col("c_custkey") % 3 != 0)
+    upd = (
+        c.where((F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 1000).alias("new_bal"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = (
+        c.where(
+            (F.col("c_custkey") % 3 != 0)
+            & (F.col("c_custkey") % 7 != 0)
+            & (F.col("c_custkey") % 13 == 0)
+        )
+        .select(
+            "c_custkey",
+            F.lit(None).cast("double").alias("new_bal"),
+            F.lit("D").alias("op"),
+        )
+    )
+    ins = (
+        c.where((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 5 == 0))
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 500).alias("new_bal"),
+            F.lit("I").alias("op"),
+        )
+    )
+    source = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        target.join(F.broadcast(source), "c_custkey", "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("row_src"),
+        )
+    )
+    inserted = ins.select(
+        "c_custkey",
+        F.col("new_bal").alias("c_acctbal"),
+        F.lit("inserted").alias("row_src"),
+    )
+    return merged.unionByName(inserted).orderBy("c_custkey")

@@ -317,3 +317,80 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     s = read_stream(spark, sf, 2)
     out = run_to_table(running_count(s, "user_id"), "update")
     return out.orderBy("user_id", "cum_events")
+
+
+# --------------------------------------- foreachBatch rollup maintenance ---
+@query(
+    "q263_stream_rollup_maintenance",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {_SQL_MONEY}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming rollup MAINTENANCE: the production loop that keeps a
+    standing aggregate table current as micro-batches arrive —
+    ``foreachBatch`` aggregates each batch alone (O(batch) work) and
+    merges the partial into the persisted rollup by full-outer join
+    (count += n, exact decimal sum += s), writing a new table version
+    per batch. The events table replays as 4 chronologically-interleaved
+    micro-batches; the final standing table must equal the from-scratch
+    batch aggregate (the oracle) — proving base ⊕ batch-partials ≡
+    recompute for ANY batch slicing, the q235 IVM argument driven by a
+    real streaming query.
+
+    Scale shape: per batch, one O(batch) aggregate + one O(groups)
+    broadcast merge + one O(groups) write — the 100 TB base is never
+    rescanned; versioned directories give readers snapshot isolation
+    (the poor man's table format, documented honestly: production would
+    use Delta/Iceberg MERGE here)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming.replay import read_stream
+    from ..streaming.sinks import run_foreach_batch
+
+    root = os.path.join("/tmp", "spark_graft_rollup", uuid.uuid4().hex[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    state = {"version": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000).cast(DEC))
+            .alias("sum_dec"),
+        )
+        v = state["version"]
+        if v == 0:
+            merged = part
+        else:
+            prev = batch_df.sparkSession.read.parquet(os.path.join(root, f"v{v}"))
+            merged = (
+                prev.join(part, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce(prev["n"], F.lit(0))
+                        + F.coalesce(part["n"], F.lit(0))
+                    ).alias("n"),
+                    (
+                        F.coalesce(prev["sum_dec"], F.lit(0).cast(DEC))
+                        + F.coalesce(part["sum_dec"], F.lit(0).cast(DEC))
+                    ).alias("sum_dec"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v + 1}"))
+        state["version"] = v + 1
+
+    stream = read_stream(spark, sf, 4)
+    run_foreach_batch(
+        stream, merge_batch, checkpoint=os.path.join(root, "_ckpt")
+    )
+    final = spark.read.parquet(os.path.join(root, f"v{state['version']}"))
+    return final.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_dec"), 2).cast("double").alias("sum_value"),
+    ).orderBy("event_type")

@@ -423,9 +423,21 @@ def common_neighbor_counts(
     never perturbs wedges centered elsewhere). ``None`` keeps the exact
     contract; the capped path is covered by a crafted hub-graph pytest.
     """
-    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # one derivation of the edge list, both orientations via explode
+    # (a self-union re-plans the upstream edge derivation per branch)
+    und = (
+        edges
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
+
     if degree_cap is not None:
         # degrees via groupBy + join, NOT a whole-partition window: for
         # exactly the hub nodes this cap guards against, an unbounded

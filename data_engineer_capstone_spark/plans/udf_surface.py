@@ -13,6 +13,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.udfs import register_exemplars
@@ -184,3 +185,74 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInArrow(
         count_tokens, schema="doc_id long, n_tokens long"
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------- EWMA ----------
+@query(
+    "q262_ewma_sequential_state",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, event_id, rn, value AS ewma FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, 0.25 * s.value + 0.75 * r.ewma
+        FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(floor(ewma * 1000000 + 0.5) AS BIGINT) AS ewma_q
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha = 0.25) —
+    the genuinely SEQUENTIAL per-key state no window frame can express
+    (each output depends on the full prior chain), implemented the way a
+    distributed engine must: ``applyInPandas`` with one ordered pass per
+    key. The oracle is a recursive CTE computing the identical chain.
+
+    Exactness: alpha = 0.25 and 1-alpha = 0.75 are exact binary
+    fractions, and both engines evaluate the same
+    ``(0.25*x) + (0.75*prev)`` float64 op sequence in the same order, so
+    the chains agree bit-for-bit; output quantizes at 1e-6. Nulls are
+    filtered on both sides (the q240 pinned-null-contract rule).
+
+    Scale shape: ONE shuffle on user_id; executor memory is bounded by
+    the largest single key's history (the honest constraint of any
+    sequential-state op — the same bound applyInPandasWithState carries
+    in streaming (q85), where this exact computation runs incrementally
+    instead of over history)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy(dtype="float64")
+        out = np.empty_like(x)
+        prev = 0.0
+        for i in range(len(x)):
+            prev = x[i] if i == 0 else (0.25 * x[i]) + (0.75 * prev)
+            out[i] = prev
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma_q": np.floor(out * 1000000 + 0.5).astype("int64"),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(ewma, schema="user_id bigint, event_id bigint, ewma_q bigint")
+        .orderBy("user_id", "event_id")
+    )

@@ -480,3 +480,69 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
         "revenue",
         F.floor(growth * 1000000 + F.lit(0.5)).cast("long").alias("growth_q"),
     ).orderBy("month")
+
+
+# -------------------------------------------- view->purchase attribution ---
+@query(
+    "q265_conversion_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view_us
+        FROM events
+    )
+    SELECT event_id, user_id,
+           epoch_us(ts) - last_view_us AS lag_us
+    FROM seq
+    WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution WITHOUT a join: for every
+    purchase, microseconds since the same user's most recent PRIOR view —
+    the conditional-LOCF shape (q173's gap-fill generalized to a
+    cross-event-type carry): ``last_value(CASE WHEN view THEN ts END)
+    IGNORE NULLS`` over the user's ordered history, frame ending at
+    1 PRECEDING so a view and purchase sharing a timestamp never
+    self-attribute.
+
+    The naive formulation is an as-of self-join of purchases against
+    views (two scans, a range join); the window form is ONE user_id
+    shuffle over one scan with O(1) carried state per row — at 100 TB
+    that's the difference between a skew-prone range join and a plain
+    partitioned window. Purchases with no prior view drop (unattributable
+    — the honest contract). All-integer microsecond arithmetic."""
+    ev = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", ts_us), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            last_view.alias("last_view_us"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_us").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (ts_us - F.col("last_view_us")).alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )
