@@ -550,10 +550,19 @@ def connected_components(
     # upstream plan that produced the pairs (for near-dup dedup that is the
     # entire MinHash pipeline — measured 3-10× the total runtime at sf0.1)
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionAll(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.src", "_e.dst")
         .localCheckpoint(eager=True)
     )
     labels = vertices.select(

@@ -2166,8 +2166,18 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
     keep this min-neighbor reduction — one groupBy shuffle of O(pairs)."""
     emb = load_table(spark, sf, "embeddings")
     p = cosine_pairs(emb, threshold=0.45)
-    sym = p.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionAll(
-        p.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    # symmetrize with a row-local explode of the pair rows — a self-union
+    # re-executes the entire upstream pair pipeline per branch
+    sym = (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("nb")),
+                    F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select("e.id", "e.nb")
     )
     mins = sym.groupBy("id").agg(F.min("nb").alias("min_nb"))
     canonical = F.least(F.col("vec_id"), F.coalesce("min_nb", F.col("vec_id")))
@@ -2261,8 +2271,18 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
     with q219 on every vector whose pair set survived bucketing."""
     emb = load_table(spark, sf, "embeddings")
     p = cosine_pairs_lsh(emb, dim=64, threshold=0.45, n_planes=4, n_tables=16)
-    sym = p.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionAll(
-        p.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    # symmetrize with a row-local explode of the pair rows — a self-union
+    # re-executes the entire upstream pair pipeline per branch
+    sym = (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("nb")),
+                    F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select("e.id", "e.nb")
     )
     mins = sym.groupBy("id").agg(F.min("nb").alias("min_nb"))
     canonical = F.least(F.col("vec_id"), F.coalesce("min_nb", F.col("vec_id")))
