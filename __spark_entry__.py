@@ -98,7 +98,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q259_shard_manifest", "q260_mom_revenue_growth",
     "q261_kcore_peel", "q262_ewma_sequential_state",
     "q263_stream_rollup_maintenance", "q264_merge_matrix",
-    "q265_conversion_attribution",
+    "q265_conversion_attribution", "q266_langid_confusion",
 )
 
 

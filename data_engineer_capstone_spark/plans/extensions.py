@@ -2770,3 +2770,42 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q266_langid_confusion",
+    oracle=f"""
+    WITH RECURSIVE {_scored_cte()},
+    lab AS (SELECT doc_id, lang FROM documents)
+    SELECT l.lang AS labeled_lang, s.pred_lang,
+           COUNT(*) AS n,
+           CAST(floor(COUNT(*) * 1000000.0
+                      / SUM(COUNT(*)) OVER (PARTITION BY l.lang) + 0.5)
+                AS BIGINT) AS row_share_q
+    FROM lab l JOIN scored s USING (doc_id)
+    GROUP BY l.lang, s.pred_lang
+    ORDER BY labeled_lang, pred_lang
+    """,
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix: declared label × heuristic
+    prediction with per-label row shares — the calibration report run
+    before trusting a language gate in a curation pipeline (q97 emits the
+    per-doc predictions; this is the aggregate view a data team actually
+    reads). Plan: one row-local prediction pass + one (label, pred) hash
+    aggregate; the row-share window runs over the ≤ |langs|² aggregate,
+    never over documents."""
+    docs = load_table(spark, sf, "documents")
+    cm = (
+        docs.select(F.col("lang").alias("labeled_lang"), detect_language("text").alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.floor(
+        F.col("n") * 1000000.0
+        / F.sum("n").over(W.partitionBy("labeled_lang"))
+        + F.lit(0.5)
+    ).cast("long")
+    return cm.select(
+        "labeled_lang", "pred_lang", "n", share.alias("row_share_q")
+    ).orderBy("labeled_lang", "pred_lang")

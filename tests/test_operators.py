@@ -595,3 +595,65 @@ def test_fim_transform_reassembles_identity(spark, sf_dir):
         ).alias("re"),
     )
     assert re.where(SF.col("re") != SF.col("text")).isEmpty()
+
+
+def test_containment_crafted_asymmetry(spark):
+    """Crafted corpus: a short doc fully quoted inside a long one must
+    emit containment 1.0 in the short->long direction while the reverse
+    direction (and plain Jaccard at any sane threshold) stays low —
+    the exact asymmetry q256 exists to catch."""
+    from data_engineer_capstone_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "zero one two three four five six seven eight nine ten eleven "
+        + short
+        + " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here only")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # short fully inside long
+    assert (2, 1) not in pairs  # long not contained in short
+    assert not [k for k in pairs if 3 in k]  # unrelated doc matches nothing
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not jac  # symmetric Jaccard misses the quotation entirely
+
+
+def test_ewma_matches_pandas_reference(spark, sf_dir):
+    """q262's per-key sequential chains must equal pandas' own
+    ewm(alpha=0.25, adjust=False) — an independent implementation of the
+    identical recurrence — for every user, not just hash-match DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from data_engineer_capstone_spark.plans.udf_surface import q262
+
+    got = q262(spark, sf_dir).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .where("value IS NOT NULL")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref = (
+        ev.assign(
+            ewma=ev.groupby("user_id")["value"].transform(
+                lambda s: s.ewm(alpha=0.25, adjust=False).mean()
+            )
+        )
+        .assign(ewma_q=lambda d: np.floor(d["ewma"] * 1e6 + 0.5).astype("int64"))
+        .sort_values(["user_id", "event_id"])[["user_id", "event_id", "ewma_q"]]
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
