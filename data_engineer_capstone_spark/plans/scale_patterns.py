@@ -643,3 +643,53 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("inserted").alias("row_src"),
     )
     return merged.unionByName(inserted).orderBy("c_custkey")
+
+
+# ---------------------------------------------------- table checksums ------
+@query(
+    "q267_table_checksum",
+    oracle="""
+    SELECT l_orderkey % 16 AS bucket,
+           COUNT(*) AS n,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR)
+           ), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_fingerprint
+    FROM lineitem GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bucket table checksums — the anti-entropy primitive for
+    replica/copy verification at 100 TB: every row hashes its canonical
+    representation (key columns + cent-quantized money) and the bucket
+    fingerprint is the XOR of the row hashes — ORDER-INDEPENDENT and
+    mergeable (XOR is associative+commutative), so two 100 TB copies
+    compare by exchanging 16 rows, and a divergent bucket localizes the
+    diff to 1/16 of the data (recurse to bisect). One hash aggregate,
+    partial XOR on the map side; contrast q128's row-level table diff,
+    which ships data — this ships fingerprints.
+
+    The XOR trick's honest caveat, documented: a DOUBLED row cancels out
+    (XOR of a value with itself is 0), which is why n rides along — count
+    divergence catches multiplicity, XOR catches content."""
+    from ..functions.text import h64
+
+    li = load_table(spark, sf, "lineitem")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    return (
+        li.groupBy((F.col("l_orderkey") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(h64(row_repr)).alias("xor_fingerprint"),
+        )
+        .orderBy("bucket")
+    )
