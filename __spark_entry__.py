@@ -99,7 +99,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q261_kcore_peel", "q262_ewma_sequential_state",
     "q263_stream_rollup_maintenance", "q264_merge_matrix",
     "q265_conversion_attribution", "q266_langid_confusion",
-    "q267_table_checksum",
+    "q267_table_checksum", "q268_leakage_safe_split",
 )
 
 

@@ -2809,3 +2809,66 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
     return cm.select(
         "labeled_lang", "pred_lang", "n", share.alias("row_share_q")
     ).orderBy("labeled_lang", "pred_lang")
+
+
+def _leakage_safe_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+        FROM reach GROUP BY src
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN {_H64.format(x="'lsplit:' || CAST(canonical_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train'
+                WHEN {_H64.format(x="'lsplit:' || CAST(canonical_id AS VARCHAR)")} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+    FROM labeled ORDER BY doc_id
+    """
+
+
+@query("q268_leakage_safe_split", oracle=_leakage_safe_split_oracle())
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    CLUSTER's canonical id, not the document id — so two near-duplicate
+    documents can never land in different splits (the train/test
+    contamination q109's plain hash split cannot rule out, and the step
+    every serious pretraining pipeline runs between dedup and sharding).
+    Plan: MinHash-LSH pairs → distributed connected components (q108's
+    machinery) → salted-hash split of the CANONICAL id, 90/5/5. The
+    straddle count is structurally zero because split is a pure function
+    of the cluster label — pinned by pytest, while the oracle hash-checks
+    the full per-doc assignment against a recursive-closure recompute."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, n_perm=16, band_rows=4, threshold=0.8)
+    labels = connected_components(pairs, docs)
+    canon = F.coalesce("label", F.col("doc_id"))
+    bucket = h64(F.concat(F.lit("lsplit:"), canon.cast("string"))) % 100
+    return (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            canon.alias("canonical_id"),
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -378,3 +378,23 @@ def test_keep_best_exactly_one_per_cluster(spark, sf_dir):
     )
     assert mism.count() == 0
     out.unpersist()
+
+
+def test_leakage_safe_split_zero_straddle(spark, sf_dir):
+    """q268's whole point: no near-dup cluster may straddle two splits
+    (asserted structurally over the actual assignment), and the split is
+    a pure function of the canonical id (re-run gives identical rows)."""
+    from data_engineer_capstone_spark.plans.extensions import q268
+
+    df = q268(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    straddle = (
+        df.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+    )
+    assert straddle.isEmpty()
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in q268(spark, sf_dir).collect()}
+    assert a == b
