@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q263_stream_rollup_maintenance", "q264_merge_matrix",
     "q265_conversion_attribution", "q266_langid_confusion",
     "q267_table_checksum", "q268_leakage_safe_split",
+    "q269_session_depth_bounce", "q270_arrival_log2_histogram",
 )
 
 

@@ -546,3 +546,116 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------- session depth / bounce rate ---
+@query(
+    "q269_session_depth_bounce",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+               ts
+        FROM events),
+    f AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM f),
+    per AS (
+        SELECT user_id, session_id, COUNT(*) AS depth
+        FROM s GROUP BY user_id, session_id)
+    SELECT depth, COUNT(*) AS n_sessions,
+           CAST(floor(COUNT(*) * 1000000.0
+                      / SUM(COUNT(*)) OVER () + 0.5) AS BIGINT) AS share_q
+    FROM per GROUP BY depth ORDER BY depth
+    """,
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-depth distribution (and with it the bounce rate — the
+    depth-1 row's share): q117's gaps-and-islands sessionization reduced
+    to the product-analytics report every web team reads. Plan: the two
+    session windows share ONE user_id shuffle, the per-session count is a
+    hash aggregate, and the share window runs over the O(distinct depths)
+    aggregate — never over events."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        ev.select("user_id", "ts", F.lag(sec).over(w).alias("prev_sec"), sec.alias("sec"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > 1800),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .select("user_id", F.sum("is_new").over(cum).alias("session_id"))
+    )
+    per = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("depth"))
+    dist = per.groupBy("depth").agg(F.count(F.lit(1)).alias("n_sessions"))
+    share = F.floor(
+        F.col("n_sessions") * 1000000.0 / F.sum("n_sessions").over(W.orderBy())
+        + F.lit(0.5)
+    ).cast("long")
+    return dist.select("depth", "n_sessions", share.alias("share_q")).orderBy("depth")
+
+
+# --------------------------------------- log2 inter-arrival histogram ------
+@query(
+    "q270_arrival_log2_histogram",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    b AS (
+        SELECT event_type,
+               CASE WHEN gap_us <= 0 THEN 0
+                    ELSE length(bin(gap_us)) - 1 END AS log2_bucket
+        FROM seq WHERE gap_us IS NOT NULL)
+    SELECT event_type, log2_bucket, COUNT(*) AS n
+    FROM b GROUP BY event_type, log2_bucket
+    ORDER BY event_type, log2_bucket
+    """,
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival-time histogram in power-of-two microsecond buckets —
+    the latency/cadence distribution every ops dashboard draws. The
+    bucket is floor(log2(gap)) computed EXACTLY as integer bit width
+    (length of the binary representation − 1) on both engines — no libm
+    log in the contract, the q258 trick one more time. One user_id
+    shuffle for the lag, one hash aggregate over (type, bucket)."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    b = (
+        ev.select("event_type", gap)
+        .where(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("gap_us") <= 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("gap_us"))) - 1)
+            .alias("log2_bucket"),
+        )
+    )
+    return (
+        b.groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "log2_bucket")
+    )

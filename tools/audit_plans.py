@@ -130,6 +130,7 @@ GLOBAL_WINDOW_OK = {
     "q174_contribution",
     "q175_new_vs_returning",
     "q260_mom_revenue_growth",  # O(months) rows after the hash aggregate
+    "q269_session_depth_bounce",  # share window over O(distinct depths) agg
     "q72_time_fact_accumulation",
     "q73_dq_checks",
 }
