@@ -101,6 +101,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q265_conversion_attribution", "q266_langid_confusion",
     "q267_table_checksum", "q268_leakage_safe_split",
     "q269_session_depth_bounce", "q270_arrival_log2_histogram",
+    "q271_weighted_median", "q272_linear_interpolation",
 )
 
 

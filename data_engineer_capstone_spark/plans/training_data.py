@@ -1325,3 +1325,56 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------------------ weighted median ----
+@query(
+    "q271_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (SELECT cents, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY cents),
+    c AS (
+        SELECT cents, w,
+               CAST(SUM(w) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM g
+    ),
+    nn AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM v)
+    SELECT total_w, MIN(cents) AS median_cents
+    FROM c, nn WHERE cum >= (total_w + 1) // 2
+    GROUP BY total_w
+    """,
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED median (lower): the smallest price whose cumulative
+    quantity-weight reaches half the total — the robust 'typical unit
+    price' a plain median of line items gets wrong whenever quantities
+    vary (each cent value counts once per UNIT shipped, not once per
+    line). No SQL aggregate computes this; the distributed form is the
+    q247/q252 rank machinery applied to WEIGHTS: pre-aggregate weight per
+    DISTINCT value (the shuffle is O(distinct values), not O(rows)), one
+    range exchange for the weighted prefix sum via `distributed_cumsum`,
+    then the first value crossing ceil(W/2). All-integer arithmetic."""
+    from ..functions.refops import distributed_cumsum
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    )
+    g = li.groupBy("cents").agg(F.sum("w").cast("long").alias("w"))
+    c = distributed_cumsum(g, ["cents"], "w", name="cum")
+    nn = li.agg(F.sum("w").cast("long").alias("total_w"))
+    return (
+        c.crossJoin(F.broadcast(nn))
+        .where(F.col("cum") >= F.floor((F.col("total_w") + 1) / 2))
+        .groupBy("total_w")
+        .agg(F.min("cents").alias("median_cents"))
+        .select("total_w", "median_cents")
+    )

@@ -659,3 +659,92 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "log2_bucket")
     )
+
+
+# ------------------------------------------------ linear interpolation -----
+@query(
+    "q272_linear_interpolation",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               event_id % 7 = 0 AS missing
+        FROM events
+    ),
+    nb AS (
+        SELECT user_id, event_id, t, missing,
+               last_value(CASE WHEN NOT missing THEN vc END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v0,
+               last_value(CASE WHEN NOT missing THEN t END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0,
+               first_value(CASE WHEN NOT missing THEN vc END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+               first_value(CASE WHEN NOT missing THEN t END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+        FROM o
+    )
+    SELECT user_id, event_id,
+           CAST(floor((v0 + (v1 - v0) * ((t - t0) / (t1 - t0))) * 10000 + 0.5)
+                AS BIGINT) AS interp_q
+    FROM nb
+    WHERE missing AND v0 IS NOT NULL AND v1 IS NOT NULL AND t1 > t0
+    ORDER BY user_id, event_id
+    """,
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    """True LINEAR interpolation of missing sensor readings (not LOCF —
+    q173 carries the last value; this reconstructs the straight line
+    between the surrounding readings, the standard gap repair for
+    irregular telemetry). Readings at event_id % 7 == 0 are
+    deterministically masked as missing; each gets
+    v0 + (v1 − v0)·(t − t0)/(t1 − t0) from its nearest non-missing
+    neighbors. Exactness: values quantize to integer cents and times to
+    integer micros BEFORE the one pinned-order IEEE expression (bigint
+    division → double fraction, one multiply, one add), quantized at
+    1e-4 cents — both engines execute the identical float sequence.
+    Boundary gaps (no neighbor on one side) drop — the honest contract.
+
+    Plan: FOUR ignore-nulls windows over the SAME (user_id, t) partition
+    order — one shuffle, one sort, all four frames ride it."""
+    ev = load_table(spark, sf, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    missing = F.col("event_id") % 7 == 0
+    o = ev.select(
+        "user_id", "event_id", t.alias("t"), vc.alias("vc"),
+        missing.alias("missing"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    back = w.rowsBetween(W.unboundedPreceding, -1)
+    fwd = w.rowsBetween(1, W.unboundedFollowing)
+    nm_v = F.when(~F.col("missing"), F.col("vc"))
+    nm_t = F.when(~F.col("missing"), F.col("t"))
+    nb = o.select(
+        "user_id", "event_id", "t", "missing",
+        F.last(nm_v, ignorenulls=True).over(back).alias("v0"),
+        F.last(nm_t, ignorenulls=True).over(back).alias("t0"),
+        F.first(nm_v, ignorenulls=True).over(fwd).alias("v1"),
+        F.first(nm_t, ignorenulls=True).over(fwd).alias("t1"),
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        (F.col("t") - F.col("t0")) / (F.col("t1") - F.col("t0"))
+    )
+    return (
+        nb.where(
+            F.col("missing")
+            & F.col("v0").isNotNull()
+            & F.col("v1").isNotNull()
+            & (F.col("t1") > F.col("t0"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(interp * 10000 + F.lit(0.5)).cast("long").alias("interp_q"),
+        )
+        .orderBy("user_id", "event_id")
+    )

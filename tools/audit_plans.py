@@ -38,6 +38,7 @@ EXPECTED = {
     "q247_winsorize": {"BroadcastNestedLoopJoin"},  # 1-row n / cut-point scalars
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
+    "q271_weighted_median": {"BroadcastNestedLoopJoin"},  # 1-row total_w scalar
     "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
     "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
     # k broadcast centroids vs the vector stream — the map-side assignment
@@ -68,6 +69,7 @@ EXPECTED = {
     "q223_near_dup_clusters_star": {"SortMergeJoin"},  # same class as q108
     "q234_entity_resolution": {"SortMergeJoin"},  # same class (CC labels join)
     "q238_cluster_keep_best": {"SortMergeJoin"},  # same class (q108 CC labels join)
+    "q268_leakage_safe_split": {"SortMergeJoin"},  # same class (CC labels join)
     # wedge generation: the undirected edge list self-joined on the shared
     # endpoint — both sides are the same O(E) relation, neither broadcasts
     # at graph scale; keyed SMJ (or AQE shuffled-hash) is the intended plan
