@@ -398,3 +398,53 @@ def test_leakage_safe_split_zero_straddle(spark, sf_dir):
     a = {tuple(r) for r in df.collect()}
     b = {tuple(r) for r in q268(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_weighted_median_reduces_to_plain_median(spark):
+    """With all weights 1, the weighted median must equal the discrete
+    lower median (value at rank ceil(n/2)) — computed directly here."""
+    from data_engineer_capstone_spark.functions.refops import distributed_cumsum
+
+    vals = [5, 1, 9, 3, 7, 3, 8, 2, 6, 4, 11]  # n=11 -> rank 6 -> value 5
+    df = spark.createDataFrame([(v, 1) for v in vals], ["cents", "w"])
+    g = df.groupBy("cents").agg(F.sum("w").cast("long").alias("w"))
+    c = distributed_cumsum(g, ["cents"], "w", name="cum")
+    total = sum(1 for _ in vals)
+    got = (
+        c.where(F.col("cum") >= (total + 1) // 2)
+        .agg(F.min("cents"))
+        .collect()[0][0]
+    )
+    assert got == sorted(vals)[(total + 1) // 2 - 1]
+
+
+def test_linear_interpolation_recovers_linear_series(spark):
+    """If the masked series is exactly linear in time, interpolation must
+    reproduce the hidden values to the quantization unit."""
+    import datetime
+
+    from data_engineer_capstone_spark.plans import windows as wmod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):  # value = 10 + 2.5 * i, one reading per minute
+        rows.append(
+            (i, base + datetime.timedelta(minutes=i), 1, "view", 10.0 + 2.5 * i, "{}")
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+    orig = wmod.load_table
+    wmod.load_table = lambda s, sf, name: df
+    try:
+        out = {r.event_id: r.interp_q for r in wmod.q272(spark, "ignored").collect()}
+    finally:
+        wmod.load_table = orig
+    # masked ids: multiples of 7 with both neighbors present (drop id 0)
+    expect = {
+        i: round((10.0 + 2.5 * i) * 100) * 10000
+        for i in range(1, 30)
+        if i % 7 == 0
+    }
+    assert out == expect
