@@ -102,6 +102,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q267_table_checksum", "q268_leakage_safe_split",
     "q269_session_depth_bounce", "q270_arrival_log2_histogram",
     "q271_weighted_median", "q272_linear_interpolation",
+    "q273_benford_check", "q274_percentile_normalize",
+    "q275_cohort_ltv_curve",
 )
 
 

@@ -984,3 +984,41 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
         .agg(round_det(F.sum(term_nano) / 1e9, 6).alias("entropy"))
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------- Benford DQ check -----
+@query(
+    "q273_benford_check",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, COUNT(*) AS n,
+           CAST(floor(COUNT(*) * 1000000.0 / SUM(COUNT(*)) OVER () + 0.5)
+                AS BIGINT) AS share_q
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit distribution — the classic
+    fabricated-data / broken-ingest screen (organic monetary amounts
+    follow log-uniform digit shares; a uniform or spiked distribution
+    flags synthetic or truncated data). The digit is extracted through
+    exact integer cents → string head, so no float log anywhere; one
+    hash aggregate, share window over the 9-row result."""
+    o = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        1, 1,
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    d = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share = F.floor(
+        F.col("n") * 1000000.0 / F.sum("n").over(W.orderBy()) + F.lit(0.5)
+    ).cast("long")
+    return d.select("digit", "n", share.alias("share_q")).orderBy("digit")

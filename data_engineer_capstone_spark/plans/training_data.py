@@ -1378,3 +1378,51 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("cents").alias("median_cents"))
         .select("total_w", "median_cents")
     )
+
+
+# --------------------------------------------- percentile normalization ----
+@query(
+    "q274_percentile_normalize",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                                AS BIGINT), o_orderkey) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(floor(rnk * 1000000.0 / (n + 1) + 0.5) AS BIGINT) AS pctile_q
+    FROM r ORDER BY o_orderkey
+    """,
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile (rank) normalization: map a skewed money column to its
+    uniform rank score rank/(n+1) — the outlier-immune feature scaling
+    (quantile transform) preprocessing pipelines apply before training.
+    The rank is minted by the q247 machinery (`deterministic_id` with
+    fact_scale=True: range exchange + partition windows + offset map —
+    no partitionless window over the fact table; the oracle's global
+    ROW_NUMBER is the single-node equivalent). Ties break by key, so the
+    transform is deterministic; output quantizes at 1e-6."""
+    from ..functions.refops import deterministic_id
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ranked = deterministic_id(
+        o, ["cents", "o_orderkey"], name="rnk", fact_scale=True
+    )
+    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("rnk") * 1000000.0 / (F.col("n") + 1) + F.lit(0.5))
+            .cast("long")
+            .alias("pctile_q"),
+        )
+        .orderBy("o_orderkey")
+    )

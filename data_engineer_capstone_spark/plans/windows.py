@@ -748,3 +748,68 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------- cohort LTV curve -----
+@query(
+    "q275_cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('week',
+                    CAST(f.cohort AS TIMESTAMP),
+                    date_trunc('week', e.ts)) AS BIGINT) AS age_weeks,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events e JOIN first_seen f USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+        SELECT cohort, age_weeks, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM rev GROUP BY cohort, age_weeks
+    )
+    SELECT cohort, age_weeks, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rev_cents
+    FROM cell ORDER BY cohort, age_weeks
+    """,
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue by signup-week
+    cohort and week-age — the growth-analytics matrix behind every
+    payback-period decision (q148's retention counts, upgraded to money).
+    Plan: first-seen reduces events to user granularity BEFORE the join
+    (the q175 reduce-before-join shape), revenue cells aggregate to
+    O(cohorts × ages) rows, and the cumulative window runs per cohort
+    over that bounded matrix. Money is exact integer cents throughout."""
+    ev = load_table(spark, sf, "events")
+    wk = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(wk(F.col("ts")), F.col("cohort")) / 7
+            ).cast("long").alias("age_weeks"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    cell = rev.groupBy("cohort", "age_weeks").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    cum = (
+        W.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cell.select(
+        "cohort", "age_weeks", "rev_cents",
+        F.sum("rev_cents").over(cum).cast("long").alias("cum_rev_cents"),
+    ).orderBy("cohort", "age_weeks")
