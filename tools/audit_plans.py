@@ -39,6 +39,7 @@ EXPECTED = {
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
     "q271_weighted_median": {"BroadcastNestedLoopJoin"},  # 1-row total_w scalar
+    "q274_percentile_normalize": {"BroadcastNestedLoopJoin"},  # 1-row n scalar
     "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
     "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
     # k broadcast centroids vs the vector stream — the map-side assignment
