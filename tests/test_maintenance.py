@@ -45,3 +45,41 @@ def test_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
     assert spark.read.parquet(path).count() == 100_000
+
+
+def test_plan_exchange_counts_do_not_regress(spark):
+    """Explain-plan regression gate: every batch query's static-plan
+    exchange count must not EXCEED the committed baseline
+    (tools/plan_baseline.json). An exchange that appears between rounds is
+    an accidental shuffle — the class of regression this repo's round-4
+    explode-symmetrization sweep removed (q200 27->17, q224's doubled LSH
+    pass). Improvements (fewer exchanges) pass; refresh the baseline
+    deliberately with `python tools/audit_plans.py --write-baseline`.
+    Red-flag operators are asserted here too, so the auditor's contract
+    runs in CI, not only by hand."""
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from audit_plans import BASELINE_PATH, audit
+
+    with open(BASELINE_PATH) as f:
+        baseline = json.load(f)
+    regressions, flagged, improvements = [], [], []
+    # pinned to sf0.01 — the SF the baseline was recorded at: static size
+    # estimates feed join-strategy choice, so counts are only comparable
+    # at the same SF
+    for name, exch, flags in audit(spark, "/root/testdata/sf0.01"):
+        if flags:
+            flagged.append((name, flags))
+        base = baseline.get(name)
+        if base is None:
+            regressions.append((name, "NOT IN BASELINE — rerun --write-baseline"))
+        elif exch > base:
+            regressions.append((name, f"exchanges {base} -> {exch}"))
+        elif exch < base:
+            improvements.append((name, base, exch))
+    assert not flagged, f"red-flag operators: {flagged}"
+    assert not regressions, f"plan regressions: {regressions}"

@@ -157,10 +157,10 @@ def global_window_lines(plan: str) -> list[str]:
     return out
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="plan-audit")
-    bad = 0
+def audit(spark, sf: str):
+    """Yield (name, exchange_count, flags) for every batch query's static
+    executed plan. Shared by the CLI below and the plan-regression pytest
+    (tests/test_maintenance.py vs tools/plan_baseline.json)."""
     for name, fn in sorted(get_queries().items()):
         if name.split("_")[0] in STREAMING:
             continue
@@ -170,9 +170,31 @@ def main() -> int:
         unexpected = found - EXPECTED.get(name, set())
         gw = [] if name in GLOBAL_WINDOW_OK else global_window_lines(plan)
         flags = sorted(unexpected) + (["GLOBAL-WINDOW"] if gw else [])
+        yield name, plan.count("Exchange"), flags
+
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "plan_baseline.json")
+
+
+def main() -> int:
+    import json
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write_baseline = "--write-baseline" in sys.argv
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan-audit")
+    bad = 0
+    counts = {}
+    for name, exch, flags in audit(spark, sf):
+        counts[name] = exch
         status = "UNEXPECTED " + " ".join(flags) if flags else "ok"
-        print(f"{name:35s} exch={plan.count('Exchange'):2d} {status}")
+        print(f"{name:35s} exch={exch:2d} {status}")
         bad += bool(flags)
+    if write_baseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(counts, f, indent=1, sort_keys=True)
+        print(f"baseline written: {BASELINE_PATH} ({len(counts)} queries)")
     print(f"\n{bad} queries with unexpected operators")
     return 1 if bad else 0
 
