@@ -238,15 +238,32 @@ def jaccard_prefix_filter_pairs(
     )
     # L = n - ceil(4n/5) + 1, with ceil(4n/5) = (4n + 4) div 5 exactly
     prefix_len = F.col("n_sh") - F.floor((4 * F.col("n_sh") + 4) / 5).cast("long") + 1
-    prefix = ranked.where(F.col("pos") <= prefix_len).select("did", "shingle")
+    # one-pass rule (the minhash_lsh_pairs shape): the prefix table feeds
+    # BOTH self-join sides and the df/rank pipeline above it is two
+    # shuffles deep — materialize the slim (did, shingle) prefix once; the
+    # full shingle sets are then re-derived ONLY for candidate docs
+    # (semi-join-bounded, O(candidates) not O(corpus)) and materialized
+    # once for the two verify sides.
+    prefix = (
+        ranked.where(F.col("pos") <= prefix_len)
+        .select("did", "shingle")
+        .localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
         .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
     )
-    sa = sets.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    need = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("did")).distinct()
+    )
+    sh_small = (
+        sets.join(need, "did", "left_semi").localCheckpoint(eager=True)
+    )
+    sa = sh_small.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_small.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
