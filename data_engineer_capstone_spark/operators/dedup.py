@@ -81,9 +81,11 @@ def ngram_containment_pairs(
         F.col(id_col).alias("did"),
         F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
     ).dropDuplicates(["did", "shingle"])
+    # one-pass rule: the inverted index feeds BOTH self-join sides —
+    # materialize the slim (did, shingle, n_sh) rows once
     inv = ex.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("did"))
-    )
+    ).localCheckpoint(eager=True)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
@@ -173,6 +175,8 @@ def ngram_jaccard_pairs(
         inv = inv.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         ).where(F.col("_df") <= df_cap).drop("_df")
+    # one-pass rule: both self-join sides read the materialized index
+    inv = inv.localCheckpoint(eager=True)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
