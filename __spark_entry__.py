@@ -103,7 +103,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q269_session_depth_bounce", "q270_arrival_log2_histogram",
     "q271_weighted_median", "q272_linear_interpolation",
     "q273_benford_check", "q274_percentile_normalize",
-    "q275_cohort_ltv_curve",
+    "q275_cohort_ltv_curve", "q276_interval_overlap_join",
+    "q277_ohlc_bars", "q278_domain_token_overlap",
+    "q279_embedding_gram_matrix", "q280_boilerplate_strip",
+    "q281_negative_sampling",
 )
 
 

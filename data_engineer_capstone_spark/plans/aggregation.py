@@ -1022,3 +1022,66 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n") * 1000000.0 / F.sum("n").over(W.orderBy()) + F.lit(0.5)
     ).cast("long")
     return d.select("digit", "n", share.alias("share_q")).orderBy("digit")
+
+
+# ----------------------------------------------------------- OHLC bars ----
+@query(
+    "q277_ohlc_bars",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           {sql_money_sum('value', 'volume')},
+           COUNT(*) AS n
+    FROM t GROUP BY event_type, bar ORDER BY event_type, bar
+    """,
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlestick downsampling — the canonical time-series
+    resample (metrics rollup, market bars, sensor decimation): per
+    (series, hour-bucket), first value (open), max (high), min (low),
+    last value (close), exact-decimal volume, and count. First/last are
+    minted by row_number over the BUCKET-partitioned window with a total
+    (ts, event_id) tiebreak — never a partitionless window — then folded
+    into the same hash aggregate as min/max/sum, so the whole resample is
+    one shuffle on the (series, bucket) key it groups by. At 100 TB the
+    bucket key bounds every window partition to one bar's rows; volume
+    rides the repo's DECIMAL(18,4) rule so partial-sum order cannot move
+    the hash."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "value", "ts", "event_id",
+    )
+    by_bar = W.partitionBy("event_type", "bar")
+    t = ev.select(
+        "event_type", "bar", "value",
+        F.row_number().over(by_bar.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(by_bar.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return (
+        t.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+            money_sum(F.col("value"), "volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "bar")
+    )

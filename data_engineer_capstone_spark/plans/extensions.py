@@ -2872,3 +2872,125 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- boilerplate removal ----
+BP_K = 4  # shingle width (words)
+BP_MIN_DOCS = 3  # shingles in >= this many distinct docs are boilerplate
+
+
+@query(
+    "q280_boilerplate_strip",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS.format(c='text')} AS ws FROM documents
+    ),
+    base AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    sh AS (
+        SELECT doc_id, p, array_to_string(ws[p:p + {BP_K - 1}], ' ') AS s
+        FROM (
+            SELECT doc_id, ws, unnest(range(1, n - {BP_K - 2})) AS p
+            FROM base WHERE n >= {BP_K}
+        )
+    ),
+    bp AS (
+        SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+        GROUP BY s HAVING COUNT(*) >= {BP_MIN_DOCS}
+    ),
+    cov AS (
+        SELECT doc_id, list(p) AS starts
+        FROM sh JOIN bp USING (s) GROUP BY doc_id
+    ),
+    r AS (
+        SELECT b.doc_id, b.ws, b.n, coalesce(c.starts, []) AS st
+        FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+    ),
+    kept AS (
+        SELECT doc_id, ws, n,
+               list_filter(range(1, n + 1),
+                   w -> len(list_filter(st,
+                        s -> s <= w AND w <= s + {BP_K - 1})) = 0) AS keep
+        FROM r
+    )
+    SELECT doc_id, n AS n_words,
+           n - len(keep) AS n_removed,
+           coalesce(
+               array_to_string(list_transform(keep, w -> ws[w]), ' '), ''
+           ) AS clean_text
+    FROM kept ORDER BY doc_id
+    """,
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate REMOVAL — the rewrite pass q213 only detects: every
+    word position covered by a corpus-boilerplate {k}-gram occurrence
+    (shingle in >= {m} distinct docs — headers, templates, license
+    blurbs) is stripped, and the cleaned text plus removal counts come
+    back per document. Shape: positional shingles explode row-locally;
+    the boilerplate set is one hash aggregate over DISTINCT (doc,
+    shingle); covered START positions return to their doc through a
+    shingle-keyed equi-join + per-doc collect; the final strip is a pure
+    row-local filter (position w survives iff no collected start s has
+    s <= w <= s+{j}), so the expensive membership test never touches the
+    words themselves. At 100 TB the boilerplate set is tiny relative to
+    the corpus (df >= {m} head shingles) — broadcast it; everything else
+    is map-side."""
+    docs = load_table(spark, sf, "documents")
+    w = words("text")
+    base = docs.select(
+        "doc_id", w.alias("ws"), F.size(w).alias("n")
+    )
+    # positional (non-distinct) shingles, 1-based start p
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (BP_K - 1)),
+        lambda p: F.concat_ws(" ", F.slice("ws", p, BP_K)),
+    )
+    sh = (
+        base.where(F.col("n") >= BP_K)
+        .select("doc_id", F.posexplode(sh_arr).alias("p0", "s"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "s")
+    )
+    bp = (
+        sh.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= BP_MIN_DOCS)
+        .select("s")
+    )
+    cov = (
+        sh.join(bp, "s")
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("starts"))
+    )
+    r = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        "n",
+        F.coalesce(
+            F.col("starts"), F.array().cast("array<integer>")
+        ).alias("st"),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda pos: F.size(
+            F.filter(
+                "st", lambda s: (s <= pos) & (pos <= s + (BP_K - 1))
+            )
+        )
+        == 0,
+    )
+    return (
+        r.where(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_words"),
+            (F.col("n") - F.size(keep)).alias("n_removed"),
+            F.array_join(
+                F.transform(keep, lambda pos: F.element_at("ws", pos)), " "
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q280.__doc__ = q280.__doc__.format(k=BP_K, m=BP_MIN_DOCS, j=BP_K - 1)

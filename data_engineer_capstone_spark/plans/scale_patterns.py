@@ -693,3 +693,89 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------- grid-bucketed interval join ----
+VIEW_DUR_S = 7200
+CLICK_DUR_S = 3600
+GRID_W_S = 1800
+
+
+@query(
+    "q276_interval_overlap_join",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id,
+               epoch_us(ts) // 1000000 AS vs,
+               epoch_us(ts) // 1000000 + {VIEW_DUR_S} AS ve
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id,
+               epoch_us(ts) // 1000000 AS cs,
+               epoch_us(ts) // 1000000 + {CLICK_DUR_S} AS ce
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, view_id, click_id,
+           least(ve, ce) - greatest(vs, cs) AS overlap_s
+    FROM v JOIN c ON v.user_id = c.user_id AND vs < ce AND cs < ve
+    ORDER BY view_id, click_id
+    """,
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join via fixed-grid decomposition — the scale
+    pattern for "which intervals intersect" (ad attribution, session
+    stitching, sensor co-occurrence). The naive plan is a per-user theta
+    join (the oracle's formulation — O(n·m) per user, a BNLJ at scale).
+    Here each interval explodes into the {w}-second grid cells it covers
+    (≤ ceil(dur/w)+1 slim rows), candidates come from an equi-join on
+    (user_id, grid_cell) — any overlapping pair shares the cell containing
+    the overlap's start, so recall is exact — and the precise ``a.start <
+    b.end AND b.start < a.end`` predicate verifies candidates. A pair can
+    share several cells, so a dropDuplicates on the pair key dedupes
+    before output. Grid width trades explode fan-out against candidate
+    precision; co-partitioning both sides by (user, cell) keeps the join
+    shuffle-local at 100 TB."""
+    ev = load_table(spark, sf, "events")
+
+    def intervals(etype: str, idc: str, dur: int, s: str, e: str) -> DataFrame:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        # exact floor division of sub-2^53 longs (see _util._idiv)
+        epoch = ((us - us % 1_000_000) / 1_000_000).cast("long")
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                F.col("event_id").alias(idc),
+                epoch.alias(s),
+                (epoch + dur).alias(e),
+            )
+        )
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = ((F.col(s) - F.col(s) % GRID_W_S) / GRID_W_S).cast("long")
+        hi = (
+            ((F.col(e) - 1) - (F.col(e) - 1) % GRID_W_S) / GRID_W_S
+        ).cast("long")
+        return df.withColumn("cell", F.explode(F.sequence(lo, hi)))
+
+    v = cells(intervals("view", "view_id", VIEW_DUR_S, "vs", "ve"), "vs", "ve")
+    c = cells(
+        intervals("click", "click_id", CLICK_DUR_S, "cs", "ce"), "cs", "ce"
+    )
+    pairs = (
+        v.join(c, ["user_id", "cell"])
+        .where((F.col("vs") < F.col("ce")) & (F.col("cs") < F.col("ve")))
+        .dropDuplicates(["view_id", "click_id"])
+    )
+    return pairs.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            F.least("ve", "ce") - F.greatest("vs", "cs")
+        ).alias("overlap_s"),
+    ).orderBy("view_id", "click_id")
+
+
+q276.__doc__ = q276.__doc__.format(w=GRID_W_S)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import h64, word_count, words
 from ..operators.dedup import jaccard_prefix_filter_pairs, minhash_lsh_pairs
-from .extensions import _WORDS, JACCARD_PAIRS_ORACLE, _minhash_ctes
+from .extensions import _H64, _WORDS, JACCARD_PAIRS_ORACLE, _minhash_ctes
 from .graph_behavior import _SQL_EDGES, _edges
 from .registry import query
 
@@ -1426,3 +1426,221 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------------------ domain overlap matrix ----
+@query(
+    "q278_domain_token_overlap",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, unnest({_WORDS.format(c='text')}) AS tok FROM documents
+    ),
+    t AS (SELECT DISTINCT source, tok FROM g),
+    n AS (SELECT source, COUNT(*) AS n_tok FROM t GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+        FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_inter,
+           na.n_tok + nb.n_tok - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (na.n_tok + nb.n_tok - n_inter) AS jaccard
+    FROM inter
+    JOIN n na ON na.source = source_a
+    JOIN n nb ON nb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-overlap matrix: exact vocabulary Jaccard between every pair
+    of sources — the corpus-mixing diagnostic that decides whether two
+    crawl domains are near-duplicates of each other (merge them) or
+    complementary (keep both in the mixture). Candidate pairs come from a
+    token-keyed equi-join over the DISTINCT (source, token) relation, so
+    cost is Σ_tok df(tok)² with df bounded by the domain count — domains
+    are O(10²..10⁴), so the pair space is bounded by design, never
+    O(corpus²). Intersection counts and set sizes are exact integers;
+    the Jaccard is one IEEE division of those integers (bit-identical
+    cross-engine). At web scale (millions of sources) the same matrix
+    drops in per-domain MinHash signatures for the t-relation — q92's
+    machinery at domain grain."""
+    docs = load_table(spark, sf, "documents")
+    # the (source, token) set feeds three consumers (sizes + both join
+    # sides) — materialize once (the repo's one-pass rule; eager so the
+    # ContextCleaner can release the blocks when the query ends)
+    t = (
+        docs.select("source", F.explode(words("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_tok").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_tok").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            u.alias("n_union"),
+            (F.col("n_inter") / u).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------- embedding gram matrix ----
+GRAM_Q = 10_000
+
+
+@query(
+    "q279_embedding_gram_matrix",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * {GRAM_Q} + 0.5) AS BIGINT)) AS qv
+        FROM e
+    ),
+    s AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+    p AS (SELECT vec_id, qv, i, qv[i] AS qi FROM s),
+    pj AS (SELECT vec_id, qv, i, qi, unnest(range(i, len(qv) + 1)) AS j FROM p)
+    SELECT i, j, COUNT(*) AS n,
+           CAST(SUM(qi * qv[j]) AS BIGINT) AS gram
+    FROM pj GROUP BY i, j ORDER BY i, j
+    """,
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-triangular gram matrix X'X over the embedding corpus — the
+    accumulation step behind distributed PCA / whitening / least squares
+    (d×d covariance comes from gram + column sums in one more line).
+    Components are quantized to integers (floor(x·1e4+0.5), the repo's
+    cross-engine float boundary rule) so the Σ xᵢxⱼ partial sums are EXACT
+    and partition order cannot move the hash. The d(d+1)/2 products per
+    row are generated ROW-LOCALLY with nested index-lambdas (slice from i
+    keeps j ≥ i) and fold into a single hash aggregate keyed on (i, j) —
+    no self-join, no shuffle besides the d²-sized agg, which is the
+    textbook 100 TB shape: map-side outer products, reduce by cell.
+    BIGINT headroom: |q| ≤ ~10·Q, so n·(10Q)² overflows past ~9e5 rows —
+    production promotes the sum to DECIMAL(38,0); documented, not hit at
+    test SFs."""
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform(
+        "v", lambda x: F.floor(x * GRAM_Q + F.lit(0.5)).cast("long")
+    )
+    q = emb.select(qv.alias("qv"))
+    pairs = F.flatten(
+        F.transform(
+            "qv",
+            lambda xi, i0: F.transform(
+                F.slice("qv", i0 + 1, F.size("qv") - i0),
+                lambda xj, k0: F.struct(
+                    (i0 + 1).alias("i"),
+                    (i0 + 1 + k0).alias("j"),
+                    (xi * xj).alias("p"),
+                ),
+            ),
+        )
+    )
+    cells = q.select(F.explode(pairs).alias("c")).select("c.i", "c.j", "c.p")
+    return (
+        cells.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------- contrastive negatives ----
+NEG_BUCKETS = 4
+NEG_K = 3
+
+
+@query(
+    "q281_negative_sampling",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               {_H64.format(x="CAST(doc_id AS VARCHAR)")} % {NEG_BUCKETS} AS b
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+               {_H64.format(x="CAST(a.doc_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)")} AS pr
+        FROM d a JOIN d c
+          ON a.source = c.source AND a.b = c.b AND a.doc_id <> c.doc_id
+    ),
+    rk AS (
+        SELECT anchor_id, neg_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY pr, neg_id) AS rk
+        FROM pairs
+    )
+    SELECT anchor_id, neg_id, rk FROM rk WHERE rk <= {NEG_K}
+    ORDER BY anchor_id, rk
+    """,
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training:
+    each anchor document draws {k} pseudo-random same-source negatives.
+    Candidates come from a (source, hash-bucket) equi-join — every doc
+    lands in one of {b} buckets by content-free id hash, and anchors only
+    see candidates in their own bucket, so the pair space is corpus²/{b}
+    per source shard rather than corpus² (at 100 TB, raise {b} to hold
+    the per-bucket candidate count constant; the join stays keyed). The
+    pick is the {k} smallest pair-hashes under an anchor-partitioned
+    window — fully deterministic (no rand()), reproducible across runs
+    and engines, and uniform-ish because md5 is. Anchors whose bucket
+    holds fewer than {k} peers emit fewer rows (honest undersupply, no
+    replacement draws)."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(h64(F.col("doc_id").cast("string")), F.lit(NEG_BUCKETS)).alias("b"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("anchor_id"), "source", F.col("b").alias("ab")
+    )
+    c = d.select(
+        F.col("doc_id").alias("neg_id"), "source", F.col("b").alias("cb")
+    )
+    pr = h64(
+        F.concat_ws(
+            ":", F.col("anchor_id").cast("string"), F.col("neg_id").cast("string")
+        )
+    )
+    pairs = (
+        a.join(c, ["source"])
+        .where((F.col("ab") == F.col("cb")) & (F.col("anchor_id") != F.col("neg_id")))
+        .select("anchor_id", "neg_id", pr.alias("pr"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy("pr", "neg_id")
+    )
+    return (
+        pairs.select("anchor_id", "neg_id", rk.alias("rk"))
+        .where(F.col("rk") <= NEG_K)
+        .orderBy("anchor_id", "rk")
+    )
+
+
+q281.__doc__ = q281.__doc__.format(k=NEG_K, b=NEG_BUCKETS)
