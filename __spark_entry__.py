@@ -106,7 +106,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q275_cohort_ltv_curve", "q276_interval_overlap_join",
     "q277_ohlc_bars", "q278_domain_token_overlap",
     "q279_embedding_gram_matrix", "q280_boilerplate_strip",
-    "q281_negative_sampling",
+    "q281_negative_sampling", "q282_power_iteration",
+    "q283_tfidf_topk", "q285_referential_integrity",
+    "q287_calibration_table", "q288_stream_ohlc",
 )
 
 

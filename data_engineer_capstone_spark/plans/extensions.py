@@ -2533,18 +2533,32 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# exact integer logit of the hashed linear classifier, shared by q231
+# (the gate) and q287 (its calibration table)
+_LOGIT_SQL = f"""CAST(COALESCE(list_sum([
+               ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
+               for w in {_WORDS.format(c="text")}
+           ]), 0) AS BIGINT)"""
+
+
+def _hashed_logit():
+    from ..functions.text import h32
+
+    def weight(w):
+        bucket = h32(w) % 1024
+        return (h32(F.concat(F.lit("w:"), bucket.cast("string"))) % 101) - 50
+
+    return F.aggregate(
+        words("text"), F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+
+
 @query(
     "q231_hashed_linear_classifier",
     oracle=f"""
     SELECT doc_id,
-           CAST(COALESCE(list_sum([
-               ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
-               for w in {_WORDS.format(c="text")}
-           ]), 0) AS BIGINT) AS logit,
-           COALESCE(list_sum([
-               ({_H32.format(x=f"'w:' || CAST({_H32.format(x='w')} % 1024 AS VARCHAR)")} % 101) - 50
-               for w in {_WORDS.format(c="text")}
-           ]), 0) > 0 AS keep
+           {_LOGIT_SQL} AS logit,
+           {_LOGIT_SQL} > 0 AS keep
     FROM documents ORDER BY doc_id
     """,
 )
@@ -2559,15 +2573,7 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
     shape with a broadcast weight map; scoring is one HOF fold per row —
     whole-stage codegen, zero shuffles before the sort."""
     docs = load_table(spark, sf, "documents")
-    from ..functions.text import h32
-
-    def weight(w):
-        bucket = h32(w) % 1024
-        return (h32(F.concat(F.lit("w:"), bucket.cast("string"))) % 101) - 50
-
-    logit = F.aggregate(
-        words("text"), F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
-    )
+    logit = _hashed_logit()
     return docs.select(
         "doc_id", logit.alias("logit"), (logit > 0).alias("keep")
     ).orderBy("doc_id")
@@ -2994,3 +3000,58 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q280.__doc__ = q280.__doc__.format(k=BP_K, m=BP_MIN_DOCS, j=BP_K - 1)
+
+
+# ----------------------------------------------- classifier calibration ----
+CAL_BIN_W = 100  # logit units per calibration bin
+
+
+@query(
+    "q287_calibration_table",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_LOGIT_SQL} AS logit,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    binned AS (
+        SELECT CAST(floor(CAST(logit AS DOUBLE) / {CAL_BIN_W}) AS BIGINT) AS bin,
+               pos
+        FROM scored
+    )
+    SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+           (CAST(SUM(pos) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_q
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration / reliability table for the q231 hashed classifier —
+    the model-eval companion to q252's AUC: logits bucket into
+    fixed-width bins and each bin reports observed positive rate (label:
+    lang = 'en'). A well-calibrated score shows monotone rates across
+    bins; a flat line means the gate carries no signal for the label.
+    Fixed-width binning (not quantile) keeps the whole query one hash
+    aggregate with exact integer arithmetic end-to-end — logit is q231's
+    exact BIGINT fold, the bin is floor of one IEEE division, and the
+    rate is scaled integer floor-division — so the table is bit-stable
+    cross-engine and trivially mergeable across shards (counts add),
+    which is what lets a 100 TB eval run as map-side partials. Quantile
+    bins at scale: mint ranks via q218's machinery, same downstream."""
+    docs = load_table(spark, sf, "documents")
+    logit = _hashed_logit()
+    pos = (F.col("lang") == "en").cast("long")
+    binned = docs.select(
+        F.floor(logit / CAL_BIN_W).cast("long").alias("bin"), pos.alias("pos")
+    )
+    n = F.count(F.lit(1))
+    n_pos = F.sum("pos")
+    num = n_pos * 1_000_000
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.alias("n"),
+            n_pos.alias("n_pos"),
+            ((num - num % n) / n).cast("long").alias("pos_rate_q"),
+        )
+        .orderBy("bin")
+    )

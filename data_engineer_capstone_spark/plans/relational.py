@@ -986,3 +986,69 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return p.join(q, dominated, "left_anti").orderBy("p_partkey")
+
+
+# ------------------------------------------- referential-integrity audit ----
+# (child_table, fk_col, parent_table, pk_col) — the full TPC-H-ish FK graph
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "q285_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}.{fk}->{p}.{pk}' AS edge,
+               (SELECT COUNT(*) FROM {c}) AS n_child,
+               (SELECT COUNT(*) FROM {c}
+                WHERE {fk} IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM {p} WHERE {p}.{pk} = {c}.{fk})) AS n_orphans,
+               (SELECT COUNT(*) FROM {c} WHERE {fk} IS NULL) AS n_null_fk
+        """
+        for c, fk, p, pk in _FK_EDGES
+    )
+    + "\nORDER BY edge",
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse's whole FK graph —
+    the data-quality gate every ingest should run before publishing a
+    snapshot: per relationship, child row count, orphan count (non-null
+    FK with no parent), and null-FK count. Each edge is one left join of
+    the child against the DISTINCT parent keys (the dedup makes the probe
+    side minimal and the null-detect unambiguous), folded into a single
+    aggregate — counting via SUM(parent IS NULL) instead of an anti-join
+    keeps it to ONE pass over each child. The seven 1-row results
+    union into the report. At 100 TB each edge is an independent keyed
+    join — schedule them concurrently; small parents broadcast."""
+    parts = []
+    for c, fk, p, pk in _FK_EDGES:
+        child = load_table(spark, sf, c)
+        parent = load_table(spark, sf, p).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            parent, F.col("__fk") == F.col("__pk"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(f"{c}.{fk}->{p}.{pk}").alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    (
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull()
+                    ).cast("long")
+                ).alias("n_orphans"),
+                F.sum(F.col("__fk").isNull().cast("long")).alias("n_null_fk"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("edge")

@@ -394,3 +394,68 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("sum_dec"), 2).cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------ streaming OHLC ----
+# zero-padded (epoch_us, event_id) — lexicographic order == arrival order,
+# so first/last become arg_min/arg_max (streaming-legal declarative aggs)
+_OHLC_KEY_SQL = (
+    f"lpad(CAST(epoch_us({_EV_TS}) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 10, '0')"
+)
+_BUCKET1H = f"time_bucket(INTERVAL 1 HOUR, {_EV_TS})"
+
+
+@query(
+    "q288_stream_ohlc",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_BUCKET1H} AS win_start, event_type, value,
+               {_OHLC_KEY_SQL} AS k
+        FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+           arg_min(value, k) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, k) AS close_v,
+           {_SQL_MONEY.replace('AS sum_value', 'AS volume')},
+           COUNT(*) AS n
+    FROM t GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming OHLC bars — q277's resample running INCREMENTALLY over
+    an event-time tumbling window. Batch OHLC leans on row_number to pick
+    open/close; streaming state cannot hold ordered rows, so first/last
+    are re-expressed as min_by/max_by over a zero-padded (epoch_us,
+    event_id) string key — order-insensitive, mergeable aggregates that
+    fold arriving rows into O(1) state per (window, series) regardless of
+    arrival order (the retracting-sort alternative is unbounded state).
+    That re-expression is exactly how a 100 TB streaming rollup must
+    store "first/last": as arg-extremes over a total order, never as
+    position. Oracle = the same bars computed batch over the full replay."""
+    s = read_stream(spark, sf, 1)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    agg = (
+        s.withColumn("k", key)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", "k").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "k").alias("close_v"),
+            _money_sum_stream("value", "volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type", "open_v", "high_v", "low_v", "close_v", "volume", "n",
+    ).orderBy("win_start", "event_type")

@@ -1507,11 +1507,10 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------- embedding gram matrix ----
 GRAM_Q = 10_000
 
-
-@query(
-    "q279_embedding_gram_matrix",
-    oracle=f"""
-    WITH e AS (
+# the gram-matrix CTE chain, shared by q279 (the matrix itself) and q282
+# (power iteration on top of it)
+_GRAM_CTES = f"""
+    e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     q AS (
@@ -1521,26 +1520,17 @@ GRAM_Q = 10_000
     ),
     s AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
     p AS (SELECT vec_id, qv, i, qv[i] AS qi FROM s),
-    pj AS (SELECT vec_id, qv, i, qi, unnest(range(i, len(qv) + 1)) AS j FROM p)
-    SELECT i, j, COUNT(*) AS n,
-           CAST(SUM(qi * qv[j]) AS BIGINT) AS gram
-    FROM pj GROUP BY i, j ORDER BY i, j
-    """,
-)
-def q279(spark: SparkSession, sf: str) -> DataFrame:
-    """Upper-triangular gram matrix X'X over the embedding corpus — the
-    accumulation step behind distributed PCA / whitening / least squares
-    (d×d covariance comes from gram + column sums in one more line).
-    Components are quantized to integers (floor(x·1e4+0.5), the repo's
-    cross-engine float boundary rule) so the Σ xᵢxⱼ partial sums are EXACT
-    and partition order cannot move the hash. The d(d+1)/2 products per
-    row are generated ROW-LOCALLY with nested index-lambdas (slice from i
-    keeps j ≥ i) and fold into a single hash aggregate keyed on (i, j) —
-    no self-join, no shuffle besides the d²-sized agg, which is the
-    textbook 100 TB shape: map-side outer products, reduce by cell.
-    BIGINT headroom: |q| ≤ ~10·Q, so n·(10Q)² overflows past ~9e5 rows —
-    production promotes the sum to DECIMAL(38,0); documented, not hit at
-    test SFs."""
+    pj AS (SELECT vec_id, qv, i, qi, unnest(range(i, len(qv) + 1)) AS j FROM p),
+    gram AS (
+        SELECT i, j, COUNT(*) AS n,
+               CAST(SUM(qi * qv[j]) AS BIGINT) AS gram
+        FROM pj GROUP BY i, j
+    )
+"""
+
+
+def _gram_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-triangular (i, j, n, gram) aggregate — see q279 docstring."""
     emb = load_table(spark, sf, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1562,11 +1552,105 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     cells = q.select(F.explode(pairs).alias("c")).select("c.i", "c.j", "c.p")
-    return (
-        cells.groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("gram"))
-        .orderBy("i", "j")
+    return cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p").alias("gram")
     )
+
+
+@query(
+    "q279_embedding_gram_matrix",
+    oracle=f"""
+    WITH {_GRAM_CTES}
+    SELECT i, j, n, gram FROM gram ORDER BY i, j
+    """,
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-triangular gram matrix X'X over the embedding corpus — the
+    accumulation step behind distributed PCA / whitening / least squares
+    (d×d covariance comes from gram + column sums in one more line).
+    Components are quantized to integers (floor(x·1e4+0.5), the repo's
+    cross-engine float boundary rule) so the Σ xᵢxⱼ partial sums are EXACT
+    and partition order cannot move the hash. The d(d+1)/2 products per
+    row are generated ROW-LOCALLY with nested index-lambdas (slice from i
+    keeps j ≥ i) and fold into a single hash aggregate keyed on (i, j) —
+    no self-join, no shuffle besides the d²-sized agg, which is the
+    textbook 100 TB shape: map-side outer products, reduce by cell.
+    BIGINT headroom: |q| ≤ ~10·Q, so n·(10Q)² overflows past ~9e5 rows —
+    production promotes the sum to DECIMAL(38,0); documented, not hit at
+    test SFs."""
+    return _gram_cells(spark, sf).orderBy("i", "j")
+
+
+# -------------------------------------------- power iteration (top PC) ----
+EIG_VQ = 1000  # iterate quantization: components land in [-VQ, VQ]
+
+
+@query(
+    "q282_power_iteration",
+    oracle=f"""
+    WITH {_GRAM_CTES},
+    gsym AS (
+        SELECT i, j, gram AS g FROM gram
+        UNION ALL
+        SELECT j, i, gram AS g FROM gram WHERE i <> j
+    ),
+    w1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS w FROM gsym GROUP BY i),
+    m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+    v1 AS (
+        SELECT i, CAST(floor(CAST(w AS DOUBLE) / m * {EIG_VQ} + 0.5) AS BIGINT) AS v
+        FROM w1, m1
+    ),
+    w2 AS (
+        SELECT gsym.i AS i, CAST(SUM(g * v1.v) AS BIGINT) AS w
+        FROM gsym JOIN v1 ON gsym.j = v1.i GROUP BY gsym.i
+    ),
+    m2 AS (SELECT MAX(ABS(w)) AS m FROM w2)
+    SELECT i, w AS w2,
+           CAST(floor(CAST(w AS DOUBLE) / m * {EIG_VQ} + 0.5) AS BIGINT) AS eig_q
+    FROM w2, m2 ORDER BY i
+    """,
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal direction of the embedding gram matrix by TWO
+    unrolled power-iteration steps — the iterative-algorithm pattern
+    (PageRank's cousin for dense linear algebra) expressed as a static
+    DAG so the oracle can mirror it CTE-for-CTE. Determinism: the matrix
+    entries are q279's EXACT integers; each matvec Σⱼ G_ij·v_j is exact
+    BIGINT arithmetic; the only floats are the two renormalizations
+    (w/max|w|, one correctly-rounded IEEE division of exact ints, then
+    floor-quantized back to integers in [-{vq}, {vq}]), so every engine
+    computes bit-identical iterates. Plan shape: the d²-row symmetrized
+    matrix joins the d-row iterate on j (broadcast — the iterate is
+    always tiny), one hash agg per step, 1-row max broadcasts between
+    steps; d steps of this is distributed power iteration at any corpus
+    scale since nothing ever materializes beyond O(d²). The start vector
+    is all-ones (w1 = row sums); convergence to the true eigvec needs
+    more rounds — production loops the SAME step with checkpointing
+    (q108's pattern); two rounds keep the oracle finite."""
+    gram = _gram_cells(spark, sf).localCheckpoint(eager=True)
+    gsym = gram.select("i", "j", F.col("gram").alias("g")).unionAll(
+        gram.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram").alias("g")
+        )
+    )
+    w1 = gsym.groupBy("i").agg(F.sum("g").alias("w"))
+    m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    quant = F.floor(F.col("w") / F.col("m") * EIG_VQ + F.lit(0.5)).cast("long")
+    v1 = w1.crossJoin(F.broadcast(m1)).select("i", quant.alias("v"))
+    w2 = (
+        gsym.join(F.broadcast(v1.withColumnRenamed("i", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+    )
+    m2 = w2.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return (
+        w2.crossJoin(F.broadcast(m2))
+        .select("i", F.col("w").alias("w2"), quant.alias("eig_q"))
+        .orderBy("i")
+    )
+
+
+q282.__doc__ = q282.__doc__.format(vq=EIG_VQ)
 
 
 # ---------------------------------------------- contrastive negatives ----
@@ -1644,3 +1728,70 @@ def q281(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q281.__doc__ = q281.__doc__.format(k=NEG_K, b=NEG_BUCKETS)
+
+
+# --------------------------------------------------- tf-idf top terms ----
+TFIDF_K = 5
+TFIDF_SCALE = 1_000_000
+
+
+@query(
+    "q283_tfidf_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_WORDS.format(c='text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term AS term, tf.tf AS tf, df.df AS df,
+               (tf.tf * (n_docs + 1) * {TFIDF_SCALE}) // (df.df + 1) AS score_q
+        FROM tf JOIN df ON tf.term = df.term, nn
+    ),
+    rk AS (
+        SELECT doc_id, term, tf, df, score_q,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_q, rk FROM rk WHERE rk <= {TFIDF_K}
+    ORDER BY doc_id, rk
+    """,
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} distinctive terms per document by tf·idf — the classic
+    keyword/feature extraction pass (the per-document complement of
+    q168's query-side BM25). The idf here is the LINEAR inverse
+    document-frequency (N+1)/(df+1), not log — deliberately: it keeps the
+    whole score in exact BIGINT arithmetic (tf·(N+1)·1e6 floor-divided by
+    df+1), so the rank-{k} boundary cannot flip on a cross-engine libm
+    ulp (the repo-wide no-libm-in-ORDER-BY rule; swap in log-idf when a
+    single engine owns both sides). Shape: one (doc, term) hash agg, a
+    term-keyed equi-join against the O(vocab) df table (broadcast while
+    it fits, keyed SMJ beyond), a 1-row N broadcast, and a top-{k}
+    window partitioned by doc — every stage keyed, no global sort."""
+    docs = load_table(spark, sf, "documents")
+    g = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = g.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    num = F.col("tf") * (F.col("n_docs") + 1) * TFIDF_SCALE
+    den = F.col("df") + 1
+    score = ((num - num % den) / den).cast("long")  # exact floor division
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", "term", "tf", "df", score.alias("score_q"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "term")
+    )
+    return (
+        scored.select("doc_id", "term", "tf", "df", "score_q", rk.alias("rk"))
+        .where(F.col("rk") <= TFIDF_K)
+        .orderBy("doc_id", "rk")
+    )
+
+
+q283.__doc__ = q283.__doc__.format(k=TFIDF_K)

@@ -42,6 +42,9 @@ EXPECTED = {
     "q274_percentile_normalize": {"BroadcastNestedLoopJoin"},  # 1-row n scalar
     "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
     "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
+    # 1-row max|w| renormalization scalars between power-iteration steps
+    "q282_power_iteration": {"BroadcastNestedLoopJoin"},
+    "q283_tfidf_topk": {"BroadcastNestedLoopJoin"},  # 1-row N_docs scalar
     # k broadcast centroids vs the vector stream — the map-side assignment
     # nested loop that makes k-means scale (same class as q167)
     "q250_kmeans_update_step": {"BroadcastNestedLoopJoin"},
