@@ -109,6 +109,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q281_negative_sampling", "q282_power_iteration",
     "q283_tfidf_topk", "q285_referential_integrity",
     "q287_calibration_table", "q288_stream_ohlc",
+    "q289_key_skew_report", "q290_domain_minhash_overlap",
 )
 
 

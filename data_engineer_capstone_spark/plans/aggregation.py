@@ -1085,3 +1085,61 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+# ------------------------------------------------- join-key skew report ----
+SKEW_TOP = 20
+
+
+@query(
+    "q289_key_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
+        FROM per_key
+    )
+    SELECT user_id, n,
+           (n * 1000000) // total AS share_ppm,
+           (n * n_keys * 1000) // total AS x_mean_q
+    FROM per_key, tot
+    ORDER BY n DESC, user_id LIMIT {SKEW_TOP}
+    """,
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew report — the diagnostic run BEFORE a big join to
+    decide whether q229's salting or AQE skew-split is needed: the {t}
+    hottest keys with absolute count, parts-per-million share, and
+    multiple-of-mean (scaled ×1000). One hash aggregate over the key, a
+    1-row totals broadcast, and a TakeOrdered top-{t} — no global sort,
+    no second scan. All ratios are scaled integer floor-divisions of
+    exact counts, so the report is engine-stable. At 100 TB this runs as
+    a cheap pre-flight on the same scan that feeds the join (or on a
+    sampled partition set with counts scaled up — documented variant)."""
+    ev = load_table(spark, sf, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+
+    def idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    share = F.col("n") * 1_000_000
+    xmean = F.col("n") * F.col("n_keys") * 1000
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            idiv(share, F.col("total")).alias("share_ppm"),
+            idiv(xmean, F.col("total")).alias("x_mean_q"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(SKEW_TOP)
+    )
+
+
+q289.__doc__ = q289.__doc__.format(t=SKEW_TOP)

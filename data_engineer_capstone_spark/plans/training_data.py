@@ -1795,3 +1795,101 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q283.__doc__ = q283.__doc__.format(k=TFIDF_K)
+
+
+# ------------------------------------------- domain MinHash signatures ----
+DOM_PERMS = 32
+DOM_EST_SCALE = 1_000_000 // DOM_PERMS  # exact: 31250 per agreeing perm
+
+
+def _dom_minhash_sql() -> str:
+    from ..functions.text import MINHASH_P, minhash_consts
+    from .extensions import _H32
+
+    base = f"({_H32.format(x='tok')} % {MINHASH_P})"
+    mins = ",\n               ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in (
+            (i, minhash_consts(i)) for i in range(DOM_PERMS)
+        )
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(DOM_PERMS))
+    return f"""
+    WITH g AS (
+        SELECT source, unnest({_WORDS.format(c='text')}) AS tok FROM documents
+    ),
+    t AS (SELECT DISTINCT source, tok FROM g),
+    m AS (
+        SELECT source,
+               {mins}
+        FROM t GROUP BY source
+    ),
+    s AS (SELECT source, [{sig_list}] AS sig FROM m)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(len(list_filter(range(1, {DOM_PERMS + 1}),
+                i -> a.sig[i] = b.sig[i])) AS BIGINT) AS n_agree,
+           CAST(len(list_filter(range(1, {DOM_PERMS + 1}),
+                i -> a.sig[i] = b.sig[i])) * {DOM_EST_SCALE} AS BIGINT)
+             AS est_jaccard_q
+    FROM s a JOIN s b ON a.source < b.source
+    ORDER BY source_a, source_b
+    """
+
+
+@query("q290_domain_minhash_overlap", oracle=_dom_minhash_sql())
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    """q278's web-scale twin, exactly as its docstring promises: the
+    domain-overlap matrix from per-domain MINHASH SIGNATURES instead of
+    exact token sets. Each domain folds its distinct-token hashes into a
+    {p}-permutation signature (one md5 per token feeds every permutation
+    through the affine family — the q92 construction at domain grain);
+    estimated Jaccard is the agreeing-component fraction. The signature
+    build is one hash aggregate over (domain, token) — O(corpus) however
+    many domains exist — and the pair stage compares {p}-int vectors, so
+    it scales as domains², independent of corpus bytes (the exact q278
+    join scales with vocabulary overlap). Everything is deterministic
+    integer arithmetic — the md5 family is shared by both engines — so
+    unlike most sketches this APPROXIMATE operator still has an exact
+    oracle: the estimate itself is replayed, bit-for-bit, in SQL.
+    Estimator error vs q278's exact Jaccard is pinned separately in
+    pytest (1/sqrt({p}) ≈ 18-point standard error)."""
+    from ..functions.text import MINHASH_P, h32, minhash_consts
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "source", F.explode(words("text")).alias("tok")
+    ).distinct()
+    b = t.select("source", (h32(F.col("tok")) % MINHASH_P).alias("base"))
+    aggs = []
+    for i in range(DOM_PERMS):
+        a_c, b_c = minhash_consts(i)
+        aggs.append(
+            F.min((F.col("base") * a_c + b_c) % MINHASH_P).alias(f"m{i}")
+        )
+    sig = (
+        b.groupBy("source")
+        .agg(*aggs)
+        .select(
+            "source", F.array(*[f"m{i}" for i in range(DOM_PERMS)]).alias("sig")
+        )
+    )
+    s1 = sig.select(F.col("source").alias("source_a"), F.col("sig").alias("sig_a"))
+    s2 = sig.select(F.col("source").alias("source_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    ).cast("long")
+    return (
+        s1.join(F.broadcast(s2), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.alias("n_agree"),
+            (agree * DOM_EST_SCALE).alias("est_jaccard_q"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+q290.__doc__ = q290.__doc__.format(p=DOM_PERMS)

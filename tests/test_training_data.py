@@ -448,3 +448,26 @@ def test_linear_interpolation_recovers_linear_series(spark):
         if i % 7 == 0
     }
     assert out == expect
+
+
+def test_domain_minhash_estimates_track_exact_jaccard(spark):
+    """q290's signature-agreement estimate must track q278's exact
+    vocabulary Jaccard within MinHash sampling error: with 32
+    permutations the standard error is sqrt(J(1-J)/32) <= 0.089, so a
+    0.36 (4-sigma) per-pair bound and a 0.08 mean-absolute-error bound
+    hold with huge margin unless the family is broken."""
+    from data_engineer_capstone_spark.plans import training_data as td
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in td.q278(spark, sf).collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.est_jaccard_q / 1e6
+        for r in td.q290(spark, sf).collect()
+    }
+    assert set(exact) == set(est)
+    errs = [abs(est[k] - exact[k]) for k in exact]
+    assert max(errs) <= 0.36, max(errs)
+    assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)

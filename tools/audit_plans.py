@@ -45,6 +45,10 @@ EXPECTED = {
     # 1-row max|w| renormalization scalars between power-iteration steps
     "q282_power_iteration": {"BroadcastNestedLoopJoin"},
     "q283_tfidf_topk": {"BroadcastNestedLoopJoin"},  # 1-row N_docs scalar
+    "q289_key_skew_report": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
+    # O(domains²) signature comparison: domain count is bounded by design
+    # (q278 docstring); the corpus-scale stage is the keyed signature agg
+    "q290_domain_minhash_overlap": {"BroadcastNestedLoopJoin"},
     # k broadcast centroids vs the vector stream — the map-side assignment
     # nested loop that makes k-means scale (same class as q167)
     "q250_kmeans_update_step": {"BroadcastNestedLoopJoin"},
