@@ -471,3 +471,74 @@ def test_domain_minhash_estimates_track_exact_jaccard(spark):
     errs = [abs(est[k] - exact[k]) for k in exact]
     assert max(errs) <= 0.36, max(errs)
     assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
+
+
+def test_power_iteration_increases_rayleigh_and_alignment(spark):
+    """Power-iteration invariants on the PSD gram matrix (independent
+    numpy cross-check): each step must not decrease the Rayleigh
+    quotient (a theorem for PSD matrices; small tolerance absorbs the
+    integer re-quantization between steps), and alignment with the true
+    top eigenvector must not degrade."""
+    import numpy as np
+
+    from data_engineer_capstone_spark.plans import training_data as td
+
+    sf = "/root/testdata/sf0.01"
+    cells = td.q279(spark, sf).collect()
+    d = max(r.j for r in cells)
+    G = np.zeros((d, d))
+    for r in cells:
+        G[r.i - 1, r.j - 1] = r.gram
+        G[r.j - 1, r.i - 1] = r.gram
+    e1 = np.linalg.eigh(G)[1][:, -1]
+
+    def rq(x):
+        return (x @ G @ x) / (x @ x)
+
+    def cos(a, b):
+        return abs(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ones = np.ones(d)
+    w1 = G @ ones  # the pre-quantization first iterate
+    out = sorted(td.q282(spark, sf).collect(), key=lambda r: r.i)
+    v2 = np.array([r.eig_q for r in out], float)
+    assert rq(w1) >= rq(ones) * (1 - 1e-9)
+    assert rq(v2) >= rq(w1) * (1 - 1e-3)  # quantization tolerance
+    assert cos(v2, e1) >= cos(w1, e1) - 1e-3
+    # w2 column must be the exact integer matvec of the quantized iterate
+    m1 = np.max(np.abs(w1))
+    v1q = np.floor(w1 / m1 * td.EIG_VQ + 0.5)
+    w2 = np.array([r.w2 for r in out], float)
+    assert np.array_equal(w2, G @ v1q)
+
+
+def test_boilerplate_strip_conserves_and_orders_words(spark):
+    """q280 invariants: cleaned text is a SUBSEQUENCE of the original
+    word stream (strip never reorders or invents words), n_removed
+    accounts exactly for the dropped positions, untouched docs pass
+    through verbatim, and the corpus actually exercises the removal
+    path."""
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.functions.text import words
+    from data_engineer_capstone_spark.plans import extensions as ext
+
+    sf = "/root/testdata/sf0.01"
+    spark_df = ext.q280(spark, sf)
+    orig = {
+        r.doc_id: r.ws
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", words("text").alias("ws"))
+        .collect()
+    }
+    removed_total = 0
+    for r in spark_df.collect():
+        ws = orig[r.doc_id]
+        clean = r.clean_text.split() if r.clean_text else []
+        assert r.n_words == len(ws)
+        assert r.n_removed == len(ws) - len(clean)
+        removed_total += r.n_removed
+        it = iter(ws)
+        assert all(w in it for w in clean), f"not a subsequence: doc {r.doc_id}"
+        if r.n_removed == 0:
+            assert clean == ws
+    assert removed_total > 0
