@@ -1143,3 +1143,103 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q289.__doc__ = q289.__doc__.format(t=SKEW_TOP)
+
+
+# ------------------------------------------- grouped 2-feature OLS fit ----
+@query(
+    "q291_grouped_ols",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(day(ts) AS BIGINT) AS x2,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM r GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, sx1, sx2, sy,
+               CAST(n * s11 - sx1 * sx1 AS DOUBLE) AS a11,
+               CAST(n * s12 - sx1 * sx2 AS DOUBLE) AS a12,
+               CAST(n * s22 - sx2 * sx2 AS DOUBLE) AS a22,
+               CAST(n * s1y - sx1 * sy AS DOUBLE) AS b1v,
+               CAST(n * s2y - sx2 * sy AS DOUBLE) AS b2v
+        FROM s
+    ),
+    fit AS (
+        SELECT event_type, n,
+               (b1v * a22 - b2v * a12) / (a11 * a22 - a12 * a12) AS beta1,
+               (b2v * a11 - b1v * a12) / (a11 * a22 - a12 * a12) AS beta2,
+               sx1, sx2, sy
+        FROM c
+    )
+    SELECT event_type, n,
+           CAST(floor((CAST(sy AS DOUBLE) - beta1 * sx1 - beta2 * sx2) / n
+                      * 1000000 + 0.5) AS BIGINT) AS beta0_q,
+           CAST(floor(beta1 * 1000000 + 0.5) AS BIGINT) AS beta1_q,
+           CAST(floor(beta2 * 1000000 + 0.5) AS BIGINT) AS beta2_q
+    FROM fit ORDER BY event_type
+    """,
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped multiple regression (2 features + intercept) by CLOSED-FORM
+    normal equations over sufficient statistics — the pattern that makes
+    distributed OLS/ridge one aggregation pass instead of an iterative
+    solver: per group, nine EXACT integer sums (y pre-quantized to cents,
+    features are small calendar ints), then the 2×2 centered system is
+    solved by Cramer in DOUBLE — int64→double conversion and the fixed
+    arithmetic tree are identical IEEE in both engines, so determinism
+    survives without needing the (overflow-prone) all-integer determinant.
+    One shuffle keyed on the group; sufficient stats are mergeable, so
+    the same query runs as map-side partials at 100 TB and the solve
+    touches only O(groups) rows. q164's single-feature slope is the
+    degenerate case; more features = bigger (still tiny) per-group
+    matrix, same plan."""
+    ev = load_table(spark, sf, "events")
+    r = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x1"),
+        F.dayofmonth("ts").cast("long").alias("x2"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    a11 = (n * F.col("s11") - sx1 * sx1).cast("double")
+    a12 = (n * F.col("s12") - sx1 * sx2).cast("double")
+    a22 = (n * F.col("s22") - sx2 * sx2).cast("double")
+    b1v = (n * F.col("s1y") - sx1 * sy).cast("double")
+    b2v = (n * F.col("s2y") - sx2 * sy).cast("double")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1v * a22 - b2v * a12) / det
+    beta2 = (b2v * a11 - b1v * a12) / det
+    beta0 = (sy.cast("double") - beta1 * sx1 - beta2 * sx2) / n
+    q = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        "event_type",
+        "n",
+        q(beta0).alias("beta0_q"),
+        q(beta1).alias("beta1_q"),
+        q(beta2).alias("beta2_q"),
+    ).orderBy("event_type")

@@ -1893,3 +1893,76 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q290.__doc__ = q290.__doc__.format(p=DOM_PERMS)
+
+
+# ---------------------------------------------------- per-segment AUC ----
+@query(
+    "q292_grouped_auc",
+    oracle="""
+    WITH r AS (
+        SELECT vec_id % 3 AS seg,
+               CAST(floor(CAST(embedding[3] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS s,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    g AS (SELECT seg, s, COUNT(*) AS n_s, SUM(pos) AS p_s FROM r GROUP BY seg, s),
+    c AS (
+        SELECT seg, s, n_s, p_s,
+               SUM(n_s) OVER (PARTITION BY seg ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM g
+    ),
+    agg AS (
+        SELECT seg,
+               CAST(SUM(p_s * (2 * cum_n - n_s + 1)) AS BIGINT) AS r2,
+               CAST(SUM(p_s) AS BIGINT) AS n_pos,
+               CAST(SUM(n_s) AS BIGINT) AS n
+        FROM c GROUP BY seg
+    )
+    SELECT seg, n, n_pos, n - n_pos AS n_neg,
+           CAST(floor((r2 - n_pos * (n_pos + 1))
+                      / (2 * n_pos * (n - n_pos)) * 1000000 + 0.5) AS BIGINT)
+             AS auc_q
+    FROM agg ORDER BY seg
+    """,
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment exact ROC AUC — q252's Mann-Whitney tie-averaged rank
+    sum with a PARTITION BY segment at every stage, the 'report AUC per
+    language / per domain / per slice' evaluation every gate ships with.
+    The cumulative count now rides an ordinary segment-partitioned window
+    over the (segment, score)-aggregated rows, so state per window
+    partition is O(distinct scores in that segment) — fine whenever
+    segments partition the corpus (the use case); one pathological
+    giant segment falls back to q252's range-exchange machinery per
+    segment (documented, not needed here). All-integer until the single
+    quantized IEEE division per segment."""
+    emb = load_table(spark, sf, "embeddings")
+    r = emb.select(
+        (F.col("vec_id") % 3).alias("seg"),
+        F.floor(F.element_at("embedding", 3).cast("double") * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = r.groupBy("seg", "s").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("p_s")
+    )
+    cum = F.sum("n_s").over(
+        W.partitionBy("seg").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = g.select("seg", "n_s", "p_s", cum.alias("cum_n"))
+    agg = c.groupBy("seg").agg(
+        F.sum(F.col("p_s") * (2 * F.col("cum_n") - F.col("n_s") + 1)).alias("r2"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum("n_s").alias("n"),
+    )
+    n_pos, n = F.col("n_pos"), F.col("n")
+    auc = (F.col("r2") - n_pos * (n_pos + 1)) / (2 * n_pos * (n - n_pos))
+    return agg.select(
+        "seg",
+        "n",
+        "n_pos",
+        (n - n_pos).alias("n_neg"),
+        F.floor(auc * 1_000_000 + F.lit(0.5)).cast("long").alias("auc_q"),
+    ).orderBy("seg")

@@ -542,3 +542,39 @@ def test_boilerplate_strip_conserves_and_orders_words(spark):
         if r.n_removed == 0:
             assert clean == ws
     assert removed_total > 0
+
+
+def test_grouped_ols_matches_numpy_lstsq(spark):
+    """q291's closed-form per-group betas must equal numpy's independent
+    least-squares solution on the same quantized design matrix (to the
+    output quantization unit)."""
+    import numpy as np
+
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.plans import aggregation as agg
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x1"),
+            F.dayofmonth("ts").cast("long").alias("x2"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    got = {r.event_type: r for r in agg.q291(spark, sf).collect()}
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.event_type, []).append((r.x1, r.x2, r.y))
+    assert set(by_grp) == set(got)
+    for grp, pts in by_grp.items():
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        y = np.array([float(v) for _, _, v in pts])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        g = got[grp]
+        assert g.n == len(pts)
+        for ref, val in zip(beta, (g.beta0_q, g.beta1_q, g.beta2_q)):
+            assert abs(val / 1e6 - ref) < 2e-6, (grp, ref, val)
