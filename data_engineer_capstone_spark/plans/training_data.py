@@ -1966,3 +1966,96 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
         (n - n_pos).alias("n_neg"),
         F.floor(auc * 1_000_000 + F.lit(0.5)).cast("long").alias("auc_q"),
     ).orderBy("seg")
+
+
+# ------------------------------------- minhash merge = recompute proof ----
+def _dom_sig_exploded_sql() -> str:
+    """Full-corpus per-domain signature, exploded to (source, perm, m) —
+    the recompute-from-scratch oracle for the merge path."""
+    from ..functions.text import MINHASH_P, minhash_consts
+    from .extensions import _H32
+
+    base = f"({_H32.format(x='tok')} % {MINHASH_P})"
+    mins = ",\n               ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in ((i, minhash_consts(i)) for i in range(DOM_PERMS))
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(DOM_PERMS))
+    return f"""
+    WITH g AS (
+        SELECT source, unnest({_WORDS.format(c='text')}) AS tok FROM documents
+    ),
+    t AS (SELECT DISTINCT source, tok FROM g),
+    m AS (
+        SELECT source,
+               {mins}
+        FROM t GROUP BY source
+    ),
+    s AS (SELECT source, [{sig_list}] AS sig FROM m)
+    SELECT source, unnest(range(1, {DOM_PERMS + 1})) AS perm,
+           sig[unnest(range(1, {DOM_PERMS + 1}))] AS m
+    FROM s ORDER BY source, perm
+    """
+
+
+@query("q293_minhash_merge_invariance", oracle=_dom_sig_exploded_sql())
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch MERGEABILITY certified: the corpus splits into a standing
+    half (even doc_id) and an arriving batch (odd doc_id), each half
+    builds its own per-domain MinHash signature, and the halves merge by
+    ELEMENT-WISE MIN — the oracle recomputes the signature over the full
+    corpus from scratch, and the hash match proves merge == recompute.
+    This is the property that makes sketch-based dedup/overlap
+    incremental at 100 TB: a new shard's signatures fold into the
+    standing index in O(domains · perms) without touching historical
+    bytes (the q235 IVM argument applied to sketches; HLL merges the
+    same way in q208, but THIS merge is exact-deterministic, so it gets
+    a value-hash oracle rather than an error bound). Both halves share
+    one signature-build shape (hash agg over (domain, token)); the merge
+    is a domain-keyed zip_with(least)."""
+    from ..functions.text import MINHASH_P, h32, minhash_consts
+
+    docs = load_table(spark, sf, "documents")
+
+    def half_sig(pred) -> DataFrame:
+        t = (
+            docs.where(pred)
+            .select("source", F.explode(words("text")).alias("tok"))
+            .distinct()
+        )
+        b = t.select("source", (h32(F.col("tok")) % MINHASH_P).alias("base"))
+        aggs = []
+        for i in range(DOM_PERMS):
+            a_c, b_c = minhash_consts(i)
+            aggs.append(
+                F.min((F.col("base") * a_c + b_c) % MINHASH_P).alias(f"m{i}")
+            )
+        return (
+            b.groupBy("source")
+            .agg(*aggs)
+            .select(
+                "source",
+                F.array(*[f"m{i}" for i in range(DOM_PERMS)]).alias("sig"),
+            )
+        )
+
+    even = half_sig(F.col("doc_id") % 2 == 0)
+    odd = half_sig(F.col("doc_id") % 2 == 1).withColumnRenamed("sig", "sig_b")
+    # full outer: a domain may exist in only one half; coalesce the miss
+    merged = (
+        even.join(odd, "source", "full_outer")
+        .select(
+            "source",
+            F.when(F.col("sig").isNull(), F.col("sig_b"))
+            .when(F.col("sig_b").isNull(), F.col("sig"))
+            .otherwise(F.zip_with("sig", "sig_b", lambda a, b: F.least(a, b)))
+            .alias("sig"),
+        )
+    )
+    return (
+        merged.select(
+            "source", F.posexplode("sig").alias("p0", "m")
+        )
+        .select("source", (F.col("p0") + 1).alias("perm"), "m")
+        .orderBy("source", "perm")
+    )

@@ -66,6 +66,7 @@ EXPECTED = {
     "q225_simhash_pairs": {"SortMergeJoin"},
     "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
     "q235_ivm_delta_aggregate": {"SortMergeJoin"},  # full-outer merge of two O(groups) aggs
+    "q293_minhash_merge_invariance": {"SortMergeJoin"},  # full-outer merge of two O(domains) sig tables
 
     "q26_range_join": {"BroadcastNestedLoopJoin"},  # theta join, bounded side
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
