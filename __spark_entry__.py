@@ -111,7 +111,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q287_calibration_table", "q288_stream_ohlc",
     "q289_key_skew_report", "q290_domain_minhash_overlap",
     "q291_grouped_ols", "q292_grouped_auc",
-    "q293_minhash_merge_invariance",
+    "q293_minhash_merge_invariance", "q294_sampled_estimate",
+    "q295_cascade_purge_audit",
 )
 
 

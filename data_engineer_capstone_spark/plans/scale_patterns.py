@@ -779,3 +779,181 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q276.__doc__ = q276.__doc__.format(w=GRID_W_S)
+
+
+# ---------------------------------------------- sampled estimation (AQP) ----
+SAMPLE_PCT = 5  # hash-gated sample: pmod(h64(key), 100) < 5
+
+
+@query(
+    "q294_sampled_estimate",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5('s:' || CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                 AS gate
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(cents) AS BIGINT) AS cents_exact,
+               CAST(COUNT(*) FILTER (gate < {SAMPLE_PCT}) AS BIGINT) AS n_sample,
+               CAST(COALESCE(SUM(cents) FILTER (gate < {SAMPLE_PCT}), 0) AS BIGINT)
+                 AS cents_sample
+        FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_exact, n_sample,
+           cents_sample * {100 // SAMPLE_PCT} AS cents_est,
+           cents_exact,
+           CAST(floor(ABS(CAST(cents_sample * {100 // SAMPLE_PCT} - cents_exact
+                               AS DOUBLE)) / cents_exact * 1000000 + 0.5) AS BIGINT)
+             AS rel_err_ppm
+    FROM agg ORDER BY l_returnflag
+    """,
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-query-processing by DETERMINISTIC hash sampling, with
+    the error audited in the same pass: a {p}%% sample gated on a row-key
+    hash (never rand() — membership is stable across runs, engines, and
+    re-shards, so estimates are reproducible and debuggable), the
+    scaled-up estimate, the exact total, and the realized relative error
+    in ppm. One aggregate computes both sides via FILTER — in production
+    the exact branch is dropped and the estimate costs {p}%% of the scan
+    (with columnar storage + a persisted sample table, far less). The
+    audit shape is the point: every AQP rollout should ship this
+    two-sided query at small scale to calibrate the error budget before
+    trusting samples at 100 TB. Integer cents keep both sides exact."""
+    from ..functions.text import h64
+
+    li = load_table(spark, sf, "lineitem")
+    key = F.concat_ws(
+        ":",
+        F.lit("s"),
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    # mirror the oracle's plain % (h64 is nonnegative, so % == pmod)
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (h64(key) % 100).alias("gate"),
+    )
+    in_sample = F.col("gate") < SAMPLE_PCT
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("cents").alias("cents_exact"),
+        F.sum(in_sample.cast("long")).alias("n_sample"),
+        F.coalesce(
+            F.sum(F.when(in_sample, F.col("cents"))), F.lit(0)
+        ).alias("cents_sample"),
+    )
+    est = F.col("cents_sample") * (100 // SAMPLE_PCT)
+    err = F.floor(
+        F.abs((est - F.col("cents_exact")).cast("double"))
+        / F.col("cents_exact")
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        "n_sample",
+        est.alias("cents_est"),
+        "cents_exact",
+        err.alias("rel_err_ppm"),
+    ).orderBy("l_returnflag")
+
+
+q294.__doc__ = q294.__doc__.format(p=SAMPLE_PCT)
+
+
+# ------------------------------------------------ cascade purge audit ----
+PURGE_PCT = 2  # deterministic stand-in for an erasure-request list
+
+
+@query(
+    "q295_cascade_purge_audit",
+    oracle=f"""
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE CAST(('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < {PURGE_PCT}
+    ),
+    del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (SELECT 1 FROM del_cust d WHERE d.c_custkey = o_custkey)
+    ),
+    rows AS (
+        SELECT 'customer' AS tbl,
+               (SELECT COUNT(*) FROM del_cust) AS n_purged,
+               (SELECT COUNT(*) FROM customer) AS n_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM del_orders),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE EXISTS (SELECT 1 FROM del_orders d
+                              WHERE d.o_orderkey = l_orderkey)),
+               (SELECT COUNT(*) FROM lineitem)
+    )
+    SELECT tbl, n_purged, n_total,
+           (n_purged * 1000000) // n_total AS share_ppm
+    FROM rows ORDER BY tbl
+    """,
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE audit — the pre-flight every privacy
+    purge runs before rewriting 100 TB: an erasure set of customers (a
+    deterministic hash gate stands in for the request list) propagated
+    down the FK graph (customer → orders → lineitem), reporting rows to
+    purge and corpus share per table. Each hop is a LEFT SEMI join on the
+    FK — the erasure set and its order expansion broadcast while small;
+    at scale the semi joins stay keyed and the audit costs one scan per
+    affected table. The numbers drive the actual purge strategy:
+    share_ppm decides between partition-rewrite (clustered victims) and
+    merge-on-read deletion vectors (scattered victims)."""
+    from ..functions.text import h64
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    del_cust = cust.where(
+        h64(F.concat(F.lit("del:"), F.col("c_custkey").cast("string"))) % 100
+        < PURGE_PCT
+    ).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+    )
+
+    def report(tbl: str, purged: DataFrame, total: DataFrame) -> DataFrame:
+        n_p = purged.agg(F.count(F.lit(1)).alias("n_purged"))
+        n_t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        share = F.col("n_purged") * 1_000_000
+        return (
+            n_p.crossJoin(n_t)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_purged",
+                "n_total",
+                ((share - share % F.col("n_total")) / F.col("n_total"))
+                .cast("long")
+                .alias("share_ppm"),
+            )
+        )
+
+    out = (
+        report("customer", del_cust, cust)
+        .unionByName(report("orders", del_orders, orders))
+        .unionByName(report("lineitem", del_li, li))
+    )
+    return out.orderBy("tbl")

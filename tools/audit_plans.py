@@ -46,6 +46,8 @@ EXPECTED = {
     "q282_power_iteration": {"BroadcastNestedLoopJoin"},
     "q283_tfidf_topk": {"BroadcastNestedLoopJoin"},  # 1-row N_docs scalar
     "q289_key_skew_report": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
+    # per-table 1-row purged × 1-row total count cross (share computation)
+    "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
     # (q278 docstring); the corpus-scale stage is the keyed signature agg
     "q290_domain_minhash_overlap": {"BroadcastNestedLoopJoin"},
