@@ -112,7 +112,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q289_key_skew_report", "q290_domain_minhash_overlap",
     "q291_grouped_ols", "q292_grouped_auc",
     "q293_minhash_merge_invariance", "q294_sampled_estimate",
-    "q295_cascade_purge_audit",
+    "q295_cascade_purge_audit", "q296_time_travel_consistency",
 )
 
 

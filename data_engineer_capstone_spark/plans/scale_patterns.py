@@ -957,3 +957,58 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(report("lineitem", del_li, li))
     )
     return out.orderBy("tbl")
+
+
+# ----------------------------------------------- time-travel consistency ----
+@query(
+    "q296_time_travel_consistency",
+    oracle="""
+    SELECT 'v0' AS snapshot, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE day(ts) <= 15
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'latest', event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-isolation certification for the versioned-table facility
+    (`sources/versioned.py`, the Delta-style commit log): the first half
+    of the month commits as v0, the rest appends as v1, then BOTH
+    ``read_version(v0)`` and the latest snapshot aggregate — and the
+    oracle recomputes both aggregates straight from the raw table with
+    the same day split. The hash match proves (a) time travel returns
+    exactly the pre-append rows, untouched by the later commit, and (b)
+    the append is lossless — the immutable-data-files + manifest-commit
+    design doing its job. This is the reproducibility primitive training
+    pipelines key on ("train on the corpus AS OF v0"); at 100 TB the
+    only extra cost of versioning is manifest bookkeeping, since data
+    files are written once either way."""
+    import tempfile
+
+    from ..sources.versioned import commit, read_version
+
+    ev = load_table(spark, sf, "events")
+    tdir = tempfile.mkdtemp(prefix="spark_graft_tt_")
+    commit(ev.where(F.dayofmonth("ts") <= 15), tdir)
+    commit(ev.where(F.dayofmonth("ts") > 15), tdir)  # append -> v1
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "event_type", "n", "cents")
+        )
+
+    v0 = agg(read_version(spark, tdir, 0), "v0")
+    latest = agg(read_version(spark, tdir), "latest")
+    return v0.unionByName(latest).orderBy("snapshot", "event_type")
