@@ -256,3 +256,47 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(ewma, schema="user_id bigint, event_id bigint, ewma_q bigint")
         .orderBy("user_id", "event_id")
     )
+
+
+# ------------------------------------------------ pandas-on-Spark tier ----
+@query(
+    "q297_pandas_api_tier",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    """The pandas-API-on-Spark tier (`pyspark.pandas`) — the migration
+    surface that lets a pandas codebase run distributed without a
+    rewrite: the same groupby/agg written in pandas idiom, executed as a
+    Catalyst plan underneath (``pandas_api()`` / ``to_spark()`` are
+    zero-copy plan wrappers, NOT a driver collect — the explain output
+    is an ordinary hash aggregate). Integer-cents quantization happens
+    BEFORE the pandas-API boundary so the sum is exact. Kept to one
+    query deliberately: the engine's native surface is the DataFrame
+    API; this certifies interop, not a second implementation."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pdf = o.pandas_api()
+    out = pdf.groupby("o_orderstatus").agg(
+        n=("o_custkey", "count"),
+        cents=("cents", "sum"),
+        max_cust=("o_custkey", "max"),
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("max_cust").cast("long").alias("max_cust"),
+    ).orderBy("o_orderstatus")
