@@ -2950,10 +2950,13 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
         F.sequence(F.lit(1), F.col("n") - (BP_K - 1)),
         lambda p: F.concat_ws(" ", F.slice("ws", p, BP_K)),
     )
+    # the positional shingle relation feeds BOTH the boilerplate-set
+    # aggregate and the coverage join — materialize once (one-pass rule)
     sh = (
         base.where(F.col("n") >= BP_K)
         .select("doc_id", F.posexplode(sh_arr).alias("p0", "s"))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "s")
+        .localCheckpoint(eager=True)
     )
     bp = (
         sh.select("doc_id", "s")
