@@ -114,7 +114,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q291_grouped_ols", "q292_grouped_auc",
     "q293_minhash_merge_invariance", "q294_sampled_estimate",
     "q295_cascade_purge_audit", "q296_time_travel_consistency",
-    "q297_pandas_api_tier",
+    "q297_pandas_api_tier", "q298_cusum_changepoint",
 )
 
 

@@ -813,3 +813,68 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
         "cohort", "age_weeks", "rev_cents",
         F.sum("rev_cents").over(cum).cast("long").alias("cum_rev_cents"),
     ).orderBy("cohort", "age_weeks")
+
+
+# ------------------------------------------------ CUSUM change point ----
+@query(
+    "q298_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY day
+    ),
+    c AS (
+        SELECT day, cents,
+               CAST(SUM(cents) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    )
+    SELECT day, cents,
+           n * prefix - t * total AS cusum_scaled,
+           ABS(n * prefix - t * total) = MAX(ABS(n * prefix - t * total)) OVER ()
+             AS is_changepoint
+    FROM c ORDER BY day
+    """,
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection on the daily revenue series — the
+    classic 'did the metric shift, and when' screen (deploy regressions,
+    pipeline breaks, demand shifts): the cumulative sum of deviations
+    from the series mean peaks at the most likely change point. Kept
+    EXACT by clearing the denominator — CUSUM_t = Σ(x_i − total/n)
+    is reported scaled by n as n·prefix_t − t·total, pure BIGINT, so no
+    float mean ever enters and the argmax cannot move on a rounding ulp.
+    The raw table reduces to O(days) rows in one hash aggregate FIRST;
+    every window (prefix, total, max) then runs over that bounded series
+    — the q175/q260 bounded-global-window argument. Magnitude check:
+    n·prefix ≤ days²·daily_cents, far under int64 for decades of days."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w_ord = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy()
+    c = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w_ord).alias("prefix"),
+        F.row_number().over(W.orderBy("day")).cast("long").alias("t"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    scaled = F.col("n") * F.col("prefix") - F.col("t") * F.col("total")
+    return c.select(
+        "day",
+        "cents",
+        scaled.alias("cusum_scaled"),
+        (F.abs(scaled) == F.max(F.abs(scaled)).over(w_all)).alias(
+            "is_changepoint"
+        ),
+    ).orderBy("day")
