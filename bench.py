@@ -48,6 +48,11 @@ HEADLINE = [
     # its two heaviest consumers
     "q247_winsorize",
     "q252_exact_auc",
+    # round-4 batch-3 additions: the grid-decomposition interval join and
+    # the broadcast-iterate linear-algebra loop (gram matrix + 2 power
+    # steps) — the two most novel plan shapes of the batch
+    "q276_interval_overlap_join",
+    "q282_power_iteration",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -69,6 +74,9 @@ MIN_OF_RUNS = {
     # Python-worker (mapInPandas) startup cost dominates these at small SF
     "q224_semantic_dedup_lsh",
     "q228_ann_ivf_pq",
+    # eager-checkpoint iterative plan (gram materialization + 2 join
+    # rounds) — same fixed-overhead class as q92/q113
+    "q282_power_iteration",
     # q21 drifted 1.45 -> 1.80 -> 2.07 s across round medians with a
     # byte-identical executed plan (AQE double-broadcast star join,
     # two-stage agg; profiled round 4: standalone 8-run median 1.27 s,
