@@ -1571,6 +1571,8 @@ def _gram_cells_arrow(spark: SparkSession, sf: str) -> DataFrame:
 
     def partials(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty partition/batch — nothing to add
+                continue
             m = np.stack(pdf["v"].to_numpy())  # rows × d, float64
             q = np.floor(m * GRAM_Q + 0.5).astype(np.int64)
             g = q.T @ q  # exact int64
