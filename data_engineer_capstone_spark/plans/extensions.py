@@ -3058,3 +3058,21 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query("q299_ann_lsh_exhaustive", oracle=_BRUTE_TOPK_ORACLE)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN at the exhaustive configuration (``n_planes = 0``, one
+    table): zero hyperplanes put every vector in bucket 0, the
+    (table, bucket) join covers the full candidate set, and the exact
+    cosine re-rank reduces to brute force — the SAME bucketing /
+    collision-dedup / re-rank machinery as q96, certified against the
+    exact q94 oracle. Completes the exhaustive-config certification trio
+    (q253 IVF, q254 IVF-PQ, now LSH): each approximate family's plumbing
+    has one hash-verified row, so only the probabilistic recall itself
+    remains pytest-bounded rather than oracle-pinned."""
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        dim=64, k=5, n_planes=0, n_tables=1,
+    ).orderBy("query_id", "rank")
