@@ -115,7 +115,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q293_minhash_merge_invariance", "q294_sampled_estimate",
     "q295_cascade_purge_audit", "q296_time_travel_consistency",
     "q297_pandas_api_tier", "q298_cusum_changepoint",
-    "q299_ann_lsh_exhaustive",
+    "q299_ann_lsh_exhaustive", "q300_clamped_balance",
 )
 
 

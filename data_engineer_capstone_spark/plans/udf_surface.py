@@ -300,3 +300,83 @@ def q297(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         F.col("max_cust").cast("long").alias("max_cust"),
     ).orderBy("o_orderstatus")
+
+
+# ------------------------------------------------ clamped running balance --
+@query(
+    "q300_clamped_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT) AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    r AS (
+        SELECT user_id, event_id, rn,
+               GREATEST(CAST(0 AS BIGINT), delta) AS bal
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               GREATEST(CAST(0 AS BIGINT), r.bal + s.delta)
+        FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, bal AS balance_cents
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-clamped running balance per user (credits = purchases,
+    debits = errors, balance never below zero) — inventory stock,
+    prepaid credit, token-bucket rate limiting. The clamp makes the
+    recurrence NON-ASSOCIATIVE: ``max(0, prev + delta)`` cannot be
+    rewritten as any window aggregate over prefix sums (a windowed
+    ``greatest(0, sum)`` forgets how much of a past overdraft was
+    forgiven), so like q262 this is the honest sequential-state class —
+    ``applyInPandas``, one ordered int64 pass per key, recursive-CTE
+    oracle computing the identical chain. All-integer cents: no float
+    enters at all, so cross-engine agreement is trivial. ONE user_id
+    shuffle; executor memory bounds at the largest key's history, and
+    the streaming form is the same fold in applyInPandasWithState."""
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (
+                F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+                * F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("delta"),
+        )
+    )
+
+    def clamped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        d = pdf["delta"].to_numpy(dtype="int64")
+        out = np.empty_like(d)
+        bal = 0
+        for i in range(len(d)):
+            bal = max(0, bal + int(d[i]))
+            out[i] = bal
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance_cents": out,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            clamped, schema="user_id bigint, event_id bigint, balance_cents bigint"
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -578,3 +578,38 @@ def test_grouped_ols_matches_numpy_lstsq(spark):
         assert g.n == len(pts)
         for ref, val in zip(beta, (g.beta0_q, g.beta1_q, g.beta2_q)):
             assert abs(val / 1e6 - ref) < 2e-6, (grp, ref, val)
+
+
+def test_clamped_balance_clamp_engages_and_diverges_from_prefix_sum(spark):
+    """q300 sanity: outputs are never negative, the zero clamp actually
+    fires on this corpus (some user's plain prefix sum goes negative),
+    and wherever it fired the clamped balance exceeds the plain sum."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.plans import udf_surface as us
+
+    sf = "/root/testdata/sf0.01"
+    out = {(r.user_id, r.event_id): r.balance_cents
+           for r in us.q300(spark, sf).collect()}
+    assert all(v >= 0 for v in out.values())
+    rows = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    clamp_fired = 0
+    for uid, evs in by_user.items():
+        plain = 0
+        for r in evs:
+            cents = int(r.value * 100 + 0.5) if r.value >= 0 else None
+            assert cents is not None
+            plain += cents if r.event_type == "purchase" else -cents
+            if plain < 0:
+                clamp_fired += 1
+                assert out[(uid, r.event_id)] > plain
+    assert clamp_fired > 0, "corpus never exercised the clamp"
