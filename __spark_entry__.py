@@ -116,6 +116,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q295_cascade_purge_audit", "q296_time_travel_consistency",
     "q297_pandas_api_tier", "q298_cusum_changepoint",
     "q299_ann_lsh_exhaustive", "q300_clamped_balance",
+    "q301_point_in_time_features", "q302_late_dimension_replay",
 )
 
 

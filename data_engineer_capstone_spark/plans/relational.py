@@ -1052,3 +1052,46 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out.orderBy("edge")
+
+
+# --------------------------------------- late-dimension park-and-replay ----
+@query(
+    "q302_late_dimension_replay",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q302(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-arriving-dimension handling, certified lossless: facts that
+    miss the dimension at ingest time are PARKED, not dropped or
+    null-joined-and-forgotten, and a later replay against the updated
+    dimension resolves them. Simulated here: phase 1 joins customers
+    against a dimension snapshot missing nations >= 15 (the late rows);
+    misses park; phase 2 replays the parked rows against the full
+    dimension; the union of both phases is hash-proven EQUAL to joining
+    the complete dimension directly — no loss, no duplication, which is
+    the invariant the park-and-replay pattern must keep while letting
+    on-time facts publish without waiting. Both phases are keyed
+    broadcast joins; parked volume is the miss rate, so the replay is
+    O(late rows) — at 100 TB you re-drive a parking lot, not the fact
+    table."""
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    dim_full = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    dim_v1 = dim_full.where(F.col("n_nationkey") < 15)  # pre-update snapshot
+    phase1 = cust.join(
+        F.broadcast(dim_v1), cust["c_nationkey"] == dim_v1["n_nationkey"], "left"
+    )
+    matched1 = phase1.where(F.col("n_nationkey").isNotNull()).select(
+        "c_custkey", F.col("n_name").alias("nation_name")
+    )
+    parked = phase1.where(F.col("n_nationkey").isNull()).select(
+        "c_custkey", "c_nationkey"
+    )
+    replay = parked.join(
+        F.broadcast(dim_full),
+        parked["c_nationkey"] == dim_full["n_nationkey"],
+        "left",
+    ).select("c_custkey", F.col("n_name").alias("nation_name"))
+    return matched1.unionByName(replay).orderBy("c_custkey")

@@ -878,3 +878,86 @@ def q298(spark: SparkSession, sf: str) -> DataFrame:
             "is_changepoint"
         ),
     ).orderBy("day")
+
+
+# ------------------------------------------- point-in-time features ----
+@query(
+    "q301_point_in_time_features",
+    oracle="""
+    WITH rows_u AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+               CASE event_type WHEN 'purchase' THEN 2 ELSE 1 END AS kind_rank,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS click_cents
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    w AS (
+        SELECT user_id, event_id, kind_rank,
+               CAST(SUM(is_view) OVER (PARTITION BY user_id ORDER BY sec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_views_1h,
+               LAST_VALUE(click_cents IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY sec, kind_rank, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_cents
+        FROM rows_u
+    )
+    SELECT user_id, event_id, n_views_1h, last_click_cents
+    FROM w WHERE kind_rank = 2
+    ORDER BY user_id, event_id
+    """,
+)
+def q301(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time feature enrichment — the feature-store correctness
+    pattern: every training label (purchase) picks up (a) the user's most
+    recent click amount at-or-before label time and (b) the view count in
+    the trailing hour, with NO future leakage. Instead of one as-of join
+    per feature (N shuffles, N skew surfaces), labels and feature events
+    UNION into one per-user timeline and every feature is a window over
+    it: the trailing count is a RANGE frame on epoch seconds, the
+    last-value an IGNORE NULLS running fold with a (sec, kind, id) total
+    order that puts same-instant feature rows BEFORE the label (inclusive
+    at-label-time semantics, pinned deterministically). One user_id
+    shuffle serves every feature — the shape that holds at 100 TB where
+    per-feature as-of joins multiply. Same-second ties inside the RANGE
+    frame are all included, so tie handling is order-free on both
+    engines."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sec = ((us - us % 1_000_000) / 1_000_000).cast("long")
+    rows_u = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.when(F.col("event_type") == "purchase", 2).otherwise(1).alias("kind_rank"),
+        (F.col("event_type") == "view").cast("int").alias("is_view"),
+        F.when(
+            F.col("event_type") == "click",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("click_cents"),
+    )
+    w_range = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    )
+    w_rows = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "kind_rank", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w = rows_u.select(
+        "user_id",
+        "event_id",
+        "kind_rank",
+        F.sum("is_view").over(w_range).cast("long").alias("n_views_1h"),
+        F.last("click_cents", ignorenulls=True).over(w_rows).alias(
+            "last_click_cents"
+        ),
+    )
+    return (
+        w.where(F.col("kind_rank") == 2)
+        .select("user_id", "event_id", "n_views_1h", "last_click_cents")
+        .orderBy("user_id", "event_id")
+    )
