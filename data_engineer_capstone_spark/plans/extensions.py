@@ -3076,3 +3076,119 @@ def q299(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
         dim=64, k=5, n_planes=0, n_tables=1,
     ).orderBy("query_id", "rank")
+
+
+# ------------------------------------------ matryoshka truncation eval ----
+MATRYOSHKA_PREFIX = 16
+MATRYOSHKA_K = 5
+
+
+def _mat_rank_sql(vec_expr: str, alias: str) -> str:
+    dot = f"list_dot_product({vec_expr.format(t='a')}, {vec_expr.format(t='b')})"
+    na = f"sqrt(list_dot_product({vec_expr.format(t='a')}, {vec_expr.format(t='a')}))"
+    nb = f"sqrt(list_dot_product({vec_expr.format(t='b')}, {vec_expr.format(t='b')}))"
+    return f"""
+    {alias} AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY floor({dot} / ({na} * {nb}) * 1000000 + 0.5) DESC,
+                                b.vec_id) AS rnk
+            FROM emb a JOIN emb b ON a.vec_id < 10 AND b.vec_id >= 10
+        ) WHERE rnk <= {MATRYOSHKA_K}
+    )"""
+
+
+@query(
+    "q305_matryoshka_overlap",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_mat_rank_sql("{t}.v", "full_k")},
+    {_mat_rank_sql("{t}.v[1:" + str(MATRYOSHKA_PREFIX) + "]", "pre_k")}
+    SELECT q.query_id,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS overlap_k
+    FROM (SELECT DISTINCT query_id FROM full_k) q
+    LEFT JOIN (
+        SELECT f.query_id, COUNT(*) AS n
+        FROM full_k f JOIN pre_k p
+          ON f.query_id = p.query_id AND f.candidate_id = p.candidate_id
+        GROUP BY f.query_id
+    ) o ON o.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+)
+def q305(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: how much of the exact
+    full-dimension top-{k} survives when vectors are truncated to their
+    first {p} components — the measurement that decides whether a
+    matryoshka-trained embedding can serve its cheap prefix tier (4×
+    less compute/storage per comparison) without a recall cliff. Both
+    rankings are EXACT brute-force cosines (quantized, candidate-id
+    tiebreak), so even though the operator evaluates an approximation,
+    the overlap@k itself is deterministic and hash-verified — the q290
+    argument again. Bounded-baseline pair space by declared design
+    (10 queries, q94's class); at corpus scale both tiers ride the ANN
+    family (q96/q106/q228) and this query becomes their offline eval.
+    sqrt is IEEE-exactly-rounded (unlike ln/exp), so the norm math is
+    engine-stable."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
+    )
+
+    def topk(qcol, ccol) -> DataFrame:
+        dot = F.aggregate(
+            F.zip_with(qcol, ccol, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda col: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        cos_q = F.floor(dot / (nrm(qcol) * nrm(ccol)) * 1_000_000 + F.lit(0.5))
+        pairs = q.join(F.broadcast(c), F.lit(True)).select(
+            "query_id", "candidate_id", cos_q.alias("cos_q")
+        )
+        rnk = F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cos_q").desc(), "candidate_id"
+            )
+        )
+        return (
+            pairs.select("query_id", "candidate_id", rnk.alias("rnk"))
+            .where(F.col("rnk") <= MATRYOSHKA_K)
+            .select("query_id", "candidate_id")
+        )
+
+    pre = lambda col: F.slice(col, 1, MATRYOSHKA_PREFIX)  # noqa: E731
+    full_k = topk(F.col("qv"), F.col("cv"))
+    pre_k = topk(pre(F.col("qv")), pre(F.col("cv")))
+    inter = (
+        full_k.join(pre_k, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = full_k.select("query_id").distinct()
+    return (
+        base.join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("overlap_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+q305.__doc__ = q305.__doc__.format(k=MATRYOSHKA_K, p=MATRYOSHKA_PREFIX)

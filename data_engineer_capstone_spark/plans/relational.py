@@ -1095,3 +1095,60 @@ def q302(spark: SparkSession, sf: str) -> DataFrame:
         "left",
     ).select("c_custkey", F.col("n_name").alias("nation_name"))
     return matched1.unionByName(replay).orderBy("c_custkey")
+
+
+# ------------------------------------------- hierarchy subtree rollup ----
+@query(
+    "q304_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT c_custkey AS custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ),
+    up AS (
+        SELECT custkey, custkey AS anc, cents FROM r
+        UNION ALL
+        SELECT custkey, anc // 10 AS anc, cents FROM up WHERE anc >= 10
+    )
+    SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM up GROUP BY anc ORDER BY anc
+    """,
+)
+def q304(spark: SparkSession, sf: str) -> DataFrame:
+    """Subtree rollup over the q133 hierarchy (org-chart totals, BOM
+    cost rollup, filesystem du): every node's descendant count and
+    balance total. The oracle walks the manager chain with a recursive
+    CTE; the Spark plan exploits that THIS hierarchy's ancestor set is
+    CLOSED-FORM (digit prefixes: floor(key/10^i)) — each row explodes
+    into its ≤ log₁₀(keyspace) ancestors ROW-LOCALLY and one hash
+    aggregate keyed on the ancestor does the rollup. That
+    explode-then-aggregate shape is the general 100 TB answer whenever
+    the ancestor path is materializable per row (path-enumeration /
+    closure-table designs); only a truly dynamic parent chain needs
+    q133's iterative self-union, and even then the rollup runs on the
+    closure output, never per-level accumulations. Exact integer cents
+    throughout."""
+    cust = load_table(spark, sf, "customer")
+    r = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ancs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (F.col("custkey") / F.pow(F.lit(10.0), i)).cast("long"),
+        ),
+        # every positive prefix, plus the node itself (custkey 0 exists)
+        lambda a, i: (a >= 1) | (i == 0),
+    )
+    return (
+        r.select(F.explode(ancs).alias("anc"), "cents")
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("anc")
+    )

@@ -2098,3 +2098,65 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", (F.col("p0") + 1).alias("perm"), "m")
         .orderBy("source", "perm")
     )
+
+
+# ------------------------------------------ leave-one-out target encoding --
+@query(
+    "q303_target_encoding_loo",
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ),
+    g AS (
+        SELECT c_mktsegment,
+               CAST(SUM(cents) AS BIGINT) AS seg_sum,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM r GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, r.c_mktsegment AS segment,
+           CASE WHEN seg_n > 1
+                THEN ((seg_sum - cents) * 1000000) // (seg_n - 1)
+           END AS loo_enc_q
+    FROM r JOIN g ON g.c_mktsegment = r.c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def q303(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder: each row's category is replaced by the target mean of the
+    OTHER rows in that category, ``(Σ_cat − y_i)/(n_cat − 1)``, so a
+    row never sees its own label (plain target encoding leaks the label
+    straight into the feature and inflates validation scores). Exact
+    arithmetic end-to-end: integer-cents target, per-category sums from
+    one tiny hash aggregate, the subtraction row-local, the mean a
+    scaled integer floor-division — engine-stable with no float
+    accumulation. Plan: one O(categories) aggregate broadcast back onto
+    the rows — a 100 TB encode is one scan + one map-side join.
+    Singleton categories yield NULL (no honest LOO value exists);
+    production smooths toward the global mean, same plan + one more
+    broadcast scalar."""
+    cust = load_table(spark, sf, "customer")
+    r = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = r.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("seg_sum"), F.count(F.lit(1)).alias("seg_n")
+    )
+    num = (F.col("seg_sum") - F.col("cents")) * 1_000_000
+    den = F.col("seg_n") - 1
+    loo = F.when(
+        F.col("seg_n") > 1, ((num - num % den) / den).cast("long")
+    )
+    return (
+        r.join(F.broadcast(g), "c_mktsegment")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            loo.alias("loo_enc_q"),
+        )
+        .orderBy("c_custkey")
+    )

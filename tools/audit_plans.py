@@ -74,6 +74,9 @@ EXPECTED = {
     "q27_cross_join": {"BroadcastNestedLoopJoin"},  # explicit cross join
     "q94_cosine_topk": {"BroadcastNestedLoopJoin"},  # brute-force baseline
     "q95_embedding_near_dup": {"BroadcastNestedLoopJoin"},  # same
+    # two bounded brute-force rankings (q94 class) + the top-k overlap
+    # join on post-window stats-unknown sides (static SMJ, AQE broadcasts)
+    "q305_matryoshka_overlap": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     # label-propagation joins: labels = one row per doc, not broadcastable
     # at scale; post-localCheckpoint stats are unknown anyway → SMJ is right
     "q108_near_dup_clusters": {"SortMergeJoin"},
