@@ -118,7 +118,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q299_ann_lsh_exhaustive", "q300_clamped_balance",
     "q301_point_in_time_features", "q302_late_dimension_replay",
     "q303_target_encoding_loo", "q304_subtree_rollup",
-    "q305_matryoshka_overlap",
+    "q305_matryoshka_overlap", "q306_slo_burn_rate",
+    "q307_abc_classification",
 )
 
 

@@ -2160,3 +2160,64 @@ def q303(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ----------------------------------------------- ABC / Pareto classes ----
+@query(
+    "q307_abc_classification",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+        SELECT l_partkey, rev,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(rev) OVER () AS BIGINT) AS total
+        FROM pr
+    )
+    SELECT l_partkey, rev, cum,
+           CASE WHEN (cum - rev) * 100 < 80 * total THEN 'A'
+                WHEN (cum - rev) * 100 < 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c ORDER BY l_partkey
+    """,
+)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) classification of parts by revenue — the
+    inventory-management classic: class A = parts whose cumulative
+    revenue share STARTS below 80%% of the total (exact integer
+    comparison ``(cum − rev)·100 < 80·total`` — no percentage float
+    ever materializes), B below 95%%, C the tail. The global running
+    total in revenue-desc order is minted by
+    ``refops.distributed_cumsum`` (range exchange + partition-local
+    window + broadcast prefix offsets) — NO partitionless window over
+    the part catalog, which at 100 TB is itself fact-scale; the oracle
+    is the single global SUM OVER window. One part-key aggregate + one
+    range exchange + a 1-row total broadcast."""
+    from ..functions.refops import distributed_cumsum
+
+    li = load_table(spark, sf, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    ).withColumn("neg_rev", -F.col("rev"))
+    c = distributed_cumsum(
+        pr, order_by=["neg_rev", "l_partkey"], value_col="rev", name="cum"
+    )
+    total = pr.agg(F.sum("rev").alias("total"))
+    starts = (F.col("cum") - F.col("rev")) * 100
+    cls = (
+        F.when(starts < 80 * F.col("total"), "A")
+        .when(starts < 95 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select("l_partkey", "rev", "cum", cls.alias("abc_class"))
+        .orderBy("l_partkey")
+    )

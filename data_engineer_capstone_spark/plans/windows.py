@@ -961,3 +961,81 @@ def q301(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "event_id", "n_views_1h", "last_click_cents")
         .orderBy("user_id", "event_id")
     )
+
+
+# ------------------------------------------------------ SLO burn rate ----
+SLO_PPM = 250_000  # alert when trailing error share exceeds 25% in BOTH windows
+
+
+@query(
+    "q306_slo_burn_rate",
+    oracle=f"""
+    WITH m AS (
+        SELECT epoch_us(ts) // 60000000 AS minute,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+        FROM events GROUP BY minute
+    ),
+    w AS (
+        SELECT minute, n, n_err,
+               CAST(SUM(n) OVER (ORDER BY minute
+                    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+               CAST(SUM(n_err) OVER (ORDER BY minute
+                    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS e_1h,
+               CAST(SUM(n) OVER (ORDER BY minute
+                    RANGE BETWEEN 359 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_6h,
+               CAST(SUM(n_err) OVER (ORDER BY minute
+                    RANGE BETWEEN 359 PRECEDING AND CURRENT ROW) AS BIGINT) AS e_6h
+        FROM m
+    )
+    SELECT minute, n, n_err,
+           (e_1h * 1000000) // n_1h AS err_ppm_1h,
+           (e_6h * 1000000) // n_6h AS err_ppm_6h,
+           (e_1h * 1000000) // n_1h > {SLO_PPM}
+               AND (e_6h * 1000000) // n_6h > {SLO_PPM} AS burn_alert
+    FROM w ORDER BY minute
+    """,
+)
+def q306(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting — the SRE error-budget
+    pattern: alert only when the trailing error share breaches the
+    threshold in BOTH a short (1 h) and a long (6 h) window, so spikes
+    don't page but sustained burns do. The raw stream reduces to
+    per-MINUTE (n, n_err) pairs in one hash aggregate FIRST — O(minutes)
+    rows — and every trailing window is a RANGE frame over that bounded
+    series (the q298 reduce-then-window argument; a year is ~526k
+    minutes, still one executor's work). Ratios are scaled integer
+    floor-divisions of exact counts. In production the same query runs
+    incrementally: the per-minute aggregate is the persisted grain
+    (q209/q263 mergeability), and the window pass re-reads only the
+    trailing 6 h of it."""
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    minute = ((us - us % 60_000_000) / 60_000_000).cast("long")
+    m = ev.groupBy(minute.alias("minute")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    def trail(col, mins):
+        return F.sum(col).over(
+            W.orderBy("minute").rangeBetween(-(mins - 1), 0)
+        )
+    w = m.select(
+        "minute", "n", "n_err",
+        trail(F.col("n"), 60).alias("n_1h"),
+        trail(F.col("n_err"), 60).alias("e_1h"),
+        trail(F.col("n"), 360).alias("n_6h"),
+        trail(F.col("n_err"), 360).alias("e_6h"),
+    )
+
+    def ppm(e, n):
+        num = e * 1_000_000
+        return ((num - num % n) / n).cast("long")
+
+    p1, p6 = ppm(F.col("e_1h"), F.col("n_1h")), ppm(F.col("e_6h"), F.col("n_6h"))
+    return w.select(
+        "minute", "n", "n_err",
+        p1.alias("err_ppm_1h"),
+        p6.alias("err_ppm_6h"),
+        ((p1 > SLO_PPM) & (p6 > SLO_PPM)).alias("burn_alert"),
+    ).orderBy("minute")

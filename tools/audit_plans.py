@@ -46,6 +46,7 @@ EXPECTED = {
     "q282_power_iteration": {"BroadcastNestedLoopJoin"},
     "q283_tfidf_topk": {"BroadcastNestedLoopJoin"},  # 1-row N_docs scalar
     "q289_key_skew_report": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
+    "q307_abc_classification": {"BroadcastNestedLoopJoin"},  # 1-row total scalar
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
@@ -147,6 +148,7 @@ GLOBAL_WINDOW_OK = {
     "q175_new_vs_returning",
     "q260_mom_revenue_growth",  # O(months) rows after the hash aggregate
     "q298_cusum_changepoint",  # O(days) rows after the hash aggregate
+    "q306_slo_burn_rate",  # O(minutes) rows after the hash aggregate
     "q269_session_depth_bounce",  # share window over O(distinct depths) agg
     "q273_benford_check",  # share window over the 9-digit aggregate
     "q72_time_fact_accumulation",
