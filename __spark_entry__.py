@@ -119,7 +119,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q301_point_in_time_features", "q302_late_dimension_replay",
     "q303_target_encoding_loo", "q304_subtree_rollup",
     "q305_matryoshka_overlap", "q306_slo_burn_rate",
-    "q307_abc_classification",
+    "q307_abc_classification", "q308_neyman_allocation",
 )
 
 

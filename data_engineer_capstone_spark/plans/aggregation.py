@@ -1243,3 +1243,106 @@ def q291(spark: SparkSession, sf: str) -> DataFrame:
         q(beta1).alias("beta1_q"),
         q(beta2).alias("beta2_q"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------- Neyman sample allocation ----
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q308_neyman_allocation",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type,
+               CAST(floor(value + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(y) AS BIGINT) AS s1,
+               CAST(SUM(y * y) AS BIGINT) AS s2
+        FROM r GROUP BY event_type
+    ),
+    w AS (
+        SELECT event_type, n_h,
+               n_h * sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)
+                          / (n_h * (n_h - 1))) AS wgt
+        FROM s
+    ),
+    q AS (
+        SELECT event_type, n_h, wgt,
+               {NEYMAN_BUDGET} * wgt / SUM(wgt) OVER () AS quota
+        FROM w
+    ),
+    b AS (
+        SELECT event_type, n_h, wgt, quota,
+               CAST(floor(quota) AS BIGINT) AS base,
+               quota - floor(quota) AS rem,
+               CAST({NEYMAN_BUDGET} - SUM(CAST(floor(quota) AS BIGINT)) OVER ()
+                    AS BIGINT) AS leftover,
+               ROW_NUMBER() OVER (ORDER BY quota - floor(quota) DESC,
+                                  event_type) AS rk
+        FROM q
+    )
+    SELECT event_type, n_h,
+           CAST(floor(wgt * 1000000 + 0.5) AS BIGINT) AS weight_q,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_alloc
+    FROM b ORDER BY event_type
+    """,
+)
+def q308(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation + largest-remainder
+    apportionment — the survey-sampling / eval-set design step: a budget
+    of {b} samples splits across strata proportional to N_h·σ_h (high-
+    variance strata earn more), then fractional quotas become integers
+    by floor + largest-remainder so the allocations sum EXACTLY to the
+    budget (naive rounding drifts). Determinism chain: per-stratum
+    variance numerators are exact BIGINT (n·Σy² − (Σy)²), sqrt is
+    IEEE-exactly-rounded (the one libm-adjacent function that is safe
+    cross-engine), quotas are fixed IEEE trees of identical operands,
+    and remainder ties break on the stratum name. All windows run over
+    the O(strata) aggregate. The same query sizes per-slice eval sets
+    (q292) and per-domain curation quotas (q227's complement: variance-
+    aware instead of equalizing)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    r = ev.select(
+        "event_type", F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("y")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    n_h, s1, s2 = F.col("n_h"), F.col("s1"), F.col("s2")
+    wgt = n_h * F.sqrt(
+        (n_h * s2 - s1 * s1).cast("double") / (n_h * (n_h - 1))
+    )
+    w = s.select("event_type", "n_h", wgt.alias("wgt"))
+    w_all = W.orderBy()
+    quota = NEYMAN_BUDGET * F.col("wgt") / F.sum("wgt").over(w_all)
+    q = w.select("event_type", "n_h", "wgt", quota.alias("quota"))
+    base = F.floor("quota").cast("long")
+    b = q.select(
+        "event_type", "n_h", "wgt", "quota",
+        base.alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+        (NEYMAN_BUDGET - F.sum(base).over(w_all)).alias("leftover"),
+        F.row_number()
+        .over(W.orderBy((F.col("quota") - F.floor("quota")).desc(), "event_type"))
+        .alias("rk"),
+    )
+    return b.select(
+        "event_type",
+        "n_h",
+        F.floor(F.col("wgt") * 1_000_000 + F.lit(0.5)).cast("long").alias("weight_q"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("n_alloc"),
+    ).orderBy("event_type")
+
+
+q308.__doc__ = q308.__doc__.format(b=NEYMAN_BUDGET)

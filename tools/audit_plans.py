@@ -149,6 +149,7 @@ GLOBAL_WINDOW_OK = {
     "q260_mom_revenue_growth",  # O(months) rows after the hash aggregate
     "q298_cusum_changepoint",  # O(days) rows after the hash aggregate
     "q306_slo_burn_rate",  # O(minutes) rows after the hash aggregate
+    "q308_neyman_allocation",  # O(strata) rows after the hash aggregate
     "q269_session_depth_bounce",  # share window over O(distinct depths) agg
     "q273_benford_check",  # share window over the 9-digit aggregate
     "q72_time_fact_accumulation",
