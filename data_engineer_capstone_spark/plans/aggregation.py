@@ -1346,3 +1346,79 @@ def q308(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q308.__doc__ = q308.__doc__.format(b=NEYMAN_BUDGET)
+
+
+# ---------------------------------------- two-sample KS drift statistic ----
+@query(
+    "q309_ks_two_sample",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT x, CAST(SUM(g1) AS BIGINT) AS d1, CAST(SUM(g2) AS BIGINT) AS d2
+        FROM r GROUP BY x
+    ),
+    c AS (
+        SELECT x,
+               CAST(SUM(d1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+               CAST(SUM(d2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+               CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(d2) OVER () AS BIGINT) AS n2
+        FROM g
+    )
+    SELECT CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+           MAX(n1) AS n1, MAX(n2) AS n2,
+           CAST(floor(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                      / (MAX(n1) * MAX(n2)) * 1000000 + 0.5) AS BIGINT) AS d_q
+    FROM c
+    """,
+)
+def q309(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and view
+    value distributions — the standard drift / A-A test for 'did this
+    feature's distribution change': D = max_x |F₁(x) − F₂(x)|, computed
+    EXACTLY by cross-multiplying the integer ECDF counts (|c₁n₂ − c₂n₁|,
+    pure BIGINT — the division by n₁n₂ happens once, at the end, on the
+    integer max). Shape: one hash aggregate to per-value (d₁, d₂)
+    deltas, cumulative counts over the DISTINCT-value series, one max.
+    The running sums here ride a bounded global window (cent-quantized
+    support ≤ 49k distinct values regardless of row count); unbounded
+    supports swap in `distributed_cumsum` unchanged (the q307 pattern).
+    The same query with group = yesterday/today is the feature-drift
+    gate a training pipeline runs before every retrain — and the exact-D
+    contract means alert thresholds are reproducible across engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    r = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        (F.col("event_type") == "click").cast("long").alias("g1"),
+        (F.col("event_type") == "view").cast("long").alias("g2"),
+    )
+    g = r.groupBy("x").agg(F.sum("g1").alias("d1"), F.sum("g2").alias("d2"))
+    w_ord = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy()
+    c = g.select(
+        "x",
+        F.sum("d1").over(w_ord).alias("c1"),
+        F.sum("d2").over(w_ord).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    dev = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    agg = c.agg(
+        F.max(dev).alias("d_num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    d_q = F.floor(
+        F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select("d_num", "n1", "n2", d_q.alias("d_q"))

@@ -2221,3 +2221,77 @@ def q307(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_partkey", "rev", "cum", cls.alias("abc_class"))
         .orderBy("l_partkey")
     )
+
+
+# ------------------------------------------------------ Gini / Lorenz ----
+@query(
+    "q310_gini_coefficient",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+        FROM r
+    ),
+    agg AS (
+        SELECT CAST(SUM(i * cents) AS BIGINT) AS weighted,
+               MAX(n) AS n, MAX(total) AS total
+        FROM ranked
+    )
+    SELECT n, total,
+           CAST(2 * weighted - (n + 1) * total AS BIGINT) AS gini_num,
+           n * total AS gini_den,
+           CAST(floor(CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+                      / (n * total) * 1000000 + 0.5) AS BIGINT) AS gini_q
+    FROM agg
+    """,
+)
+def q310(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the Lorenz-
+    curve inequality metric ('do 1% of customers drive 90% of revenue'),
+    via the exact rank formula G = (2Σᵢ i·xᵢ − (n+1)Σx)/(nΣx) over
+    ascending-sorted values: every term is exact BIGINT (integer cents,
+    integer ranks), so the numerator/denominator pair is engine-exact
+    and only the final presentation ratio divides. Rank is minted by
+    `distributed_cumsum`'s sibling machinery
+    (`deterministic_id(fact_scale=True)` — range exchange, per-partition
+    row_number, broadcast offsets), never a partitionless window over
+    the customer population; the Σ i·xᵢ reduction is one aggregate.
+    Magnitude: Σ i·xᵢ ≤ n²·max_cents — overflow-checked headroom to
+    ~10⁷ customers at 10⁶-cent orders; beyond that promote to
+    DECIMAL(38,0) partials (documented, same plan)."""
+    from ..functions.refops import deterministic_id
+
+    o = load_table(spark, sf, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    ranked = deterministic_id(
+        r, ["cents", "o_custkey"], name="i", fact_scale=True
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    agg = ranked.agg(F.sum(F.col("i") * F.col("cents")).alias("weighted"))
+    j = agg.crossJoin(F.broadcast(tot))
+    num = 2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")
+    gini_q = F.floor(
+        num.cast("double") / (F.col("n") * F.col("total")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        "n",
+        "total",
+        num.alias("gini_num"),
+        (F.col("n") * F.col("total")).alias("gini_den"),
+        gini_q.alias("gini_q"),
+    )

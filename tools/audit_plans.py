@@ -47,6 +47,7 @@ EXPECTED = {
     "q283_tfidf_topk": {"BroadcastNestedLoopJoin"},  # 1-row N_docs scalar
     "q289_key_skew_report": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
     "q307_abc_classification": {"BroadcastNestedLoopJoin"},  # 1-row total scalar
+    "q310_gini_coefficient": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
@@ -150,6 +151,7 @@ GLOBAL_WINDOW_OK = {
     "q298_cusum_changepoint",  # O(days) rows after the hash aggregate
     "q306_slo_burn_rate",  # O(minutes) rows after the hash aggregate
     "q308_neyman_allocation",  # O(strata) rows after the hash aggregate
+    "q309_ks_two_sample",  # bounded cent-quantized support after the agg
     "q269_session_depth_bounce",  # share window over O(distinct depths) agg
     "q273_benford_check",  # share window over the 9-digit aggregate
     "q72_time_fact_accumulation",
