@@ -1039,3 +1039,65 @@ def q306(spark: SparkSession, sf: str) -> DataFrame:
         p6.alias("err_ppm_6h"),
         ((p1 > SLO_PPM) & (p6 > SLO_PPM)).alias("burn_alert"),
     ).orderBy("minute")
+
+
+# -------------------------------------------- sequence pattern matching ----
+@query(
+    "q311_sequence_pattern",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, upper(substr(event_type, 1, 1)) AS letter,
+               ts, event_id
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               string_agg(letter, '' ORDER BY ts, event_id) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM l GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           regexp_matches(seq, 'V[^E]*C[^E]*P') AS clean_funnel,
+           regexp_matches(seq, 'EE') AS error_burst,
+           regexp_matches(seq, '^S') AS signup_first
+    FROM s ORDER BY user_id
+    """,
+)
+def q311(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-sequence pattern matching — the MATCH_RECOGNIZE / CEP
+    feature SQL engines bolt on and Spark lacks natively, re-expressed
+    as regex over a per-key ORDERED event-letter string: does the user
+    have a view→click→purchase chain untouched by errors, a
+    back-to-back error burst, a signup-first lifecycle. One groupBy
+    collapses each user's history into a compact string (one char per
+    event — a year of heavy use is a few KB), then every pattern is a
+    row-local regex — adding patterns costs zero extra shuffles, versus
+    one self-join per step in the join-based funnel encoding (q147).
+    Ordering inside the aggregate is pinned by (ts, event_id) on both
+    engines. The regexes stay in the POSIX-common subset (character
+    classes, anchors, star) where Java and RE2 semantics agree —
+    backrefs/lookarounds are banned in the oracle contract."""
+    ev = load_table(spark, sf, "events")
+    l = ev.select(
+        "user_id",
+        F.upper(F.substring("event_type", 1, 1)).alias("letter"),
+        "ts",
+        "event_id",
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "letter"))),
+            lambda x: x["letter"],
+        ),
+        "",
+    )
+    s = l.groupBy("user_id").agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.col("seq").rlike("V[^E]*C[^E]*P").alias("clean_funnel"),
+        F.col("seq").rlike("EE").alias("error_burst"),
+        F.col("seq").rlike("^S").alias("signup_first"),
+    ).orderBy("user_id")
