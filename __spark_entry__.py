@@ -121,7 +121,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q305_matryoshka_overlap", "q306_slo_burn_rate",
     "q307_abc_classification", "q308_neyman_allocation",
     "q309_ks_two_sample", "q310_gini_coefficient",
-    "q311_sequence_pattern",
+    "q311_sequence_pattern", "q312_position_attribution",
 )
 
 

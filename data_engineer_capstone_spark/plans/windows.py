@@ -1101,3 +1101,106 @@ def q311(spark: SparkSession, sf: str) -> DataFrame:
         F.col("seq").rlike("EE").alias("error_burst"),
         F.col("seq").rlike("^S").alias("signup_first"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------- multi-touch attribution ----
+@query(
+    "q312_position_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS journey
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    conv AS (
+        SELECT user_id, journey, event_id AS conversion_event_id
+        FROM e WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, journey, event_id AS touch_event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                    ORDER BY ts, event_id) AS BIGINT) AS pos,
+               CAST(COUNT(*) OVER (PARTITION BY user_id, journey) AS BIGINT) AS k
+        FROM e WHERE event_type IN ('view', 'click')
+    )
+    SELECT t.user_id, conversion_event_id, touch_event_id, pos, k,
+           CASE
+             WHEN k = 1 THEN 1000000
+             WHEN k = 2 THEN 500000
+             WHEN pos = 1 OR pos = k THEN 400000
+             ELSE 200000 // (k - 2)
+                  + CASE WHEN pos - 1 <= 200000 % (k - 2) THEN 1 ELSE 0 END
+           END AS weight_ppm
+    FROM t JOIN conv ON conv.user_id = t.user_id AND conv.journey = t.journey
+    ORDER BY t.user_id, conversion_event_id, pos
+    """,
+)
+def q312(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — q265's
+    last-touch upgraded to the model marketers actually run: within each
+    conversion journey (the touches since the user's previous purchase),
+    first and last touch earn 40% each and the middles share 20%. The
+    weights are EXACT integer ppm via largest-remainder apportionment
+    (floor share + the first ``200000 mod (k−2)`` middles get +1), so
+    every journey's weights sum to exactly 1,000,000 — no float drift
+    across millions of journeys, and revenue×weight stays pure integer
+    arithmetic downstream. Journey assignment is one cumulative-count
+    window (purchases strictly before the row); position and size are
+    journey-partitioned windows; the conversion attach is a keyed join.
+    Touches after the final purchase drop out via the join (open
+    journeys — attributable when their conversion arrives, the
+    incremental story). One user shuffle end-to-end."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(w_prev),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    conv = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "journey", F.col("event_id").alias("conversion_event_id")
+    )
+    w_j = W.partitionBy("user_id", "journey")
+    t = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "journey",
+        F.col("event_id").alias("touch_event_id"),
+        F.row_number().over(w_j.orderBy("ts", "event_id")).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w_j).alias("k"),
+    )
+    k, pos = F.col("k"), F.col("pos")
+    mid_n = k - 2
+    mid_base = ((F.lit(200_000) - F.lit(200_000) % mid_n) / mid_n).cast("long")
+    mid_rem = F.lit(200_000) % mid_n
+    weight = (
+        F.when(k == 1, 1_000_000)
+        .when(k == 2, 500_000)
+        .when((pos == 1) | (pos == k), 400_000)
+        .otherwise(mid_base + F.when(pos - 1 <= mid_rem, 1).otherwise(0))
+    )
+    return (
+        t.join(conv, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "conversion_event_id",
+            "touch_event_id",
+            "pos",
+            "k",
+            weight.cast("long").alias("weight_ppm"),
+        )
+        .orderBy("user_id", "conversion_event_id", "pos")
+    )
