@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q307_abc_classification", "q308_neyman_allocation",
     "q309_ks_two_sample", "q310_gini_coefficient",
     "q311_sequence_pattern", "q312_position_attribution",
+    "q313_halfsample_ci", "q314_seasonal_index",
 )
 
 

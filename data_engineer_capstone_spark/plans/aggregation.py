@@ -1422,3 +1422,171 @@ def q309(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return agg.select("d_num", "n1", "n2", d_q.alias("d_q"))
+
+
+# ------------------------------------- deterministic half-sample CI ----
+HS_REPLICAS = 32
+
+
+def _hs_oracle() -> str:
+    from .extensions import _H64
+
+    gate = _H64.format(x="CAST(event_id AS VARCHAR) || ':' || CAST({b} AS VARCHAR)")
+    cols = ",\n               ".join(
+        f"CAST(SUM(y) FILTER ({gate.format(b=b)} % 2 = 1) AS BIGINT) AS s{b},\n"
+        f"               CAST(COUNT(*) FILTER ({gate.format(b=b)} % 2 = 1) AS BIGINT) AS c{b}"
+        for b in range(HS_REPLICAS)
+    )
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / c{b}" for b in range(HS_REPLICAS)
+    )
+    return f"""
+    WITH r AS (
+        SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n,
+               {cols}
+        FROM r
+    ),
+    m AS (
+        SELECT tot, n, [{means}] AS ms, CAST(tot AS DOUBLE) / n AS mu
+        FROM s
+    )
+    SELECT n,
+           CAST(floor(mu * 1000 + 0.5) AS BIGINT) AS mean_mcents,
+           CAST(floor(
+               sqrt(list_sum(list_transform(ms, x -> (x - mu) * (x - mu)))
+                    / {HS_REPLICAS}) * 1000 + 0.5) AS BIGINT) AS se_mcents
+    FROM m
+    """
+
+
+@query("q313_halfsample_ci", oracle=_hs_oracle())
+def q313(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncertainty for a 100 TB mean WITHOUT distributional assumptions:
+    {b} deterministic half-sample replicates (row ∈ replicate b iff
+    md5(event_id, b) is odd — reproducible, re-shard-stable, never
+    rand()), each replicate's mean an exact-integer sum ratio, and the
+    standard error the spread of the replicate means around the full
+    mean (the random-group / balanced-half-sample estimator survey
+    statistics uses). ALL {b} replicate sums accumulate in ONE pass as
+    FILTER aggregates — no data explosion, no second scan; the replicate
+    fan-out costs {b} conditional adds per row, which whole-stage
+    codegen vectorizes. Floats appear only in the final 1-row
+    means/variance arithmetic (fixed IEEE tree, sqrt exactly rounded),
+    so the interval is engine-exact. The same shape bootstraps any
+    linear statistic — sums, ratios, per-group means — by swapping the
+    inner aggregate."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events")
+    r = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    aggs = [
+        F.sum("y").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    for b in range(HS_REPLICAS):
+        gate = (
+            h64(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), F.lit(str(b))
+                )
+            )
+            % 2
+            == 1
+        )
+        aggs.append(F.sum(F.when(gate, F.col("y"))).alias(f"s{b}"))
+        aggs.append(F.sum(gate.cast("long")).alias(f"c{b}"))
+    s = r.agg(*aggs)
+    ms = F.array(
+        *[
+            F.col(f"s{b}").cast("double") / F.col(f"c{b}")
+            for b in range(HS_REPLICAS)
+        ]
+    )
+    mu = F.col("tot").cast("double") / F.col("n")
+    m = s.select("n", mu.alias("mu"), ms.alias("ms"))
+    var = (
+        F.aggregate(
+            F.transform("ms", lambda x: (x - F.col("mu")) * (x - F.col("mu"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / HS_REPLICAS
+    )
+    return m.select(
+        "n",
+        F.floor(F.col("mu") * 1000 + F.lit(0.5)).cast("long").alias("mean_mcents"),
+        F.floor(F.sqrt(var) * 1000 + F.lit(0.5)).cast("long").alias("se_mcents"),
+    )
+
+
+q313.__doc__ = q313.__doc__.format(b=HS_REPLICAS)
+
+
+# ----------------------------------------------------- seasonal index ----
+@query(
+    "q314_seasonal_index",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,  -- Spark: Sunday = 1
+               CAST(floor(value + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, dow,
+               CAST(SUM(y) AS BIGINT) AS s_dow, CAST(COUNT(*) AS BIGINT) AS n_dow
+        FROM r GROUP BY event_type, dow
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(SUM(s_dow) AS BIGINT) AS s_all,
+               CAST(SUM(n_dow) AS BIGINT) AS n_all
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, dow, n_dow,
+           (s_dow * n_all * 1000000) // (n_dow * s_all) AS index_ppm
+    FROM d JOIN t ON t.event_type = d.event_type
+    ORDER BY d.event_type, dow
+    """,
+)
+def q314(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonal index per series — the multiplicative
+    seasonality profile (index > 1e6 ppm ⇒ that weekday runs hot) that
+    feeds deseasonalized anomaly detection and capacity planning. The
+    index is the ratio of two means computed WITHOUT any float mean:
+    cross-multiplied exact integer sums, ``(Σ_dow · n_all · 10⁶) //
+    (n_dow · Σ_all)`` — one floor division of exact BIGINTs (values
+    pre-quantized to whole units so the 10⁶ scaling keeps int64
+    headroom to ~10⁹ rows/series; cents would need DECIMAL(38)).
+    Two tiny hash aggregates (series×7, then series) and a broadcast
+    join — the full profile costs one scan at any scale."""
+    ev = load_table(spark, sf, "events")
+    r = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    d = r.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("s_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("s_dow").alias("s_all"), F.sum("n_dow").alias("n_all")
+    )
+    num = F.col("s_dow") * F.col("n_all") * 1_000_000
+    den = F.col("n_dow") * F.col("s_all")
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_dow",
+            ((num - num % den) / den).cast("long").alias("index_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
