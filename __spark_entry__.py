@@ -123,6 +123,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q309_ks_two_sample", "q310_gini_coefficient",
     "q311_sequence_pattern", "q312_position_attribution",
     "q313_halfsample_ci", "q314_seasonal_index",
+    "q315_decayed_popularity", "q316_sorted_neighborhood_pairs",
 )
 
 

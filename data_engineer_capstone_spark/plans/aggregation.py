@@ -1590,3 +1590,68 @@ def q314(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ----------------------------------------------- time-decay popularity ----
+DECAY_CAP = 40  # max halvings (2^40 underflows any realistic cents value)
+
+
+@query(
+    "q315_decayed_popularity",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(l_shipdate) AS ref_ts FROM lineitem),
+    r AS (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               LEAST({DECAY_CAP}, date_diff('day', l_shipdate, ref_ts) // 30)
+                 AS age
+        FROM lineitem, ref
+    ),
+    s AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(floor(cents / power(2, age)) AS BIGINT))
+                    AS BIGINT) AS decayed,
+               CAST(SUM(cents) AS BIGINT) AS raw_cents
+        FROM r GROUP BY l_partkey
+    )
+    SELECT l_partkey, decayed, raw_cents
+    FROM s ORDER BY decayed DESC, l_partkey LIMIT 20
+    """,
+)
+def q315(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-life popularity ranking — trending-item selection where each
+    contribution halves per 30 days of age: weight = cents / 2^age,
+    EXACT because dividing a binary float by a power of two only shifts
+    the exponent (floor then recovers the integer a bit-shift would
+    give) — the integer-exact alternative to exp(-λ·age) decay, which
+    would put libm in the ranking. Age caps at {c} halvings (past that
+    the weight is 0 for any realistic amount). One scan + one part-keyed
+    aggregate + TakeOrdered top-20; the 1-row reference timestamp
+    broadcasts. Re-ranking tomorrow only re-ages the exponent — the
+    score is a sum of per-row terms, so incremental maintenance keeps
+    per-part partial sums per age bucket and re-shifts them (the q209
+    mergeability argument)."""
+    li = load_table(spark, sf, "lineitem")
+    ref = li.agg(F.max("l_shipdate").alias("ref_ts"))
+    r = li.crossJoin(F.broadcast(ref)).select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.least(
+            F.lit(DECAY_CAP),
+            F.floor(F.datediff(F.col("ref_ts"), F.col("l_shipdate")) / 30).cast(
+                "long"
+            ),
+        ).alias("age"),
+    )
+    decayed = F.floor(F.col("cents") / F.pow(F.lit(2.0), F.col("age"))).cast(
+        "long"
+    )
+    s = r.groupBy("l_partkey").agg(
+        F.sum(decayed).alias("decayed"), F.sum("cents").alias("raw_cents")
+    )
+    return s.orderBy(F.col("decayed").desc(), "l_partkey").limit(20)
+
+
+q315.__doc__ = q315.__doc__.format(c=DECAY_CAP)

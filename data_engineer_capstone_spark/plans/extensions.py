@@ -3192,3 +3192,97 @@ def q305(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q305.__doc__ = q305.__doc__.format(k=MATRYOSHKA_K, p=MATRYOSHKA_PREFIX)
+
+
+# --------------------------------------- sorted-neighborhood blocking ----
+SNM_W = 4  # window width: candidates are rank-neighbors within W-1
+
+
+@query(
+    "q316_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS eid,
+               c_name || ' ' || substr(md5(c_name), 1, 6) AS s
+        FROM customer
+    ),
+    ents AS (
+        SELECT eid, s FROM base
+        UNION ALL
+        SELECT eid + 1000000, s || 'x' FROM base
+        UNION ALL
+        SELECT eid + 2000000, substr(s, 1, len(s) - 1) || '#' FROM base
+    ),
+    ranked AS (
+        SELECT eid, s,
+               CAST(ROW_NUMBER() OVER (ORDER BY s, eid) AS BIGINT) AS r
+        FROM ents
+    )
+    SELECT LEAST(a.eid, b.eid) AS doc_a, GREATEST(a.eid, b.eid) AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.r - a.r BETWEEN 1 AND {SNM_W - 1}
+     AND levenshtein(a.s, b.s) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q316(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup (SNM) — the THIRD candidate-blocking
+    family alongside hash/prefix blocking (q234) and LSH (q92/q224):
+    sort the corpus on a locality-preserving key and compare only rows
+    within a width-{w} sliding rank window. Recall depends on sort-key
+    locality (the classic SNM trade — multi-pass with different keys in
+    production); the oracle replays the identical window, so the hash
+    pins the blocking exactly. Scale shape: global rank via the
+    zipWithIndex machinery (`deterministic_id(fact_scale=True)` — range
+    exchange, never a partitionless window), then rank-neighbor
+    candidates come from an EQUI-join: the lower row emits its
+    rank-bucket and the next (buckets of width {w}−1 cover every pair
+    within the window), the higher row emits its own bucket, and the
+    1 ≤ Δrank ≤ {w}−1 predicate trims the bucket cross — O(n·{w})
+    candidates total, no theta join. Same dirty-entity corpus as q234
+    so the two blocking strategies are directly comparable."""
+    from ..functions.refops import deterministic_id
+
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("eid"),
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.substring(F.md5("c_name"), 1, 6)
+        ).alias("s"),
+    )
+    v1 = base.select(
+        (F.col("eid") + 1000000).alias("eid"), F.concat("s", F.lit("x")).alias("s")
+    )
+    v2 = base.select(
+        (F.col("eid") + 2000000).alias("eid"),
+        F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("#")).alias("s"),
+    )
+    ents = base.unionByName(v1).unionByName(v2)
+    ranked = deterministic_id(ents, ["s", "eid"], name="r", fact_scale=True)
+    width = SNM_W - 1
+    bkt = ((F.col("r") - F.col("r") % width) / width).cast("long")
+    lo = ranked.select(
+        F.col("eid").alias("eid_a"), F.col("s").alias("s_a"),
+        F.col("r").alias("r_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    hi = ranked.select(
+        F.col("eid").alias("eid_b"), F.col("s").alias("s_b"),
+        F.col("r").alias("r_b"), bkt.alias("bkt"),
+    )
+    delta = F.col("r_b") - F.col("r_a")
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    return (
+        lo.join(hi, "bkt")
+        .where((delta >= 1) & (delta <= width) & (dist <= 2))
+        .select(
+            F.least("eid_a", "eid_b").alias("doc_a"),
+            F.greatest("eid_a", "eid_b").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+q316.__doc__ = q316.__doc__.format(w=SNM_W)

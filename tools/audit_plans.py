@@ -48,6 +48,7 @@ EXPECTED = {
     "q289_key_skew_report": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
     "q307_abc_classification": {"BroadcastNestedLoopJoin"},  # 1-row total scalar
     "q310_gini_coefficient": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
+    "q315_decayed_popularity": {"BroadcastNestedLoopJoin"},  # 1-row ref-date scalar
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
