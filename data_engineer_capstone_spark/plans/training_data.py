@@ -2295,3 +2295,115 @@ def q310(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n") * F.col("total")).alias("gini_den"),
         gini_q.alias("gini_q"),
     )
+
+
+# ------------------------------------------------------- silhouette ----
+def _sil_dist_sql(a: str, b: str) -> str:
+    """1e6-quantized euclidean distance; sequential fold (q155 idiom)."""
+    sq = (
+        f"list_reduce(list_transform(range(1, len({a}.v) + 1), "
+        f"i -> ({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"CAST(floor(sqrt({sq}) * 1000000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q317_silhouette_score",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+               {_sil_dist_sql('a', 'b')} AS d
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    own AS (
+        SELECT i, CAST(SUM(d) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a_q
+        FROM p WHERE li = lj GROUP BY i HAVING COUNT(*) > 0
+    ),
+    nearest AS (
+        SELECT i, MIN(m) AS b_q FROM (
+            SELECT i, lj,
+                   CAST(SUM(d) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+            FROM p WHERE li <> lj GROUP BY i, lj
+        ) GROUP BY i
+    ),
+    s AS (
+        SELECT e.label, ((b_q - a_q) * 1000000) // GREATEST(a_q, b_q) AS s_q
+        FROM own JOIN nearest USING (i) JOIN e ON e.vec_id = i
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s_q) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS mean_silhouette_q
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def q317(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster silhouette score for the embedding labels — the
+    clustering-quality metric (s ≈ +1 tight and separated, ≈ 0
+    overlapping, < 0 misassigned) every unsupervised pipeline reports.
+    Exactness engineering: each pair distance is a SEQUENTIAL float fold
+    (the q155 bit-exact idiom) quantized to an integer immediately, so
+    every downstream mean/min/ratio is integer floor-division — the
+    order-dependence of float summation over engine-shuffled rows never
+    arises. The O(n²) pair stage is the declared exact baseline (q94
+    class); the 100 TB path replaces pairs with the centroid
+    approximation (a(i)≈dist-to-own-centroid via q167's broadcast
+    assignment, b(i)≈dist to nearest other centroid) — same downstream
+    integer plan, documented rather than registered because the
+    simplified silhouette is a different (bounded-error) statistic."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("i"), F.col("label").alias("li"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"), F.col("label").alias("lj"), F.col("v").alias("vb")
+    )
+    sq = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = F.floor(F.sqrt(sq) * 1_000_000 + F.lit(0.5)).cast("long")
+    p = (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .select("i", "li", "lj", d.alias("d"))
+        .localCheckpoint(eager=True)  # feeds both the own- and other-label aggs
+    )
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("long")
+
+    own = (
+        p.where(F.col("li") == F.col("lj"))
+        .groupBy("i")
+        .agg(idiv(F.sum("d"), F.count(F.lit(1))).alias("a_q"))
+    )
+    nearest = (
+        p.where(F.col("li") != F.col("lj"))
+        .groupBy("i", "lj")
+        .agg(idiv(F.sum("d"), F.count(F.lit(1))).alias("m"))
+        .groupBy("i")
+        .agg(F.min("m").alias("b_q"))
+    )
+    s_q = idiv(
+        (F.col("b_q") - F.col("a_q")) * 1_000_000,
+        F.greatest("a_q", "b_q"),
+    )
+    s = (
+        own.join(nearest, "i")
+        .join(emb.select(F.col("vec_id").alias("i"), "label"), "i")
+        .select("label", s_q.alias("s_q"))
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            idiv(F.sum("s_q"), F.count(F.lit(1))).alias("mean_silhouette_q"),
+        )
+        .orderBy("label")
+    )

@@ -80,6 +80,10 @@ EXPECTED = {
     # two bounded brute-force rankings (q94 class) + the top-k overlap
     # join on post-window stats-unknown sides (static SMJ, AQE broadcasts)
     "q305_matryoshka_overlap": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # bounded O(n²) pair baseline (q94 class, broadcast hint makes the pair
+    # stage BHJ); the own/nearest per-vector aggregates join post-checkpoint
+    # with unknown stats → static SMJ, AQE broadcasts at runtime
+    "q317_silhouette_score": {"SortMergeJoin"},
     # label-propagation joins: labels = one row per doc, not broadcastable
     # at scale; post-localCheckpoint stats are unknown anyway → SMJ is right
     "q108_near_dup_clusters": {"SortMergeJoin"},
