@@ -124,7 +124,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q311_sequence_pattern", "q312_position_attribution",
     "q313_halfsample_ci", "q314_seasonal_index",
     "q315_decayed_popularity", "q316_sorted_neighborhood_pairs",
-    "q317_silhouette_score",
+    "q317_silhouette_score", "q318_reshard_plan",
+    "q319_bloom_segment_index",
 )
 
 

@@ -1012,3 +1012,262 @@ def q296(spark: SparkSession, sf: str) -> DataFrame:
     v0 = agg(read_version(spark, tdir, 0), "v0")
     latest = agg(read_version(spark, tdir), "latest")
     return v0.unionByName(latest).orderBy("snapshot", "event_type")
+
+
+# ------------------------------------------------- reshard move audit ----
+OLD_SHARDS = 16
+NEW_SHARDS = 20
+RING = 1 << 16
+
+
+@query(
+    "q318_reshard_plan",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5('shard:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {RING} AS pos
+        FROM orders
+    ),
+    tok AS (
+        SELECT s,
+               CAST(('0x' || substr(md5('node:' || CAST(s AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {RING} AS t
+        FROM range({NEW_SHARDS}) r(s)
+    ),
+    ring AS (
+        SELECT pos,
+               arg_min(s, (t - pos + {RING}) % {RING})
+                   FILTER (s < {OLD_SHARDS}) AS old_s,
+               arg_min(s, (t - pos + {RING}) % {RING}) AS new_s
+        FROM h, tok GROUP BY pos
+    ),
+    strat AS (
+        SELECT 'mod' AS strategy,
+               CAST(SUM(CASE WHEN pos % {OLD_SHARDS} <> pos % {NEW_SHARDS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM h
+        UNION ALL
+        SELECT 'ring',
+               CAST(SUM(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT r.* FROM h JOIN ring r USING (pos))
+    )
+    SELECT strategy, n_moved, n,
+           (n_moved * 1000000) // n AS moved_ppm
+    FROM strat ORDER BY strategy
+    """,
+)
+def q318(spark: SparkSession, sf: str) -> DataFrame:
+    """Reshard migration audit — before growing a sharded store from
+    {o} to {n} shards, measure how many rows each assignment strategy
+    moves: naive ``hash mod shards`` reassigns nearly everything (the
+    residues of two different divisors rarely agree — measured ~80%
+    here), while CONSISTENT HASHING (each shard owns the ring arc
+    before its token; new shards only claim slivers from their
+    neighbors) moves (n−o)/n ≈ 20% in EXPECTATION — measured ~35% here
+    because 20 single tokens leave high arc-size variance; virtual
+    nodes (more token rows per shard, same query) tighten it toward
+    the expectation. Assignment = the token
+    minimizing the clockwise distance ``(tok − pos) mod ring`` — an
+    arg-min over the O(shards) broadcast token table, so the audit is
+    one scan + a tiny broadcast join; everything is integer ring
+    arithmetic, engine-exact. The ppm pair is the number that decides
+    whether resharding is an online change or a cluster-wide
+    migration (production adds virtual nodes for arc balance — same
+    query, more token rows)."""
+    from ..functions.text import h64
+
+    o = load_table(spark, sf, "orders")
+    pos = (
+        h64(F.concat(F.lit("shard:"), F.col("o_orderkey").cast("string")))
+        % RING
+    )
+    h = o.select(pos.alias("pos"))
+    spark_range = spark.range(NEW_SHARDS).select(
+        F.col("id").alias("s"),
+        (h64(F.concat(F.lit("node:"), F.col("id").cast("string"))) % RING).alias(
+            "t"
+        ),
+    )
+    dist = (F.col("t") - F.col("pos") + RING) % RING
+    ring = (
+        h.join(F.broadcast(spark_range), F.lit(True))
+        .groupBy("pos")
+        .agg(
+            F.min(
+                F.when(F.col("s") < OLD_SHARDS, F.struct(dist.alias("d"), F.col("s")))
+            )["s"].alias("old_s"),
+            F.min(F.struct(dist.alias("d"), F.col("s")))["s"].alias("new_s"),
+        )
+    )
+    mod = h.agg(
+        F.lit("mod").alias("strategy"),
+        F.sum(
+            ((F.col("pos") % OLD_SHARDS) != (F.col("pos") % NEW_SHARDS)).cast("long")
+        ).alias("n_moved"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rng = (
+        h.join(ring, "pos")
+        .agg(
+            F.lit("ring").alias("strategy"),
+            F.sum((F.col("old_s") != F.col("new_s")).cast("long")).alias("n_moved"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = mod.unionByName(rng)
+    share = F.col("n_moved") * 1_000_000
+    return out.select(
+        "strategy",
+        "n_moved",
+        "n",
+        ((share - share % F.col("n")) / F.col("n")).cast("long").alias("moved_ppm"),
+    ).orderBy("strategy")
+
+
+q318.__doc__ = q318.__doc__.format(o=OLD_SHARDS, n=NEW_SHARDS)
+
+
+# ------------------------------------------------ bloom segment index ----
+BLOOM_BITS = 1020  # 17 words x 60 usable bits (2^60 stays in BIGINT)
+BLOOM_K = 3
+BLOOM_WORD = 60
+
+
+def _bloom_sql() -> str:
+    from .extensions import _H64
+
+    def hq(i: int, key: str) -> str:
+        return (
+            _H64.format(x=f"'b{i}:' || CAST({key} AS VARCHAR)")
+            + f" % {BLOOM_BITS}"
+        )
+
+    build_rows = "\n        UNION ALL ".join(
+        f"SELECT c_nationkey AS seg, {hq(i, 'c_custkey')} AS bit FROM customer"
+        for i in range(BLOOM_K)
+    )
+    probe_rows = "\n        UNION ALL ".join(
+        f"SELECT c_custkey AS probe_id, (c_nationkey + 1) % 25 AS seg,"
+        f" {hq(i, 'c_custkey')} AS bit FROM customer"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH build AS ({build_rows}),
+    bits AS (
+        SELECT seg, bit // {BLOOM_WORD} AS word,
+               CAST(bit_or(CAST(floor(power(2, bit % {BLOOM_WORD})) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM build GROUP BY seg, word
+    ),
+    probes AS ({probe_rows}),
+    hits AS (
+        SELECT probe_id, p.seg,
+               CASE WHEN b.w IS NOT NULL AND
+                         (b.w & CAST(floor(power(2, bit % {BLOOM_WORD})) AS BIGINT)) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM probes p LEFT JOIN bits b
+          ON b.seg = p.seg AND b.word = p.bit // {BLOOM_WORD}
+    ),
+    verdicts AS (
+        SELECT probe_id, seg,
+               CASE WHEN SUM(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS pos
+        FROM hits GROUP BY probe_id, seg
+    ),
+    fill AS (
+        SELECT seg, CAST(SUM(bit_count(w)) AS BIGINT) AS n_set_bits
+        FROM bits GROUP BY seg
+    )
+    SELECT v.seg, CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(pos) AS BIGINT) AS n_false_pos,
+           (CAST(SUM(pos) AS BIGINT) * 1000000) // COUNT(*) AS fpr_ppm,
+           f.n_set_bits
+    FROM verdicts v JOIN fill f ON f.seg = v.seg
+    GROUP BY v.seg, f.n_set_bits ORDER BY v.seg
+    """
+
+
+@query("q319_bloom_segment_index", oracle=_bloom_sql())
+def q319(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter segment index built ENTIRELY with declarative
+    bitwise aggregation — the membership-pruning structure that turns a
+    100 TB semi-join into a broadcast bitmap probe (skip a segment
+    unless all k bloom bits hit): per nation, member keys hash into
+    {k} positions of a {b}-bit filter stored as {w} BIGINT words via
+    ``bit_or`` (mergeable! partial filters OR together, so the build is
+    map-side); probes check their {k} (word, mask) pairs against the
+    broadcast bitmap. Every probe here targets a nation the customer is
+    NOT in, so every positive is a FALSE positive — the query measures
+    the realized FPR per segment alongside the fill factor (set-bit
+    count via ``bit_count``), which is exactly the sizing feedback a
+    bloom-pruned join needs. Masks are ``floor(2^bit)`` with bit < 60
+    (exponent-exact doubles), all else integer bitwise — engine-exact."""
+    from ..functions.text import h64
+
+    cust = load_table(spark, sf, "customer")
+
+    def hashed(i: int, tag_seg):
+        return cust.select(
+            tag_seg.alias("seg"),
+            F.col("c_custkey").alias("probe_id"),
+            (
+                h64(
+                    F.concat(
+                        F.lit(f"b{i}:"), F.col("c_custkey").cast("string")
+                    )
+                )
+                % BLOOM_BITS
+            ).alias("bit"),
+        )
+
+    mask = F.floor(F.pow(F.lit(2.0), F.col("bit") % BLOOM_WORD)).cast("long")
+    word = ((F.col("bit") - F.col("bit") % BLOOM_WORD) / BLOOM_WORD).cast("long")
+
+    build = hashed(0, F.col("c_nationkey"))
+    for i in range(1, BLOOM_K):
+        build = build.unionByName(hashed(i, F.col("c_nationkey")))
+    bits = (
+        build.select("seg", word.alias("word"), mask.alias("m"))
+        .groupBy("seg", "word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+
+    target = (F.col("c_nationkey") + 1) % 25
+    probes = hashed(0, target)
+    for i in range(1, BLOOM_K):
+        probes = probes.unionByName(hashed(i, target))
+    p = probes.select("probe_id", "seg", word.alias("word"), mask.alias("m"))
+    hits = p.join(F.broadcast(bits), ["seg", "word"], "left").select(
+        "probe_id",
+        "seg",
+        F.when(
+            F.col("w").isNotNull() & (F.col("w").bitwiseAND(F.col("m")) != 0), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    verdicts = hits.groupBy("probe_id", "seg").agg(
+        (F.sum("hit") == BLOOM_K).cast("long").alias("pos")
+    )
+    fill = bits.groupBy("seg").agg(F.sum(F.bit_count("w")).alias("n_set_bits"))
+    agg = verdicts.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_probes"), F.sum("pos").alias("n_false_pos")
+    )
+    fpr = F.col("n_false_pos") * 1_000_000
+    return (
+        agg.join(F.broadcast(fill), "seg")
+        .select(
+            "seg",
+            "n_probes",
+            "n_false_pos",
+            ((fpr - fpr % F.col("n_probes")) / F.col("n_probes"))
+            .cast("long")
+            .alias("fpr_ppm"),
+            "n_set_bits",
+        )
+        .orderBy("seg")
+    )
+
+
+q319.__doc__ = q319.__doc__.format(k=BLOOM_K, b=BLOOM_BITS, w=BLOOM_BITS // BLOOM_WORD)

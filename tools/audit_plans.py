@@ -49,6 +49,9 @@ EXPECTED = {
     "q307_abc_classification": {"BroadcastNestedLoopJoin"},  # 1-row total scalar
     "q310_gini_coefficient": {"BroadcastNestedLoopJoin"},  # 1-row totals scalar
     "q315_decayed_popularity": {"BroadcastNestedLoopJoin"},  # 1-row ref-date scalar
+    # O(shards) broadcast token ring crossed against row positions — the
+    # consistent-hash assignment IS a broadcast nested loop by design
+    "q318_reshard_plan": {"BroadcastNestedLoopJoin"},
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
