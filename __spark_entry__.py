@@ -125,7 +125,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q313_halfsample_ci", "q314_seasonal_index",
     "q315_decayed_popularity", "q316_sorted_neighborhood_pairs",
     "q317_silhouette_score", "q318_reshard_plan",
-    "q319_bloom_segment_index",
+    "q319_bloom_segment_index", "q320_trailing_leaderboard",
 )
 
 

@@ -1204,3 +1204,92 @@ def q312(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "conversion_event_id", "pos")
     )
+
+
+# ------------------------------------------------ trailing leaderboard ----
+LB_WINDOW_D = 7
+LB_K = 3
+
+
+@query(
+    "q320_trailing_leaderboard",
+    oracle=f"""
+    WITH daily AS (
+        SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey, day
+    ),
+    contrib AS (
+        SELECT l_partkey, day + CAST(off AS INTEGER) AS lb_day, cents
+        FROM daily, unnest(range({LB_WINDOW_D})) t(off)
+    ),
+    bounds AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS max_day FROM lineitem),
+    scored AS (
+        SELECT lb_day, l_partkey, CAST(SUM(cents) AS BIGINT) AS trail_cents
+        FROM contrib, bounds WHERE lb_day <= max_day
+        GROUP BY lb_day, l_partkey
+    ),
+    ranked AS (
+        SELECT lb_day, l_partkey, trail_cents,
+               ROW_NUMBER() OVER (PARTITION BY lb_day
+                                  ORDER BY trail_cents DESC, l_partkey) AS rk
+        FROM scored
+    )
+    SELECT lb_day, rk, l_partkey, trail_cents
+    FROM ranked WHERE rk <= {LB_K}
+    ORDER BY lb_day, rk
+    """,
+)
+def q320(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily top-{k} leaderboard over a trailing {w}-day revenue window —
+    the trending-products board, computed WITHOUT densifying the
+    (day × part) matrix and WITHOUT per-part gap-aware frames: each
+    day's (part, revenue) row EXPLODES into the {w} future leaderboard
+    days it influences, and one hash aggregate keyed on (leaderboard
+    day, part) rebuilds every trailing sum — a part with sales 3 days
+    ago ranks today even though it has no row today, the case sparse
+    window frames silently drop. Fan-out is a fixed ×{w} on the DAILY
+    aggregate (already corpus-reduced), the ranking window partitions
+    by day, and exact integer cents carry the ordering. This
+    contribute-to-future-windows explode is the general sliding-window-
+    aggregate shape when windows are short and data is sparse; long
+    windows flip to prefix-sum differences (q298's machinery)."""
+    li = load_table(spark, sf, "lineitem")
+    daily = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    bounds = li.agg(F.max(F.to_date("l_shipdate")).alias("max_day"))
+    contrib = daily.select(
+        "l_partkey",
+        "cents",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LB_WINDOW_D - 1)),
+                lambda off: F.date_add(F.col("day"), off),
+            )
+        ).alias("lb_day"),
+    )
+    scored = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("lb_day") <= F.col("max_day"))
+        .groupBy("lb_day", "l_partkey")
+        .agg(F.sum("cents").alias("trail_cents"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lb_day").orderBy(
+            F.col("trail_cents").desc(), "l_partkey"
+        )
+    )
+    return (
+        scored.select("lb_day", rk.alias("rk"), "l_partkey", "trail_cents")
+        .where(F.col("rk") <= LB_K)
+        .orderBy("lb_day", "rk")
+    )
+
+
+q320.__doc__ = q320.__doc__.format(k=LB_K, w=LB_WINDOW_D)
