@@ -3286,3 +3286,160 @@ def q316(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q316.__doc__ = q316.__doc__.format(w=SNM_W)
+
+
+# ------------------------------------------- blocking-strategy bake-off ----
+@query(
+    "q321_blocking_recall_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS eid,
+               c_name || ' ' || substr(md5(c_name), 1, 6) AS s
+        FROM customer
+    ),
+    ents AS (
+        SELECT eid, s FROM base
+        UNION ALL
+        SELECT eid + 1000000, s || 'x' FROM base
+        UNION ALL
+        SELECT eid + 2000000, substr(s, 1, len(s) - 1) || '#' FROM base
+    ),
+    truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) * 3 AS n_true FROM base
+    ),
+    prefix_pairs AS (
+        SELECT a.eid AS ea, b.eid AS eb
+        FROM ents a JOIN ents b
+          ON substr(a.s, 1, 20) = substr(b.s, 1, 20)
+         AND a.eid < b.eid AND levenshtein(a.s, b.s) <= 2
+    ),
+    ranked AS (
+        SELECT eid, s,
+               CAST(ROW_NUMBER() OVER (ORDER BY s, eid) AS BIGINT) AS r
+        FROM ents
+    ),
+    snm_pairs AS (
+        SELECT LEAST(a.eid, b.eid) AS ea, GREATEST(a.eid, b.eid) AS eb
+        FROM ranked a JOIN ranked b
+          ON b.r - a.r BETWEEN 1 AND {SNM_W - 1}
+         AND levenshtein(a.s, b.s) <= 2
+    ),
+    rep AS (
+        SELECT 'prefix' AS strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN ea % 1000000 = eb % 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found
+        FROM prefix_pairs
+        UNION ALL
+        SELECT 'snm', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN ea % 1000000 = eb % 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM snm_pairs
+    )
+    SELECT strategy, n_pairs, n_true_found, n_true,
+           (n_true_found * 1000000) // n_true AS recall_ppm,
+           CASE WHEN n_pairs > 0
+                THEN (n_true_found * 1000000) // n_pairs END AS precision_ppm
+    FROM rep, truth ORDER BY strategy
+    """,
+)
+def q321(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-strategy bake-off — the evaluation report a dedup
+    platform runs before picking its candidate generator: prefix
+    blocking (q234's) and sorted-neighborhood (q316's) over the SAME
+    dirty-entity corpus, scored against DERIVABLE ground truth (the
+    synthesis makes each entity's 3 variants share ``eid mod 10⁶``, so
+    true-pair recall and pair precision are exact counts, no labeling
+    needed). This closes the dedup story: four candidate generators
+    (prefix/hash q234, LSH q92, SimHash q225, SNM q316) + one harness
+    that says which to use per corpus. Both pair pipelines are the
+    certified keyed-join shapes; the report adds two tiny aggregates
+    and a 1-row truth broadcast. On THIS synthetic corpus both score
+    perfect recall/precision by construction (tail-only corruptions
+    keep the 20-char prefix and the sort adjacency); real corpora with
+    head typos differentiate them — which is exactly what the report
+    exists to surface."""
+    from ..functions.refops import deterministic_id
+
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("eid"),
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.substring(F.md5("c_name"), 1, 6)
+        ).alias("s"),
+    )
+    v1 = base.select(
+        (F.col("eid") + 1000000).alias("eid"), F.concat("s", F.lit("x")).alias("s")
+    )
+    v2 = base.select(
+        (F.col("eid") + 2000000).alias("eid"),
+        F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("#")).alias("s"),
+    )
+    ents = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
+    truth = base.agg((F.count(F.lit(1)) * 3).alias("n_true"))
+
+    blocked = ents.withColumn("blk", F.substring("s", 1, 20))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    prefix_pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .where(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 2)
+        .select(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+    )
+
+    ranked = deterministic_id(ents, ["s", "eid"], name="r", fact_scale=True)
+    width = SNM_W - 1
+    bkt = ((F.col("r") - F.col("r") % width) / width).cast("long")
+    lo = ranked.select(
+        F.col("eid").alias("eid_a"), F.col("s").alias("s_a"),
+        F.col("r").alias("r_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    hi = ranked.select(
+        F.col("eid").alias("eid_b"), F.col("s").alias("s_b"),
+        F.col("r").alias("r_b"), bkt.alias("bkt"),
+    )
+    delta = F.col("r_b") - F.col("r_a")
+    snm_pairs = (
+        lo.join(hi, "bkt")
+        .where(
+            (delta >= 1)
+            & (delta <= width)
+            & (F.levenshtein(F.col("s_a"), F.col("s_b")) <= 2)
+        )
+        .select(
+            F.least("eid_a", "eid_b").alias("ea"),
+            F.greatest("eid_a", "eid_b").alias("eb"),
+        )
+    )
+
+    def report(name: str, pairs: DataFrame) -> DataFrame:
+        is_true = (F.col("ea") % 1000000 == F.col("eb") % 1000000).cast("long")
+        return pairs.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(is_true).alias("n_true_found"),
+        )
+
+    rep = report("prefix", prefix_pairs).unionByName(report("snm", snm_pairs))
+    rec = F.col("n_true_found") * 1_000_000
+    prec = F.col("n_true_found") * 1_000_000
+    return (
+        rep.crossJoin(F.broadcast(truth))
+        .select(
+            "strategy",
+            "n_pairs",
+            "n_true_found",
+            "n_true",
+            ((rec - rec % F.col("n_true")) / F.col("n_true"))
+            .cast("long")
+            .alias("recall_ppm"),
+            F.when(
+                F.col("n_pairs") > 0,
+                ((prec - prec % F.col("n_pairs")) / F.col("n_pairs")).cast("long"),
+            ).alias("precision_ppm"),
+        )
+        .orderBy("strategy")
+    )

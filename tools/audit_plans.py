@@ -53,6 +53,7 @@ EXPECTED = {
     # consistent-hash assignment IS a broadcast nested loop by design
     "q318_reshard_plan": {"BroadcastNestedLoopJoin"},
     "q320_trailing_leaderboard": {"BroadcastNestedLoopJoin"},  # 1-row max_day scalar
+    "q321_blocking_recall_report": {"BroadcastNestedLoopJoin"},  # 1-row truth scalar
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
