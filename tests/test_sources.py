@@ -382,3 +382,48 @@ def test_warclite_stream_reader(spark, tmp_path):
     # fresh checkpoint -> reads all 3 records; the per-file batching is
     # covered by the offset math (2 files -> 2 partitions)
     assert spark.table(name + "2").count() == 3
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a day-partitioned fact against a FILTERED dim must inject a
+    dynamic-pruning subquery into the fact scan (Spark DPP), so only the
+    dim-selected partitions are read — the mechanism that turns a
+    date-dim filter into a 100 TB partition skip. DPP requires a real
+    predicate on the dim side; asserted from the physical plan plus a
+    value check against the unpartitioned equivalent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fact = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").parquet(fact)
+    dim_path = str(tmp_path / "day_dim")
+    ev.select("day").distinct().withColumn(
+        "is_weekstart", F.dayofweek("day") == 2
+    ).write.parquet(dim_path)
+    part = spark.read.parquet(fact)
+    dim = spark.read.parquet(dim_path).where(
+        (F.col("day") >= datetime.date(2024, 1, 8))
+        & (F.col("day") <= datetime.date(2024, 1, 10))
+    )
+    joined = part.join(dim.select("day"), "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    explain = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in explain.lower(), explain[:2000]
+    got = {r.day: r.n for r in joined.collect()}
+    want = {
+        r.day: r.n
+        for r in ev.join(dim.select("day"), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
