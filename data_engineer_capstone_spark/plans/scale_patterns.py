@@ -1271,3 +1271,114 @@ def q319(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q319.__doc__ = q319.__doc__.format(k=BLOOM_K, b=BLOOM_BITS, w=BLOOM_BITS // BLOOM_WORD)
+
+
+# ------------------------------------------------- count-min sketch ----
+CMS_ROWS = 4
+CMS_W = 256
+CMS_TOP = 20
+
+
+def _cms_sql() -> str:
+    from .extensions import _H64
+
+    def hq(i: int) -> str:
+        return (
+            _H64.format(x=f"'cms{i}:' || CAST(user_id AS VARCHAR)")
+            + f" % {CMS_W}"
+        )
+
+    build = "\n        UNION ALL ".join(
+        f"SELECT {i} AS r, {hq(i)} AS c FROM events" for i in range(CMS_ROWS)
+    )
+    probe = "\n        UNION ALL ".join(
+        f"SELECT user_id, {i} AS r, {hq(i)} AS c FROM hot"
+        for i in range(CMS_ROWS)
+    )
+    return f"""
+    WITH cells AS ({build}),
+    cms AS (
+        SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, c
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+    ),
+    hot AS (
+        SELECT user_id, exact_n FROM exact
+        ORDER BY exact_n DESC, user_id LIMIT {CMS_TOP}
+    ),
+    probes AS ({probe}),
+    est AS (
+        SELECT p.user_id, CAST(MIN(m.cnt) AS BIGINT) AS est_n
+        FROM probes p JOIN cms m ON m.r = p.r AND m.c = p.c
+        GROUP BY p.user_id
+    )
+    SELECT h.user_id, h.exact_n, e.est_n,
+           e.est_n - h.exact_n AS overestimate
+    FROM hot h JOIN est e ON e.user_id = h.user_id
+    ORDER BY h.exact_n DESC, h.user_id
+    """
+
+
+@query("q322_count_min_sketch", oracle=_cms_sql())
+def q322(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimation — the streaming heavy-hitter
+    counter whose memory is FIXED ({r}×{w} integers) no matter how many
+    distinct keys flow through: every event increments one counter per
+    hash row, and a key's estimate is the MIN across its {r} counters
+    (always ≥ truth; collisions only inflate). Like q290/q319, the
+    md5-derived sketch is DETERMINISTIC, so this approximate structure
+    carries a full value-hash oracle — the report shows the hottest {t}
+    keys with exact count, estimate, and realized overestimate, which is
+    the calibration a production CMS (top-k dashboards, rate limiting)
+    ships with. Build = one hash aggregate over {r} exploded cells per
+    row, MERGEABLE by cell-wise addition (partial sketches sum — the
+    q209 argument), probe = a {r}-row equi-join per key against the
+    broadcast 1k-cell sketch."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events")
+
+    def cells(df: DataFrame, cols: list) -> DataFrame:
+        out = None
+        for i in range(CMS_ROWS):
+            c = (
+                h64(
+                    F.concat(
+                        F.lit(f"cms{i}:"), F.col("user_id").cast("string")
+                    )
+                )
+                % CMS_W
+            )
+            part = df.select(*cols, F.lit(i).alias("r"), c.alias("c"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    cms = (
+        cells(ev, [])
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    hot = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(CMS_TOP)
+    probes = cells(hot, ["user_id"])
+    est = (
+        probes.join(F.broadcast(cms), ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return (
+        hot.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+q322.__doc__ = q322.__doc__.format(r=CMS_ROWS, w=CMS_W, t=CMS_TOP)
