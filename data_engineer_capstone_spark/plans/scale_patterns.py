@@ -1382,3 +1382,71 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q322.__doc__ = q322.__doc__.format(r=CMS_ROWS, w=CMS_W, t=CMS_TOP)
+
+
+# --------------------------------------------- functional dependencies ----
+FD_CANDIDATES = (
+    ("part", "p_partkey", "p_name"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("nation", "n_nationkey", "n_regionkey"),
+)
+
+
+def _fd_sql() -> str:
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT '{t}.{lhs}->{rhs}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(*) FILTER (WHERE d > 1) AS BIGINT) AS violating
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS d
+              FROM {t} GROUP BY {lhs})"""
+        for (t, lhs, rhs) in FD_CANDIDATES
+    )
+    return f"""
+    SELECT candidate, n_groups, violating, violating = 0 AS holds
+    FROM ({arms})
+    ORDER BY candidate
+    """
+
+
+@query("q323_fd_discovery", oracle=_fd_sql())
+def q323(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery (Metanome/profiling-style): for
+    each candidate FD ``lhs -> rhs`` report how many lhs groups exist,
+    how many VIOLATE (``>1`` distinct rhs), and whether the dependency
+    holds — the schema-inference primitive behind key detection,
+    normalization advice, and DQ contracts. Each candidate is one
+    ``groupBy(lhs).agg(countDistinct(rhs))`` over a 2-column projection:
+    Catalyst plans the distinct as a partial-deduped two-phase hash
+    aggregate, so every arm is combiner-friendly and the unioned result
+    is O(candidates) rows. At 100 TB candidate arms share scans per
+    table (same pruned 2-3 column read) and nothing ever widens past
+    (lhs, rhs). Extension surface beyond the reference's fixed-schema
+    pipeline (`/root/reference/scripts/pyspark.py` trusts its schemas;
+    this derives them)."""
+    arms = []
+    for t, lhs, rhs in FD_CANDIDATES:
+        g = (
+            load_table(spark, sf, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        arms.append(
+            g.agg(
+                F.lit(f"{t}.{lhs}->{rhs}").alias("candidate"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(F.when(F.col("d") > 1, 1)).alias("violating"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "candidate",
+        "n_groups",
+        "violating",
+        (F.col("violating") == 0).alias("holds"),
+    ).orderBy("candidate")
