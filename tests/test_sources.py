@@ -427,3 +427,70 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_runtime_bloom_filter_join_on_unpartitioned_fact(spark, sf_dir):
+    """The unpartitioned complement of DPP: joining a big fact against a
+    selectively FILTERED build side over a non-partition key must inject
+    a runtime bloom filter (Spark's InjectRuntimeFilter) on the fact's
+    scan — `bloom_filter_might_contain` in the physical plan — so probe
+    rows that cannot match are dropped before the shuffle. At 100 TB
+    this is the row-level analog of partition skipping: the shuffle
+    writes only the ~selectivity fraction of the fact. Thresholds are
+    lowered to test scale (the defaults gate on a 10 GB probe side) and
+    broadcast is disabled because bloom injection targets shuffle
+    joins; values are checked against the un-tuned plan."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+    }
+    for k in keep:
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+
+    def build():
+        # rebuilt per conf regime: a Dataset caches its QueryExecution,
+        # so a pre-built plan would not see the new optimizer confs
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        return lineitem.join(
+            sel, lineitem.l_orderkey == sel.o_orderkey
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+        )
+
+    want = build().collect()[0]
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        q = build()
+        explain = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in explain.lower(), explain[:3000]
+        got = q.collect()[0]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert (got.n, got.qty) == (want.n, want.qty)
