@@ -494,3 +494,53 @@ def test_runtime_bloom_filter_join_on_unpartitioned_fact(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert (got.n, got.qty) == (want.n, want.qty)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift is a fact of life in a 100 TB lake: later batches
+    add columns. Reading the directory with ``mergeSchema=true`` must
+    union the file schemas (old rows null-fill the new column), while
+    the default read keeps the cheap single-footer schema — certifying
+    both the capability and that the expensive footer merge stays
+    opt-in. (Parquet merge unions columns of identical type; conflicting
+    types like int-vs-long are rejected loudly rather than coerced —
+    that stricter contract is what a lake wants.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path / "evolving")
+    s1 = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("a", StringType()),
+        ]
+    )
+    spark.createDataFrame([(1, "x"), (2, "y")], s1).write.parquet(
+        f"{root}/batch=1"
+    )
+    s2 = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+        ]
+    )
+    spark.createDataFrame([(3, "z", "new")], s2).write.parquet(
+        f"{root}/batch=2"
+    )
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert {f.name for f in merged.schema} == {"id", "a", "b", "batch"}
+    rows = {
+        r.id: (r.a, r.b) for r in merged.select("id", "a", "b").collect()
+    }
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", "new")}
+    assert merged.where(F.col("b").isNull()).count() == 2
+
+    plain = spark.read.parquet(root)
+    assert len(plain.schema) < len(merged.schema)  # merge stays opt-in
