@@ -589,3 +589,94 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("src").alias("node"), F.col("d").alias("degree"))
         .orderBy("node")
     )
+
+
+# ------------------------------------------------- BFS shortest path ----
+BFS_HOPS = 3
+BFS_SEED_MOD = 251
+
+
+def _bfs_sql() -> str:
+    frontiers = []
+    prior = ["d0"]
+    for h in range(1, BFS_HOPS + 1):
+        prev = prior[-1]
+        not_seen = "\n           AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM {v} x WHERE x.node = u.dst)"
+            for v in prior
+        )
+        frontiers.append(
+            f"""f{h} AS (
+        SELECT DISTINCT u.dst AS node
+        FROM und u JOIN {prev} s ON s.node = u.src
+        WHERE {not_seen})"""
+        )
+        prior.append(f"f{h}")
+    arms = "\n    UNION ALL ".join(
+        f"SELECT node, CAST({h} AS BIGINT) AS dist FROM {t}"
+        for h, t in enumerate(prior)
+    )
+    return f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    d0 AS (SELECT DISTINCT src AS node FROM und
+           WHERE src % {BFS_SEED_MOD} = 0),
+    {",".join(frontiers)}
+    {arms}
+    ORDER BY dist, node
+    """
+
+
+@query("q324_bfs_shortest_path", oracle=_bfs_sql())
+def q324(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-hop BFS shortest path from a deterministic seed set
+    (nodes ≡ 0 mod {m}) over the co-purchase graph: dist = min #hops
+    ≤ {h}. Each round is ONE frontier⋈edges equi-join + a distinct + an
+    anti-join against the visited set — the canonical O(frontier·deg)
+    per-round distributed plan (Pregel/GraphX BFS re-expressed as
+    DataFrame ops). Frontiers are eagerly checkpointed so round k+1
+    reads round k's materialized blocks instead of re-deriving the
+    whole lineage (the q108 label-prop discipline); at 100 TB the edge
+    list is pre-partitioned by src so every round shuffles only the
+    O(frontier) probe side. Unbounded BFS = this loop + an isEmpty
+    probe; the bounded-hop form is the registered, oracle-checkable
+    query."""
+    und = (
+        _edges(spark, sf)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)  # probed once per round
+    )
+    frontier = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    out = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    for h in range(1, BFS_HOPS + 1):
+        nxt = (
+            und.join(frontier, und.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            nxt.select("node", F.lit(h).cast("long").alias("dist"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return out.orderBy("dist", "node")
+
+
+q324.__doc__ = q324.__doc__.format(m=BFS_SEED_MOD, h=BFS_HOPS)
