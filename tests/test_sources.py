@@ -544,3 +544,58 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
 
     plain = spark.read.parquet(root)
     assert len(plain.schema) < len(merged.schema)  # merge stays opt-in
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must SPLIT a skewed post-shuffle partition at join time
+    (``SortMergeJoin(skew=true)`` in the final adaptive plan): one hot
+    key holding ~95% of the probe side is divided across tasks instead
+    of straggling on one. This is the no-code-change skew path that
+    complements the explicit salting operators (q222/q229) — thresholds
+    are lowered to make test-scale partitions register as skewed, and
+    the joined aggregate is value-checked in closed form."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    keep = {}
+    for k in confs:
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n_rows, n_dim = 200_000, 1000
+        left = spark.range(n_rows).select(
+            F.when(F.col("id") % 100 < 95, F.lit(7))
+            .otherwise(F.col("id") % n_dim)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(n_dim).select(F.col("id").alias("k"))
+        j = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        got = j.collect()[0]
+        explain = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "skew=true" in explain, explain[:3000]
+        # every left key is in [0, n_dim): the join keeps all rows
+        assert (got.n, got.sv) == (n_rows, n_rows * (n_rows - 1) // 2)
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
