@@ -1450,3 +1450,206 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
         "violating",
         (F.col("violating") == 0).alias("holds"),
     ).orderBy("candidate")
+
+
+# --------------------------------------------- reciprocal rank fusion ----
+RRF_K = 60
+RRF_TOPN = 100
+RRF_OUT = 25
+_RRF_Q = 10**12
+
+
+def _rrf_sql() -> str:
+    vocab = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, n_chars, CAST(len({vocab}) AS BIGINT) AS n_vocab
+        FROM documents
+    ),
+    la AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS BIGINT) AS r
+           FROM (SELECT doc_id, n_chars FROM base
+                 ORDER BY n_chars DESC, doc_id LIMIT {RRF_TOPN})),
+    lb AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n_vocab DESC, doc_id)
+                       AS BIGINT) AS r
+           FROM (SELECT doc_id, n_vocab FROM base
+                 ORDER BY n_vocab DESC, doc_id LIMIT {RRF_TOPN})),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CAST(COALESCE({_RRF_Q} // ({RRF_K} + a.r), 0)
+                  + COALESCE({_RRF_Q} // ({RRF_K} + b.r), 0)
+                  AS BIGINT) AS rrf_q,
+               a.r AS rank_chars, b.r AS rank_vocab
+        FROM la a FULL OUTER JOIN lb b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_q, rank_chars, rank_vocab
+    FROM fused ORDER BY rrf_q DESC, doc_id LIMIT {RRF_OUT}
+    """
+
+
+@query("q325_rrf_fusion", oracle=_rrf_sql())
+def q325(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion — the hybrid-retrieval combiner (BM25 list
+    + ANN list -> one ranking) — over two exact document rankings
+    (char-length and distinct-vocab proxies for the two retrievers).
+    The scale contract of real RRF is encoded exactly: each retriever
+    contributes a BOUNDED top-{n} candidate list (TakeOrdered, no
+    global sort of the corpus), ranks are assigned by a window over
+    that O({n})-row list only, and the fusion is a full-outer equi-join
+    of the two slim lists. The 1/(k+rank) weight is quantized to exact
+    integer units via ppm-style floor division ({q} div (k+rank)) so
+    the fused order is bit-stable cross-engine (no libm, no float
+    sums — the q312 apportionment discipline)."""
+    from ..functions.text import words
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(words("text"))).cast("long").alias("n_vocab"),
+    )
+
+    def ranked(col: str, out: str) -> DataFrame:
+        top = (
+            base.select("doc_id", col)
+            .orderBy(F.col(col).desc(), "doc_id")
+            .limit(RRF_TOPN)
+        )
+        w = W.orderBy(F.col(col).desc(), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(out)
+        )
+
+    la = ranked("n_chars", "ra")
+    lb = ranked("n_vocab", "rb")
+    fused = la.join(lb, "doc_id", "full_outer")
+    score = (
+        F.coalesce(F.expr(f"{_RRF_Q} div ({RRF_K} + ra)"), F.lit(0))
+        + F.coalesce(F.expr(f"{_RRF_Q} div ({RRF_K} + rb)"), F.lit(0))
+    ).cast("long")
+    return (
+        fused.select(
+            "doc_id",
+            score.alias("rrf_q"),
+            F.col("ra").alias("rank_chars"),
+            F.col("rb").alias("rank_vocab"),
+        )
+        .orderBy(F.col("rrf_q").desc(), "doc_id")
+        .limit(RRF_OUT)
+    )
+
+
+q325.__doc__ = q325.__doc__.format(n=RRF_TOPN, q=_RRF_Q)
+
+
+# --------------------------------------------- Spearman rank drift ----
+_US_PER_DAY = 86_400_000_000
+
+
+def _spearman_sql() -> str:
+    def rank_cte(key: str) -> str:
+        return f"""(
+        SELECT g, {key},
+               2*(CAST(SUM(c) OVER (PARTITION BY g ORDER BY {key})
+                       AS BIGINT) - c) + c + 1 AS r
+        FROM (SELECT g, {key}, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ev GROUP BY g, {key}))"""
+
+    rho = (
+        "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+        " / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+        " * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))"
+    )
+    from ._util import sql_round_det
+
+    return f"""
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS vq,
+               epoch_us(ts)//{_US_PER_DAY} AS d
+        FROM events WHERE value IS NOT NULL
+    ),
+    rx AS {rank_cte("vq")},
+    ry AS {rank_cte("d")},
+    j AS (SELECT e.g, x.r AS rx, y.r AS ry
+          FROM ev e
+          JOIN rx x ON x.g = e.g AND x.vq = e.vq
+          JOIN ry y ON y.g = e.g AND y.d = e.d),
+    s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rx) AS BIGINT) AS sx,
+                 CAST(SUM(ry) AS BIGINT) AS sy,
+                 CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+                 CAST(SUM(ry*ry) AS BIGINT) AS syy,
+                 CAST(SUM(rx*ry) AS BIGINT) AS sxy
+          FROM j GROUP BY g)
+    SELECT g AS event_type, n, {sql_round_det(rho, 9)} AS spearman
+    FROM s ORDER BY event_type
+    """
+
+
+@query("q326_spearman_drift", oracle=_spearman_sql())
+def q326(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group Spearman rank correlation between metric value
+    and event day — "is this metric drifting monotonically over time",
+    the rank-based complement of Pearson (q119) that is robust to
+    outliers and nonlinearity. Scale shape: NO data-scale window
+    anywhere — tie-averaged ranks (2× units keep them integral) come
+    from hash aggregates over the BOUNDED supports (cent-quantized
+    values; days), cumulated by a window over the O(groups×support)
+    aggregate only (the q309 ECDF discipline), then joined back to
+    rows via slim broadcastable rank tables. Moments are exact BIGINT
+    sums; the final rho is one identical double formula per group
+    (sqrt is IEEE-exactly-rounded — the q308 rule), floor-quantized to
+    9 digits."""
+    from ._util import round_det
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vq"),
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}"
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=True)  # reused: two rank builds + join base
+    )
+
+    def ranks(key: str, out: str) -> DataFrame:
+        cnt = ev.groupBy("g", key).agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("g").orderBy(key)
+        return cnt.select(
+            "g",
+            key,
+            (
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).alias(out),
+        )
+
+    j = ev.join(ranks("vq", "rx"), ["g", "vq"]).join(
+        ranks("d", "ry"), ["g", "d"]
+    )
+    s = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return s.select(
+        F.col("g").alias("event_type"),
+        "n",
+        round_det(rho, 9).alias("spearman"),
+    ).orderBy("event_type")

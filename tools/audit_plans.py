@@ -75,6 +75,9 @@ EXPECTED = {
     # the O(n·(b+1)) slim block rows — SMJ is the at-scale plan
     "q225_simhash_pairs": {"SortMergeJoin"},
     "q23_full_outer": {"SortMergeJoin"},  # broadcast cannot do full outer
+    # full outer of two LIMIT-100 candidate lists (RRF fuses bounded
+    # retriever outputs by contract — O(top-N) rows regardless of corpus)
+    "q325_rrf_fusion": {"SortMergeJoin"},
     "q235_ivm_delta_aggregate": {"SortMergeJoin"},  # full-outer merge of two O(groups) aggs
     "q293_minhash_merge_invariance": {"SortMergeJoin"},  # full-outer merge of two O(domains) sig tables
 
@@ -166,6 +169,7 @@ GLOBAL_WINDOW_OK = {
     "q273_benford_check",  # share window over the 9-digit aggregate
     "q72_time_fact_accumulation",
     "q73_dq_checks",
+    "q325_rrf_fusion",  # rank window over a TakeOrdered LIMIT-100 list
 }
 
 
