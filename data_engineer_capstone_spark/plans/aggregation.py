@@ -1655,3 +1655,90 @@ def q315(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q315.__doc__ = q315.__doc__.format(c=DECAY_CAP)
+
+
+# -------------------------------------------- mutual information -----
+_MI_US_DAY = 86_400_000_000
+
+
+@query(
+    "q328_mutual_information",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value / 10) AS BIGINT) AS vb,
+               (epoch_us(ts)//{_MI_US_DAY} + 4) % 7 AS dow
+        FROM events WHERE value IS NOT NULL
+    ),
+    joint AS (SELECT g, vb, dow, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ev GROUP BY g, vb, dow),
+    mx AS (SELECT g, vb, CAST(SUM(n) AS BIGINT) AS n
+           FROM joint GROUP BY g, vb),
+    my AS (SELECT g, dow, CAST(SUM(n) AS BIGINT) AS n
+           FROM joint GROUP BY g, dow),
+    mt AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n FROM joint GROUP BY g),
+    terms AS (
+        SELECT j.g,
+               CAST(floor(
+                   (CAST(j.n AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * ln((CAST(j.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                        / (CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT) AS q
+        FROM joint j
+        JOIN mx x ON x.g = j.g AND x.vb = j.vb
+        JOIN my y ON y.g = j.g AND y.dow = j.dow
+        JOIN mt t ON t.g = j.g
+    )
+    SELECT g AS event_type,
+           floor(CAST(SUM(q) AS BIGINT) / 1e9 * 1e6 + 0.5) / 1e6 AS mi
+    FROM terms GROUP BY g ORDER BY event_type
+    """,
+)
+def q328(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information I(value-bin; day-of-week) per event type —
+    the feature-relevance / dependence score (0 = independent) that
+    complements chi-square (q163, a test) and entropy (q171, a
+    marginal): MI quantifies HOW MUCH knowing the weekday tells you
+    about the metric. Same scale discipline as q171: the raw stream
+    reduces to the joint-count contingency table first (one hash
+    aggregate over the bounded (type, value-bin, weekday) support);
+    marginals and totals are re-aggregates of that table; each
+    p·ln(p·n/(px·py)) term is a deterministic double quantized to
+    nano-units BEFORE the cross-cell sum so partition order cannot
+    wiggle the result. Weekday is pure integer arithmetic on the
+    epoch day (no timezone functions), identical cross-engine."""
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") / 10).cast("long").alias("vb"),
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {_MI_US_DAY} + 4) % 7"
+            ).alias("dow"),
+        )
+    )
+    joint = ev.groupBy("g", "vb", "dow").agg(F.count(F.lit(1)).alias("n"))
+    joint = joint.localCheckpoint(eager=True)  # reused by 3 re-aggregates
+    mx = joint.groupBy("g", "vb").agg(F.sum("n").alias("nx"))
+    my = joint.groupBy("g", "dow").agg(F.sum("n").alias("ny"))
+    mt = joint.groupBy("g").agg(F.sum("n").alias("nt"))
+    j = (
+        joint.join(F.broadcast(mx), ["g", "vb"])
+        .join(F.broadcast(my), ["g", "dow"])
+        .join(F.broadcast(mt), "g")
+    )
+    term = (
+        F.col("n").cast("double") / F.col("nt").cast("double")
+    ) * F.log(
+        (F.col("n").cast("double") * F.col("nt").cast("double"))
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    q = F.floor(term * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        j.select("g", q.alias("q"))
+        .groupBy("g")
+        .agg(round_det(F.sum("q") / 1e9, 6).alias("mi"))
+        .select(F.col("g").alias("event_type"), "mi")
+        .orderBy("event_type")
+    )

@@ -2407,3 +2407,101 @@ def q317(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------- expanding-window CV backtest ----
+CV_FOLDS = 4
+_US_DAY = 86_400_000_000
+
+
+@query(
+    "q327_expanding_cv_splits",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_us(ts)//{_US_DAY} AS d FROM events),
+    days AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY d),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM days),
+    folds AS (
+        SELECT i,
+               dmin + ((i * (dmax - dmin + 1)) // {CV_FOLDS + 1}) AS b_lo,
+               dmin + (((i + 1) * (dmax - dmin + 1)) // {CV_FOLDS + 1})
+                   AS b_hi
+        FROM bounds, generate_series(1, {CV_FOLDS}) t(i)
+    )
+    SELECT CAST(f.i AS BIGINT) AS fold,
+           CAST(COALESCE(SUM(CASE WHEN dd.d < f.b_lo THEN dd.c END), 0)
+                AS BIGINT) AS train_rows,
+           CAST(COALESCE(SUM(CASE WHEN dd.d >= f.b_lo AND dd.d < f.b_hi
+                              THEN dd.c END), 0) AS BIGINT) AS test_rows,
+           f.b_lo - 1 AS train_end_day,
+           f.b_hi - 1 AS test_end_day
+    FROM folds f CROSS JOIN days dd
+    GROUP BY f.i, f.b_lo, f.b_hi
+    ORDER BY fold
+    """,
+)
+def q327(spark: SparkSession, sf: str) -> DataFrame:
+    """Expanding-window time-series cross-validation splits — the
+    backtest generalization of the single temporal holdout (q268):
+    fold i trains on everything before boundary b_i and tests on
+    [b_i, b_(i+1)), with integer day boundaries cut into {k}+1 equal
+    slices so the assignment is exact in both engines. Scale shape:
+    the raw stream reduces to per-day counts FIRST (one hash
+    aggregate over the bounded day support), the 1-row min/max bound
+    and the {k}-row fold table broadcast onto it (whitelisted BNLJ —
+    the q320 scalar-broadcast class), and every fold's train/test
+    row count is a conditional sum over O(days) rows. Nothing at
+    data scale is replicated per fold."""
+    ev = load_table(spark, sf, "events").select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_DAY}").alias(
+            "d"
+        )
+    )
+    days = ev.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    bounds = days.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    folds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(CV_FOLDS))).alias("i"),
+            "dmin",
+            "dmax",
+        )
+        .select(
+            F.col("i").cast("long").alias("fold"),
+            F.expr(
+                f"dmin + (i * (dmax - dmin + 1)) div {CV_FOLDS + 1}"
+            ).alias("b_lo"),
+            F.expr(
+                f"dmin + ((i + 1) * (dmax - dmin + 1)) div {CV_FOLDS + 1}"
+            ).alias("b_hi"),
+        )
+    )
+    j = days.crossJoin(F.broadcast(folds))
+    return (
+        j.groupBy("fold", "b_lo", "b_hi")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("b_lo"), F.col("c"))),
+                F.lit(0),
+            ).alias("train_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("d") >= F.col("b_lo"))
+                        & (F.col("d") < F.col("b_hi")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("test_rows"),
+        )
+        .select(
+            "fold",
+            "train_rows",
+            "test_rows",
+            (F.col("b_lo") - 1).alias("train_end_day"),
+            (F.col("b_hi") - 1).alias("test_end_day"),
+        )
+        .orderBy("fold")
+    )
+
+
+q327.__doc__ = q327.__doc__.format(k=CV_FOLDS)

@@ -39,6 +39,9 @@ EXPECTED = {
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
     "q271_weighted_median": {"BroadcastNestedLoopJoin"},  # 1-row total_w scalar
+    # 4-row fold-boundary table (derived from the 1-row min/max day
+    # scalar) broadcast onto the O(days) per-day aggregate
+    "q327_expanding_cv_splits": {"BroadcastNestedLoopJoin"},
     "q274_percentile_normalize": {"BroadcastNestedLoopJoin"},  # 1-row n scalar
     "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
     "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
