@@ -16,6 +16,7 @@ from .readers import (
     avro_source,
     conform,
     csv_source,
+    fixed_width_source,
     json_source,
     orc_source,
     parquet_source,
@@ -27,6 +28,7 @@ __all__ = [
     "register_warclite",
     "conform",
     "csv_source",
+    "fixed_width_source",
     "json_source",
     "parquet_source",
     "orc_source",

@@ -127,3 +127,41 @@ def avro_source(
             ) from exc
         raise
     return conform(df, schema) if schema is not None else df
+
+
+def fixed_width_source(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int]],
+    schema: T.StructType | None = None,
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width text scan (mainframe/legacy extract layout — the
+    format family next to the reference's SAS fixed-layout data,
+    `/root/reference/scripts/parse_immigration_sas.py`).
+
+    ``colspecs`` is ``[(name, start, length), ...]`` with 1-based
+    ``start`` (the layout-sheet convention). Each record is one text
+    line; columns are carved with ``substring`` — pure Catalyst
+    expressions, so the whole parse stays in whole-stage codegen (no
+    Python in the row path) and splits parallelize like any text scan
+    at 100 TB. ``trim`` strips the space padding; a declared ``schema``
+    is applied with ``try_cast`` so malformed numerics become NULL (the
+    PERMISSIVE analog — ANSI mode would otherwise fail the whole scan
+    on one bad record)."""
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, length in colspecs:
+        c = F.substring(F.col("value"), start, length)
+        if trim:
+            c = F.trim(c)
+        cols.append(c.alias(name))
+    df = lines.select(*cols)
+    if schema is not None:
+        df = df.select(
+            *[
+                F.col(f.name).try_cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    return df

@@ -599,3 +599,50 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fixed_width_source(spark, tmp_path):
+    """Fixed-width layout parse: 1-based colspecs, space-pad trim,
+    cast-enforced schema with PERMISSIVE-style NULL on bad numerics —
+    all via substring/trim Catalyst expressions (no Python row path)."""
+    from data_engineer_capstone_spark.sources import fixed_width_source
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "001Alice     00042\n"
+        "002Bob       00007\n"
+        "003Carol     XXXXX\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    df = fixed_width_source(
+        spark,
+        str(p),
+        [("id", 1, 3), ("name", 4, 10), ("amount", 14, 5)],
+        schema=schema,
+    )
+    assert dict(df.dtypes) == {"id": "int", "name": "string", "amount": "bigint"}
+    rows = {r.id: (r.name, r.amount) for r in df.collect()}
+    assert rows == {1: ("Alice", 42), 2: ("Bob", 7), 3: ("Carol", None)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_file_metadata_lineage_columns(spark, sf_dir):
+    """Row-level file provenance via the hidden ``_metadata`` struct —
+    the lineage mechanism a 100 TB lake uses to trace any row back to
+    its source file (quarantine a bad batch, re-ingest one file)
+    without materializing a path column at write time."""
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r.fname == "nation.parquet" and r.fsize > 0 for r in rows)
