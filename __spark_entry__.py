@@ -129,7 +129,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q321_blocking_recall_report", "q322_count_min_sketch",
     "q323_fd_discovery", "q324_bfs_shortest_path", "q325_rrf_fusion",
     "q326_spearman_drift", "q327_expanding_cv_splits",
-    "q328_mutual_information",
+    "q328_mutual_information", "q329_stream_incremental_dedup",
+    "q330_cogroup_pandas",
 )
 
 

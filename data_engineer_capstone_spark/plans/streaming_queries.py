@@ -459,3 +459,48 @@ def q288(spark: SparkSession, sf: str) -> DataFrame:
         F.col("win.end").alias("win_end"),
         "event_type", "open_v", "high_v", "low_v", "close_v", "volume", "n",
     ).orderBy("win_start", "event_type")
+
+
+# ----------------------------------- stream-static incremental dedup ---
+@query(
+    "q329_stream_incremental_dedup",
+    oracle="""
+    SELECT s.user_id, s.event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events s
+    WHERE s.event_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM events c
+                      WHERE c.event_id % 2 = 0
+                        AND c.user_id = s.user_id
+                        AND c.event_type = s.event_type)
+    GROUP BY s.user_id, s.event_type
+    ORDER BY s.user_id, s.event_type
+    """,
+)
+def q329(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental dedup against a STANDING corpus — the
+    ingest shape of q114 (batch incremental dedup) as a Structured
+    Streaming query, and the stream-static join form q87 does not
+    cover: a LEFT ANTI join from the stream onto the static
+    already-seen key set, so only never-seen (user, type) pairs
+    survive, then a streaming aggregate counts arrivals per novel
+    pair. The standing corpus (rows with even event_id) stays a plain
+    batch table re-read per micro-batch — at 100 TB this is the
+    signature/membership table an LLM-ingest pipeline maintains, and
+    the anti join probes it with the micro-batch only (no streaming
+    state for the join; state exists only in the O(novel-pairs)
+    aggregation). Oracle = the equivalent batch NOT EXISTS."""
+    from ..catalog import load_table
+
+    stream = read_stream(spark, sf, 1).where(F.col("event_id") % 2 == 1)
+    seen = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    novel = stream.join(seen, ["user_id", "event_type"], "left_anti")
+    agg = novel.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_table(agg, "complete")
+    return out.orderBy("user_id", "event_type")

@@ -380,3 +380,76 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ----------------------------------------- cogrouped applyInPandas ----
+@query(
+    "q330_cogroup_pandas",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS max_total_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events,
+           o.max_total_cents
+    FROM o FULL OUTER JOIN e ON e.user_id = o.user_id
+    ORDER BY user_id
+    """,
+)
+def q330(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the last pandas-UDF API surface
+    (scalar q103, grouped-agg q104, UDTF q105, grouped-map q111,
+    mapInArrow q233, and now cogroup): both tables shuffle ONCE on the
+    key and each (orders-group, events-group) pair lands in one Arrow
+    batch, the per-key merge the join would otherwise re-shuffle to do
+    (in Spark source: FlatMapCoGroupsInPandas). Exemplar is
+    determinism-safe per the module contract: counts + an integer
+    cents max, so the Arrow path hash-matches the batch FULL OUTER
+    oracle. Keys missing from either side arrive as an empty pandas
+    frame — exercised and null-checked."""
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    events = load_table(spark, sf, "events").select("user_id")
+
+    def merge(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(left)],
+                "n_events": [len(right)],
+                "max_total_cents": [
+                    int(left["cents"].max()) if len(left) else None
+                ],
+            }
+        )
+
+    out = (
+        orders.groupby("user_id")
+        .cogroup(events.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "user_id bigint, n_orders bigint, "
+                "n_events bigint, max_total_cents bigint"
+            ),
+        )
+    )
+    return out.orderBy("user_id")
