@@ -130,7 +130,12 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q323_fd_discovery", "q324_bfs_shortest_path", "q325_rrf_fusion",
     "q326_spearman_drift", "q327_expanding_cv_splits",
     "q328_mutual_information", "q329_stream_incremental_dedup",
-    "q330_cogroup_pandas",
+    "q330_cogroup_pandas", "q331_hll_registers_deterministic",
+    "q332_frequent_itemset_pairs", "q333_stream_stream_left_outer",
+    "q334_skyline_pareto", "q335_triangle_count",
+    "q336_clustering_coefficient", "q337_mad_outliers",
+    "q338_nearest_centroid_confusion", "q339_dbscan_grid",
+    "q340_hll_by_group", "q341_zipf_slope",
 )
 
 

@@ -53,6 +53,10 @@ HEADLINE = [
     # steps) — the two most novel plan shapes of the batch
     "q276_interval_overlap_join",
     "q282_power_iteration",
+    # round-4 batch-4 addition: degree-ordered triangle counting — the
+    # heaviest new join topology of the batch (edge derivation self-join,
+    # orientation joins, wedge self-join, closure join)
+    "q335_triangle_count",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -77,6 +81,9 @@ MIN_OF_RUNS = {
     # eager-checkpoint iterative plan (gram materialization + 2 join
     # rounds) — same fixed-overhead class as q92/q113
     "q282_power_iteration",
+    # two eager checkpoints (edge list, oriented list) + 5 joins — same
+    # fixed-overhead class
+    "q335_triangle_count",
     # q21 drifted 1.45 -> 1.80 -> 2.07 s across round medians with a
     # byte-identical executed plan (AQE double-broadcast star join,
     # two-stage agg; profiled round 4: standalone 8-run median 1.27 s,

@@ -680,3 +680,206 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q324.__doc__ = q324.__doc__.format(m=BFS_SEED_MOD, h=BFS_HOPS)
+
+
+# ---------------------------------------------------- triangle counting ----
+def _triangle_sql() -> str:
+    return f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    ori AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+        FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    wedges AS (
+        SELECT o1.v AS x, o2.v AS y
+        FROM ori o1 JOIN ori o2
+          ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    ),
+    tri AS (
+        SELECT w.x, w.y FROM wedges w
+        JOIN ori o3 ON o3.u = w.x AND o3.v = w.y
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    """
+
+
+@query("q335_triangle_count", oracle=_triangle_sql())
+def q335(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting via DEGREE-ordered edge orientation — the
+    scale twin q201's docstring names but does not implement ("degree
+    ordering at scale"): q201 orients by id alone, so a low-id hub
+    still fans out sum(deg²) wedges; here every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher (the
+    MapReduce-era Suri-Vassilvitskii / Cohen scheme as DataFrame
+    joins), bounding each node's out-degree by O(sqrt(2m)) and the
+    wedge space by sum(outdeg²) ≤ m·sqrt(2m) regardless of hubs.
+    Wedges come from ONE self-equi-join of the oriented edges on the
+    source, ordered by (deg, id) so each triangle is generated exactly
+    once, and close via ONE equi-join back onto the oriented edge
+    list. The report carries n_edges and the REALIZED n_wedges next to
+    n_triangles — the wedge count is the quadratic cost the ordering
+    bounds, so the certification is in the output itself (and the
+    triangle total cross-checks q201's)."""
+    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    ori = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)  # probed 3×: two wedge arms + close
+    )
+    o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = o1.join(o2, "u").where(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    tri = wedges.join(
+        ori.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    n_e = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_w = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_e.crossJoin(F.broadcast(n_w)).crossJoin(F.broadcast(n_t))
+
+
+# ------------------------------------------- local clustering coefficient --
+def _clustering_sql() -> str:
+    return f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    ori AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+        FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    tri AS (
+        SELECT o1.u AS u, o1.v AS x, o2.v AS y
+        FROM ori o1 JOIN ori o2
+          ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+        JOIN ori o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    tcount AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT unnest([u, x, y]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT g.node, g.d AS degree, CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_tri,
+           CAST(2 * COALESCE(tc.t, 0) * 1000000
+                // (g.d * (g.d - 1)) AS BIGINT) AS cc_ppm
+    FROM deg g LEFT JOIN tcount tc ON tc.node = g.node
+    WHERE g.d >= 2
+    ORDER BY g.node
+    """
+
+
+@query("q336_clustering_coefficient", oracle=_clustering_sql())
+def q336(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient per node — cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), the community-structure metric on top of
+    q335's triangle machinery. Triangles come from the same
+    degree-ordered orientation (wedge space bounded by sum outdeg²);
+    per-node counts are ONE explode of each triangle's three corners
+    into a hash aggregate, joined back onto the degree table. The
+    coefficient is reported in exact integer ppm so it hash-matches.
+    Nodes of degree < 2 (coefficient undefined) are excluded by
+    contract."""
+    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)  # orientation + final report
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    ori = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    tri = (
+        o1.join(o2, "u")
+        .where(
+            F.struct(F.col("dx"), F.col("x"))
+            < F.struct(F.col("dy"), F.col("y"))
+        )
+        .join(
+            ori.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+        )
+    )
+    tcount = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(2 * COALESCE(t, 0) * 1000000"
+                " div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy("node")
+    )

@@ -1653,3 +1653,508 @@ def q326(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         round_det(rho, 9).alias("spearman"),
     ).orderBy("event_type")
+
+
+# ------------------------------------ deterministic HLL (oracle-backed) ----
+HLL_M = 64  # registers (p = 6)
+HLL_RHO_CAP = 30  # cap so 2^(CAP-reg) sums stay exact BIGINT
+# alpha_64 * m^2 = 0.709 * 4096 = 2904.064, carried as 2904064 / 1000
+HLL_ALPHA_M2_SCALED = 2904064
+
+
+def _hll_sql() -> str:
+    from .extensions import _H64
+
+    h = _H64.format(x="'hll:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT {h} AS h FROM events
+    ),
+    rho AS (
+        SELECT h % {HLL_M} AS bucket,
+               LEAST(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_CAP}
+                          ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+                     END, {HLL_RHO_CAP}) AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT s.bucket, CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+        FROM (SELECT unnest(range({HLL_M})) AS bucket) s
+        LEFT JOIN rho r ON r.bucket = s.bucket
+        GROUP BY s.bucket
+    ),
+    est AS (
+        SELECT CAST(
+            ({HLL_ALPHA_M2_SCALED} * (CAST(1 AS BIGINT) << {HLL_RHO_CAP}))
+            // (1000 * SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - reg)))
+            AS BIGINT) AS est_raw
+        FROM regs
+    ),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
+    )
+    SELECT r.bucket, r.reg, e.est_raw, x.exact_distinct,
+           CAST((e.est_raw - x.exact_distinct) * 10000
+                // x.exact_distinct AS BIGINT) AS err_bps
+    FROM regs r CROSS JOIN est e CROSS JOIN exact x
+    ORDER BY r.bucket
+    """
+
+
+@query("q331_hll_registers_deterministic", oracle=_hll_sql())
+def q331(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog, oracle-backed end to end — the
+    value-hash twin of q208's native ``hll_sketch_agg`` (which is
+    rows-only because Spark's sketch bytes have no DuckDB twin). The
+    registers are built from the shared md5 hash family: bucket = low
+    6 bits, rho = trailing-zero count of the remaining 54 bits + 1
+    via ``bit_count((v & -v) - 1)`` (pure integer ops, bit-identical
+    across engines), capped at {cap} so the harmonic-mean denominator
+    sums EXACTLY in BIGINT as ``2^({cap} - reg)`` terms — the raw HLL
+    estimate then comes out of one integer division, no libm anywhere.
+    Scale shape: ONE duplicate-insensitive hash aggregate
+    (groupBy(bucket).max(rho)) whose map-side partials ARE mergeable
+    sub-sketches — union of 100 TB worth of shards is a 64-row
+    bucket-wise MAX, the q209 mergeability contract applied to
+    distinct-counting. The 64-row register table joins the 1-row
+    estimate/exact scalars by broadcast."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events")
+    h = h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = ev.select(h.alias("h"))
+    v = F.expr(f"h div {HLL_M}")
+    rho = F.least(
+        F.when(v == 0, F.lit(HLL_RHO_CAP)).otherwise(
+            F.bit_count(v.bitwiseAND(-v) - F.lit(1)) + F.lit(1)
+        ),
+        F.lit(HLL_RHO_CAP),
+    )
+    got = (
+        hashed.select((F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    regs = (
+        spine.join(got, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("mrho"), F.lit(0)).cast("long").alias("reg"),
+        )
+        .localCheckpoint(eager=True)  # read twice: estimate + output
+    )
+    est = regs.agg(
+        F.expr(
+            f"CAST({HLL_ALPHA_M2_SCALED} * CAST(shiftleft(1L, {HLL_RHO_CAP}) AS BIGINT)"
+            f" div (1000 * SUM(CAST(shiftleft(1L, {HLL_RHO_CAP} - reg) AS BIGINT)))"
+            " AS BIGINT)"
+        ).alias("est_raw")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket",
+            "reg",
+            "est_raw",
+            "exact_distinct",
+            F.expr(
+                "CAST((est_raw - exact_distinct) * 10000"
+                " div exact_distinct AS BIGINT)"
+            ).alias("err_bps"),
+        )
+        .orderBy("bucket")
+    )
+
+
+q331.__doc__ = q331.__doc__.format(cap=HLL_RHO_CAP)
+
+
+# ------------------------------------------- frequent-itemset pair mining --
+MINSUP_ITEM = 30
+MINSUP_PAIR = 3
+
+
+def _itemsets_sql() -> str:
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM b),
+    sup AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY i
+    ),
+    fi AS (SELECT i, s FROM sup WHERE s >= {MINSUP_ITEM}),
+    fb AS (SELECT b.k, b.i FROM b JOIN fi ON fi.i = b.i),
+    pairs AS (
+        SELECT a.i AS item_a, c.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_sup
+        FROM fb a JOIN fb c ON a.k = c.k AND a.i < c.i
+        GROUP BY a.i, c.i
+    )
+    SELECT p.item_a, p.item_b, p.pair_sup,
+           fa.s AS sup_a, fc.s AS sup_b,
+           CAST(p.pair_sup * nb.n_baskets * 1000000
+                // (fa.s * fc.s) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN fi fa ON fa.i = p.item_a
+    JOIN fi fc ON fc.i = p.item_b
+    CROSS JOIN nb
+    WHERE p.pair_sup >= {MINSUP_PAIR}
+    ORDER BY p.pair_sup DESC, p.item_a, p.item_b
+    """
+
+
+@query("q332_frequent_itemset_pairs", oracle=_itemsets_sql())
+def q332(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent-2-itemset mining with the Apriori pruning that q203
+    (association rules) does NOT apply — q203 generates EVERY
+    co-occurring pair and filters on pair support afterwards, which is
+    the right reference semantics but leaves the O(sum basket²) pair
+    space intact; here item supports come from ONE hash aggregate,
+    items below minsup={mi} are dropped BEFORE pair generation (the
+    anti-monotonicity bound — an infrequent item cannot appear in a
+    frequent pair), and only the surviving slim (basket, item) rows
+    self-join on the basket key — the same
+    generate-through-an-equi-join-key discipline as the dedup
+    families' prefix filter (q243 vs q91). Second difference: q203's
+    confidence/lift are rounded double divisions; lift here is exact
+    integer ppm (pair_sup·n_baskets·1e6 div sup_a·sup_b), so the
+    rule-strength column hash-matches with no float boundary."""
+    b = (
+        load_table(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read for supports AND pair join
+    )
+    nb = b.agg(F.countDistinct("k").cast("long").alias("n_baskets"))
+    sup = b.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    fi = sup.where(F.col("s") >= MINSUP_ITEM).localCheckpoint(eager=True)
+    fb = b.join(F.broadcast(fi.select("i")), "i")
+    fa = fb.select(F.col("k"), F.col("i").alias("item_a"))
+    fc = fb.select(F.col("k"), F.col("i").alias("item_b"))
+    pairs = (
+        fa.join(fc, "k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_sup"))
+        .where(F.col("pair_sup") >= MINSUP_PAIR)
+    )
+    return (
+        pairs.join(
+            F.broadcast(fi.select(F.col("i").alias("item_a"), F.col("s").alias("sup_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(fi.select(F.col("i").alias("item_b"), F.col("s").alias("sup_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_sup",
+            "sup_a",
+            "sup_b",
+            F.expr(
+                "CAST(pair_sup * n_baskets * 1000000"
+                " div (sup_a * sup_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("pair_sup").desc(), "item_a", "item_b")
+    )
+
+
+q332.__doc__ = q332.__doc__.format(mi=MINSUP_ITEM)
+
+
+# ----------------------------------------------- skyline (Pareto frontier) --
+def _skyline_sql() -> str:
+    return """
+    WITH pts AS (
+        SELECT p_partkey, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT a.p_partkey, a.p_size, a.cents
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts d
+        WHERE d.p_size >= a.p_size AND d.cents <= a.cents
+          AND (d.p_size > a.p_size OR d.cents < a.cents)
+    )
+    ORDER BY a.p_size, a.cents, a.p_partkey
+    """
+
+
+@query("q334_skyline_pareto", oracle=_skyline_sql())
+def q334(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), the registered 100 TB twin that
+    q172's docstring promises ("the 100 TB shape is sort-based ... one
+    range-partitioned sort instead of O(n²) dominance tests"): q172
+    keeps the theta anti-join as the semantic reference at dim-table
+    size; here the dominance test is replaced by ONE hash aggregate to
+    per-size minimum price (O(distinct sizes) rows — ~50 for TPC-H), a
+    suffix-minimum over that bounded table (whitelisted
+    bounded-support window), and a broadcast semi-join back to the
+    base points — objective directions (maximize p_size, minimize
+    price) flipped from q172 so both variants are covered. A point
+    survives iff its price equals its size's minimum AND beats every
+    strictly larger size's minimum; the tie case q172's docstring
+    flags as the sort formulation's trap is handled exactly (equal
+    points share the per-size minimum and both survive). Prices
+    compared as exact cents (BIGINT); oracle = the n² NOT EXISTS."""
+    pts = load_table(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_size = pts.groupBy("p_size").agg(F.min("cents").alias("m"))
+    w = (
+        W.orderBy(F.col("p_size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_size.withColumn("suffix_min", F.min("m").over(w))
+        .where(
+            F.col("suffix_min").isNull() | (F.col("m") < F.col("suffix_min"))
+        )
+        .select("p_size", F.col("m").alias("cents"))
+    )
+    return (
+        pts.join(F.broadcast(frontier), ["p_size", "cents"], "left_semi")
+        .select("p_partkey", "p_size", "cents")
+        .orderBy("p_size", "cents", "p_partkey")
+    )
+
+
+# ------------------------------------------ MAD-based robust outliers -----
+def _mad_sql() -> str:
+    return """
+    WITH base AS (
+        SELECT event_type AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    sup AS (
+        SELECT t, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY t, cents
+    ),
+    tot AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS n FROM sup GROUP BY t),
+    med AS (
+        SELECT s.t, MIN(s.cents) AS med_cents
+        FROM (SELECT t, cents, SUM(cnt) OVER (PARTITION BY t ORDER BY cents)
+                     AS cum FROM sup) s
+        JOIN tot ON tot.t = s.t
+        WHERE s.cum >= (tot.n + 1) // 2
+        GROUP BY s.t
+    ),
+    devsup AS (
+        SELECT sup.t, abs(sup.cents - med.med_cents) AS dev,
+               CAST(SUM(sup.cnt) AS BIGINT) AS cnt
+        FROM sup JOIN med ON med.t = sup.t
+        GROUP BY sup.t, abs(sup.cents - med.med_cents)
+    ),
+    mad AS (
+        SELECT d.t, MIN(d.dev) AS mad_cents
+        FROM (SELECT t, dev, SUM(cnt) OVER (PARTITION BY t ORDER BY dev)
+                     AS cum FROM devsup) d
+        JOIN tot ON tot.t = d.t
+        WHERE d.cum >= (tot.n + 1) // 2
+        GROUP BY d.t
+    )
+    SELECT tot.t AS event_type, tot.n, med.med_cents, mad.mad_cents,
+           CAST(COALESCE(SUM(ds.cnt) FILTER (
+               WHERE ds.dev > 3 * mad.mad_cents), 0) AS BIGINT) AS n_outliers
+    FROM tot
+    JOIN med ON med.t = tot.t
+    JOIN mad ON mad.t = tot.t
+    JOIN devsup ds ON ds.t = tot.t
+    GROUP BY tot.t, tot.n, med.med_cents, mad.mad_cents
+    ORDER BY tot.t
+    """
+
+
+@query("q337_mad_outliers", oracle=_mad_sql())
+def q337(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection via MAD — the integer-exact,
+    support-collapsed scale twin of q169 (which computes MAD by
+    float-interpolated ``quantile_cont`` and materializes group values,
+    a caveat its docstring records): per event type, the exact lower
+    median of cent-quantized values, the exact lower median of
+    absolute deviations from it, and — new over q169 — the count of
+    points beyond the 3×MAD fence, the actionable outlier gate. Scale
+    shape: the raw table collapses to its (type, cents) SUPPORT by one
+    hash aggregate first, so both median passes run cumulative windows
+    over bounded distinct-value tables, never over data-scale rows
+    (the q309 bounded-cent-support discipline); deviations
+    re-aggregate the support, not the raw rows. Lower median (rank
+    ceil(n/2)) is the pinned contract so even-count groups stay
+    integer-exact with no interpolation anywhere."""
+    base = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    sup = (
+        base.groupBy("t", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds totals, median, deviations
+    )
+    tot = sup.groupBy("t").agg(F.sum("cnt").cast("long").alias("n"))
+    wt = W.partitionBy("t").orderBy("cents")
+    med = (
+        sup.withColumn("cum", F.sum("cnt").over(wt))
+        .join(tot, "t")
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("t")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    devsup = (
+        sup.join(F.broadcast(med), "t")
+        .groupBy("t", F.abs(F.col("cents") - F.col("med_cents")).alias("dev"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the MAD pass and the fence
+    )
+    wd = W.partitionBy("t").orderBy("dev")
+    mad = (
+        devsup.withColumn("cum", F.sum("cnt").over(wd))
+        .join(tot, "t")
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("t")
+        .agg(F.min("dev").alias("mad_cents"))
+    )
+    fence = (
+        devsup.join(F.broadcast(mad), "t")
+        .groupBy("t", "mad_cents")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dev") > 3 * F.col("mad_cents"), F.col("cnt")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        tot.join(med, "t")
+        .join(fence, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------ per-group deterministic HLL ---------
+def _hll_group_sql() -> str:
+    from .extensions import _H64
+
+    h = _H64.format(x="'hll:' || CAST(user_id AS VARCHAR)")
+    shift = f"CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - reg)"
+    return f"""
+    WITH rho AS (
+        SELECT event_type AS g, h % {HLL_M} AS bucket,
+               LEAST(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_CAP}
+                          ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+                     END, {HLL_RHO_CAP}) AS rho
+        FROM (SELECT event_type, {h} AS h FROM events)
+    ),
+    regs AS (
+        SELECT g, bucket, MAX(rho) AS reg FROM rho GROUP BY g, bucket
+    ),
+    est AS (
+        SELECT g,
+               CAST(({HLL_ALPHA_M2_SCALED}
+                     * (CAST(1 AS BIGINT) << {HLL_RHO_CAP}))
+                    // (1000 * (SUM({shift})
+                        + ({HLL_M} - COUNT(*))
+                          * (CAST(1 AS BIGINT) << {HLL_RHO_CAP})))
+                    AS BIGINT) AS est_raw
+        FROM regs GROUP BY g
+    ),
+    exact AS (
+        SELECT event_type AS g,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT e.g AS event_type, e.est_raw, x.exact_distinct,
+           CAST((e.est_raw - x.exact_distinct) * 10000
+                // x.exact_distinct AS BIGINT) AS err_bps
+    FROM est e JOIN exact x ON x.g = e.g
+    ORDER BY event_type
+    """
+
+
+@query("q340_hll_by_group", oracle=_hll_group_sql())
+def q340(spark: SparkSession, sf: str) -> DataFrame:
+    """q331's deterministic HLL applied at the grain a 100 TB rollup
+    actually uses — one sketch PER DIMENSION CELL (distinct users per
+    event type), the exact shape of rows-only q208 but value-hash
+    oracle-backed end to end. The whole query is two hash aggregates:
+    (group, bucket) → max rho, then group → harmonic sum folded with
+    the empty-register correction computed arithmetically ((m − #present)
+    empty buckets contribute 2^cap each), so no bucket spine join is
+    needed at all. The per-group register partials remain mergeable
+    sub-sketches — re-aggregating event-type sketches to an all-types
+    sketch is a bucket-wise MAX, never a rescan."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events")
+    h = h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = ev.select(F.col("event_type").alias("g"), h.alias("h"))
+    v = F.expr(f"h div {HLL_M}")
+    rho = F.least(
+        F.when(v == 0, F.lit(HLL_RHO_CAP)).otherwise(
+            F.bit_count(v.bitwiseAND(-v) - F.lit(1)) + F.lit(1)
+        ),
+        F.lit(HLL_RHO_CAP),
+    )
+    regs = (
+        hashed.select("g", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    est = regs.groupBy("g").agg(
+        F.expr(
+            f"CAST({HLL_ALPHA_M2_SCALED} * CAST(shiftleft(1L, {HLL_RHO_CAP}) AS BIGINT)"
+            f" div (1000 * (SUM(CAST(shiftleft(1L, {HLL_RHO_CAP} - reg) AS BIGINT))"
+            f" + ({HLL_M} - COUNT(*)) * CAST(shiftleft(1L, {HLL_RHO_CAP}) AS BIGINT)))"
+            " AS BIGINT)"
+        ).alias("est_raw")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "est_raw",
+            "exact_distinct",
+            F.expr(
+                "CAST((est_raw - exact_distinct) * 10000"
+                " div exact_distinct AS BIGINT)"
+            ).alias("err_bps"),
+        )
+        .orderBy("event_type")
+    )

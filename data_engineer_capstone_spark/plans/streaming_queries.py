@@ -504,3 +504,96 @@ def q329(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = run_to_table(agg, "complete")
     return out.orderBy("user_id", "event_type")
+
+
+# ------------------------------------ stream-stream LEFT OUTER join ---
+@query(
+    "q333_stream_stream_left_outer",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, {_EV_TS} AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, {_EV_TS} AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT date_trunc('millisecond',
+                   LEAST((SELECT MAX(c_ts) FROM c),
+                         (SELECT MAX(p_ts) FROM p)))
+               - INTERVAL 10 MINUTE AS w
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(date_diff('second', c.c_ts, p.p_ts) AS BIGINT)
+                 AS secs_to_purchase
+        FROM c JOIN p
+          ON c.user_id = p.p_user
+         AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+    ),
+    unmatched AS (
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+               CAST(NULL AS BIGINT) AS secs_to_purchase
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.p_user = c.user_id
+              AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+        )
+          AND c.c_ts + INTERVAL 10 MINUTE < wm.w
+    )
+    SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    ORDER BY click_id, purchase_id NULLS FIRST
+    """,
+)
+def q333(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the state-eviction-emitting form
+    q86 (inner) does not cover: matched click→purchase pairs emit on
+    match, and a click with NO purchase within 10 minutes emits with
+    nulls only once the watermark proves no future match can arrive
+    and its buffered state is evicted. The oracle encodes Spark's
+    actual late-bound semantics, verified empirically: the global
+    watermark is the MIN over both sides' (ms-truncated max event time
+    − 10 min), and an unmatched click flushes iff
+    ``c_ts + 10min < watermark`` — clicks newer than that are still in
+    state when the availableNow replay ends and are correctly absent.
+    At 100 TB this bounded-state contract is exactly why the time
+    bound on the join condition is mandatory: per-key state is
+    O(events in the watermark horizon), not O(stream)."""
+    clicks = (
+        read_stream(spark, sf, 1)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        read_stream(spark, sf, 1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_table(j, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    ).orderBy("click_id", F.col("purchase_id").asc_nulls_first())

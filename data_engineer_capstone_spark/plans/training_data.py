@@ -2505,3 +2505,395 @@ def q327(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q327.__doc__ = q327.__doc__.format(k=CV_FOLDS)
+
+
+# ------------------------------- nearest-centroid classifier confusion ----
+def _centroid_confusion_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label, unnest(xq) AS v,
+               unnest(range(1, len(xq) + 1)) AS d
+        FROM e
+    ),
+    sums AS (
+        SELECT label, d, CAST(SUM(v) AS BIGINT) AS s
+        FROM comp GROUP BY label, d
+    ),
+    nlab AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label),
+    cent AS (
+        SELECT s.label,
+               list(CAST((1000 * s.s) // nl.n AS BIGINT) ORDER BY s.d) AS cq
+        FROM sums s JOIN nlab nl ON nl.label = s.label
+        GROUP BY s.label
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+               list_reduce(
+                   list_transform(range(1, len(e.xq) + 1),
+                       i -> (1000 * e.xq[i] - c.cq[i])
+                            * (1000 * e.xq[i] - c.cq[i])),
+                   (x, y) -> x + y) AS d2
+        FROM e CROSS JOIN cent c
+    ),
+    pred AS (
+        SELECT vec_id, true_label, cand AS pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cand) AS rn FROM dist)
+        WHERE rn = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """
+
+
+@query("q338_nearest_centroid_confusion", oracle=_centroid_confusion_sql())
+def q338(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding table with its
+    confusion matrix — the cheapest supervised sanity check an
+    embedding pipeline runs (labels whose centroids collapse into each
+    other show up as off-diagonal mass). Exactness engineering:
+    components are 1e3-quantized BEFORE any cross-row sum, so centroid
+    accumulation is exact integer math with no float-order dependence;
+    centroids are fixed-point milli-of-quantized ((1000·sum) div n) and
+    distances are integer zip_with folds — every value hash-matches.
+    Scale shape: per-(label, dim) hash aggregate builds the centroids
+    (O(labels·dims) rows), the candidate space is vec × |labels| via a
+    BROADCAST of the 10-row centroid table (never vec × vec), and the
+    argmin is a per-vec window over |labels| rows. This composes
+    q156's centroid build with q167's broadcast assignment step, adds
+    the supervised argmin + confusion report, and ties the whole chain
+    to a value-hash oracle."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("xq"),
+    ).localCheckpoint(eager=True)  # feeds centroid build AND assignment
+    comp = emb.select(
+        "label", F.posexplode("xq").alias("p", "v")
+    ).select("label", (F.col("p") + 1).alias("d"), "v")
+    sums = comp.groupBy("label", "d").agg(
+        F.sum("v").cast("long").alias("s")
+    )
+    nlab = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cent = (
+        sums.join(F.broadcast(nlab), "label")
+        .select("label", "d", F.expr("CAST((1000 * s) div n AS BIGINT)").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda st: st["c"],
+            ).alias("cq")
+        )
+    )
+    dist = (
+        emb.crossJoin(
+            F.broadcast(
+                cent.select(F.col("label").alias("cand"), "cq")
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "cand",
+            F.aggregate(
+                F.zip_with(
+                    "xq",
+                    "cq",
+                    lambda x, c: (1000 * x - c) * (1000 * x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("d2"),
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy("d2", "cand")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+# ------------------------------------------------- grid-blocked DBSCAN ----
+DBSCAN_N = 800  # bounded, SF-independent point sample (see docstring)
+DBSCAN_MINPTS = 7  # core iff >= 7 eps-neighbors (self excluded)
+
+
+def _dbscan_sql() -> str:
+    from .extensions import _H64
+
+    px = _H64.format(x="'x:' || CAST(event_id AS VARCHAR)") + " % 2000 / 100.0"
+    py = _H64.format(x="'y:' || CAST(event_id AS VARCHAR)") + " % 2000 / 100.0"
+    return f"""
+    WITH RECURSIVE pts AS (
+        SELECT event_id AS pid, {px} AS x, {py} AS y
+        FROM events WHERE event_id < {DBSCAN_N}
+    ),
+    pairs AS (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b
+          ON a.pid < b.pid
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1.0
+    ),
+    und AS (SELECT pa AS p, pb AS q FROM pairs
+            UNION ALL SELECT pb, pa FROM pairs),
+    cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM und GROUP BY p),
+    core AS (SELECT p FROM cnt WHERE n >= {DBSCAN_MINPTS}),
+    cedges AS (
+        SELECT u.p AS src, u.q AS dst FROM und u
+        WHERE u.p IN (SELECT p FROM core) AND u.q IN (SELECT p FROM core)
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM cedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS p, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src
+    ),
+    corelab AS (
+        SELECT c.p, CAST(COALESCE(m.label, c.p) AS BIGINT) AS label
+        FROM core c LEFT JOIN comp m ON m.p = c.p
+    ),
+    border AS (
+        SELECT u.p, CAST(MIN(cl.label) AS BIGINT) AS label
+        FROM und u JOIN corelab cl ON cl.p = u.q
+        WHERE u.p NOT IN (SELECT p FROM core)
+        GROUP BY u.p
+    )
+    SELECT p.pid,
+           CASE WHEN cl.p IS NOT NULL THEN 'core'
+                WHEN b.p IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.label, b.label) AS cluster_label
+    FROM pts p
+    LEFT JOIN corelab cl ON cl.p = p.pid
+    LEFT JOIN border b ON b.p = p.pid
+    ORDER BY p.pid
+    """
+
+
+@query("q339_dbscan_grid", oracle=_dbscan_sql())
+def q339(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN density clustering, fully distributed: eps-neighbor pairs
+    come from q236's grid-cell equi-join (3×3 neighborhood, provably
+    complete for eps = cell size), core points from one hash-aggregated
+    neighbor count (core iff ≥ {mp} neighbors, self excluded — pinned
+    contract), clusters from min-label connected components over the
+    core-core subgraph (operators/dedup.connected_components — the
+    q108 machinery), and border points take the MINIMUM neighboring
+    core's cluster label (classic DBSCAN leaves border assignment
+    order-dependent; the min rule makes it deterministic and
+    oracle-checkable). The point sample is BOUNDED by declared design
+    ({n} hash-synthesized points, identical at every SF): the oracle's
+    recursive transitive closure explodes on the giant components that
+    density above the percolation threshold produces, so density is
+    pinned where core/border/noise all occur. The Spark plan has no
+    such bound — grid join, hash aggs, broadcast semi-joins, and
+    per-round CC shuffles all scale with points, and at 100 TB the
+    same plan runs on real coordinates with AQE splitting dense
+    cells."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < DBSCAN_N)
+    x = h64(F.concat(F.lit("x:"), F.col("event_id").cast("string"))) % 2000 / 100.0
+    y = h64(F.concat(F.lit("y:"), F.col("event_id").cast("string"))) % 2000 / 100.0
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        x.alias("x"),
+        y.alias("y"),
+        F.floor(x).alias("cx"),
+        F.floor(y).alias("cy"),
+    ).localCheckpoint(eager=True)  # probe side, build side, final report
+    neigh = pts.select(
+        F.col("pid").alias("pa"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("gx"),
+                        (F.col("cy") + dy).alias("gy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("pa", "xa", "ya", "cell.gx", "cell.gy")
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    pairs = (
+        neigh.join(
+            pts,
+            (F.col("gx") == F.col("cx"))
+            & (F.col("gy") == F.col("cy"))
+            & (F.col("pa") < F.col("pid")),
+        )
+        .where(d2 <= 1.0)
+        .select(F.col("pa"), F.col("pid").alias("pb"))
+        .localCheckpoint(eager=True)  # counts + core edges + border probe
+    )
+    und = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionByName(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+    cnt = und.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    core = cnt.where(F.col("n") >= DBSCAN_MINPTS).select("p").localCheckpoint(
+        eager=True
+    )
+    cedges = (
+        und.join(core, "p", "left_semi")
+        .join(core.select(F.col("p").alias("q")), "q", "left_semi")
+        .select(F.col("p").alias("doc_a"), F.col("q").alias("doc_b"))
+    )
+    from ..operators.dedup import connected_components
+
+    labels = connected_components(
+        cedges, core.select(F.col("p").alias("doc_id"))
+    )
+    corelab = (
+        core.join(labels, core.p == labels.id, "left")
+        .select(
+            F.col("p"),
+            F.coalesce(F.col("label"), F.col("p")).cast("long").alias("label"),
+        )
+        .localCheckpoint(eager=True)  # border assignment + final report
+    )
+    border = (
+        und.join(core, "p", "left_anti")
+        .join(
+            corelab.select(F.col("p").alias("q"), F.col("label")),
+            "q",
+        )
+        .groupBy("p")
+        .agg(F.min("label").cast("long").alias("blabel"))
+    )
+    return (
+        pts.select("pid")
+        .join(corelab.select(F.col("p").alias("pid"), "label"), "pid", "left")
+        .join(
+            border.select(F.col("p").alias("pid"), "blabel"), "pid", "left"
+        )
+        .select(
+            "pid",
+            F.when(F.col("label").isNotNull(), F.lit("core"))
+            .when(F.col("blabel").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("label"), F.col("blabel")).alias("cluster_label"),
+        )
+        .orderBy("pid")
+    )
+
+
+q339.__doc__ = q339.__doc__.format(mp=DBSCAN_MINPTS, n=DBSCAN_N)
+
+
+# ----------------------------------------------- Zipf rank-frequency fit --
+ZIPF_TOP = 500  # fit over the head ranks (standard Zipf-law practice)
+
+
+def _zipf_sql() -> str:
+    from .extensions import _WORDS  # noqa: F811
+
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({_WORDS.format(c='text')}) AS w FROM documents
+    ),
+    freq AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source, f,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY f DESC, w) AS r
+        FROM freq
+    ),
+    terms AS (
+        SELECT source,
+               CAST(floor(ln(r) * 1e6 + 0.5) AS BIGINT) AS xq,
+               CAST(floor(ln(f) * 1e6 + 0.5) AS BIGINT) AS yq
+        FROM ranked WHERE r <= {ZIPF_TOP}
+    ),
+    m AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy
+        FROM terms GROUP BY source
+    )
+    SELECT source, n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1e6 + 0.5) / 1e6 AS zipf_slope
+    FROM m ORDER BY source
+    """
+
+
+@query("q341_zipf_slope", oracle=_zipf_sql())
+def q341(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope of ln f against
+    ln r over the top-{top} token ranks — the corpus-health diagnostic
+    (natural text sits near −1; template/boilerplate-heavy or
+    synthetic-spam sources drift shallow or steep, so the slope is a
+    cheap source-level quality gate next to q99/q213). Exactness: the
+    ln terms are nano-quantized to integers the moment they are
+    computed (the q171 discipline — float summation order never
+    matters because the moments Σx, Σy, Σxx, Σxy are exact BIGINT
+    sums), and the final slope is one double division rounded
+    deterministically. Scale shape: token counts are one hash
+    aggregate; ranking runs per-source over the O(vocab) frequency
+    table (aggregate output, not data-scale rows) and the fit reads
+    only the top-{top} head."""
+    from ._util import round_det
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("source", F.explode(words("text")).alias("w"))
+    freq = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    wr = W.partitionBy("source").orderBy(F.col("f").desc(), "w")
+    ranked = freq.withColumn("r", F.row_number().over(wr)).where(
+        F.col("r") <= ZIPF_TOP
+    )
+    terms = ranked.select(
+        "source",
+        F.floor(F.log("r") * 1e6 + F.lit(0.5)).cast("long").alias("xq"),
+        F.floor(F.log("f") * 1e6 + F.lit(0.5)).cast("long").alias("yq"),
+    )
+    m = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        "source", "n", round_det(slope, 6).alias("zipf_slope")
+    ).orderBy("source")
+
+
+q341.__doc__ = q341.__doc__.format(top=ZIPF_TOP)

@@ -657,3 +657,88 @@ def test_ewma_matches_pandas_reference(spark, sf_dir):
     )
     got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+# -------------------- round-4 cross-query / mergeability properties --------
+def test_triangle_count_degree_ordered_matches_id_ordered(spark, sf_dir):
+    """q335's degree-ordered orientation and q201's id-ordered orientation
+    must count the SAME triangles — the ordering only changes the wedge
+    space, never the closure set."""
+    from data_engineer_capstone_spark.plans import get_queries
+
+    qs = get_queries()
+    by_degree = qs["q335_triangle_count"](spark, sf_dir).collect()[0]
+    by_id = qs["q201_triangle_count"](spark, sf_dir).collect()[0]
+    assert by_degree.n_triangles == by_id.triangles
+    # per-node counts must sum to 3 × total (each triangle has 3 corners)
+    cc = qs["q336_clustering_coefficient"](spark, sf_dir)
+    total_corners = cc.agg(F.sum("n_tri")).collect()[0][0]
+    assert total_corners == 3 * by_degree.n_triangles
+
+
+def test_hll_registers_merge_by_bucketwise_max(spark, sf_dir):
+    """q331's registers are mergeable sub-sketches: building one sketch
+    over the whole table must equal the bucket-wise MAX of sketches built
+    over any disjoint split — the property that lets 100 TB of shard
+    partials union into a 64-row table."""
+    from data_engineer_capstone_spark.functions.text import h64
+    from data_engineer_capstone_spark.plans.scale_patterns import (
+        HLL_M,
+        HLL_RHO_CAP,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    v = F.expr(f"h div {HLL_M}")
+    rho = F.least(
+        F.when(v == 0, F.lit(HLL_RHO_CAP)).otherwise(
+            F.bit_count(v.bitwiseAND(-v) - F.lit(1)) + F.lit(1)
+        ),
+        F.lit(HLL_RHO_CAP),
+    )
+    base = ev.select(
+        F.col("event_id"), h.alias("h")
+    ).select(
+        "event_id", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    whole = base.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    parts = [
+        base.where(F.col("event_id") % 3 == i)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias(f"reg{i}"))
+        for i in range(3)
+    ]
+    merged = parts[0].join(parts[1], "bucket", "full").join(
+        parts[2], "bucket", "full"
+    ).select(
+        "bucket",
+        F.greatest(
+            F.coalesce("reg0", F.lit(0)),
+            F.coalesce("reg1", F.lit(0)),
+            F.coalesce("reg2", F.lit(0)),
+        ).alias("reg"),
+    )
+    w = {r.bucket: r.reg for r in whole.collect()}
+    m = {r.bucket: r.reg for r in merged.collect()}
+    assert w == m
+
+
+def test_dbscan_roles_are_consistent(spark, sf_dir):
+    """Every core point carries a cluster label, noise carries none, and
+    each cluster's label is the minimum pid among its core members."""
+    from data_engineer_capstone_spark.plans import get_queries
+
+    out = get_queries()["q339_dbscan_grid"](spark, sf_dir)
+    rows = out.collect()
+    assert {r.role for r in rows} == {"core", "border", "noise"}
+    for r in rows:
+        if r.role == "noise":
+            assert r.cluster_label is None
+        else:
+            assert r.cluster_label is not None
+    core_by_label = {}
+    for r in rows:
+        if r.role == "core":
+            core_by_label.setdefault(r.cluster_label, []).append(r.pid)
+    for label, members in core_by_label.items():
+        assert label == min(members)

@@ -42,6 +42,28 @@ EXPECTED = {
     # 4-row fold-boundary table (derived from the 1-row min/max day
     # scalar) broadcast onto the O(days) per-day aggregate
     "q327_expanding_cv_splits": {"BroadcastNestedLoopJoin"},
+    # 64-row register table × 1-row estimate/exact scalars
+    "q331_hll_registers_deterministic": {"BroadcastNestedLoopJoin"},
+    # 1-row n_baskets scalar; the basket-key pair self-join's post-filter
+    # stats are unknown so the static plan is keyed SMJ — AQE broadcasts at
+    # runtime while the frequent-item sub-basket fits, and at corpus scale
+    # keyed SMJ IS the plan (the q92 argument)
+    "q332_frequent_itemset_pairs": {
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+    },
+    # 1-row edge/wedge/triangle count scalars crossed into the summary row;
+    # wedge/close joins run off an eagerly-checkpointed oriented edge list
+    # whose stats are unknown → static keyed SMJ, AQE re-plans at runtime
+    "q335_triangle_count": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # same oriented-edge wedge/close joins as q335 (checkpointed stats)
+    "q336_clustering_coefficient": {"SortMergeJoin"},
+    # 10-row centroid table broadcast-crossed against every vector — the
+    # vec × |labels| candidate space IS a broadcast nested loop by design
+    "q338_nearest_centroid_confusion": {"BroadcastNestedLoopJoin"},
+    # grid-cell candidate join + CC rounds run off eagerly-checkpointed
+    # inputs with unknown stats → static keyed SMJ, AQE re-plans at runtime
+    "q339_dbscan_grid": {"SortMergeJoin"},
     "q274_percentile_normalize": {"BroadcastNestedLoopJoin"},  # 1-row n scalar
     "q258_pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row bigram total
     "q259_shard_manifest": {"BroadcastNestedLoopJoin"},  # 1-row corpus total
@@ -173,6 +195,7 @@ GLOBAL_WINDOW_OK = {
     "q72_time_fact_accumulation",
     "q73_dq_checks",
     "q325_rrf_fusion",  # rank window over a TakeOrdered LIMIT-100 list
+    "q334_skyline_pareto",  # suffix-min over the O(distinct p_size) agg (~50 rows)
 }
 
 
