@@ -3443,3 +3443,215 @@ def q321(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ------------------------------------------- golden-record survivorship ----
+def _survivorship_sql() -> str:
+    return """
+    WITH recs AS (
+        SELECT c_custkey AS cluster, c_custkey * 10 AS eid, 'crm' AS src,
+               1 AS prio, c_name AS name,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 10 + 1, 'web', 3,
+               c_name || '-x',
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) - 100,
+               CAST(NULL AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 10 + 2, 'import', 2,
+               substr(c_name, 1, 8),
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                 + CASE WHEN c_custkey % 3 = 0 THEN 150 ELSE 0 END,
+               c_mktsegment
+        FROM customer
+    ),
+    best_name AS (
+        SELECT cluster, name FROM (
+            SELECT cluster, name, ROW_NUMBER() OVER (
+                PARTITION BY cluster
+                ORDER BY length(name) DESC, name, eid) AS rn
+            FROM recs)
+        WHERE rn = 1
+    ),
+    best_seg AS (
+        SELECT cluster, seg FROM (
+            SELECT cluster, seg, ROW_NUMBER() OVER (
+                PARTITION BY cluster ORDER BY prio, eid) AS rn
+            FROM recs WHERE seg IS NOT NULL)
+        WHERE rn = 1
+    ),
+    agg AS (
+        SELECT cluster, CAST(MAX(cents) AS BIGINT) AS golden_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM recs GROUP BY cluster
+    )
+    SELECT a.cluster, bn.name AS golden_name, a.golden_cents,
+           bs.seg AS golden_seg, a.n_sources
+    FROM agg a
+    JOIN best_name bn ON bn.cluster = a.cluster
+    LEFT JOIN best_seg bs ON bs.cluster = a.cluster
+    ORDER BY a.cluster
+    """
+
+
+@query("q343_golden_record_survivorship", oracle=_survivorship_sql())
+def q343(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the merge-rule stage that follows
+    entity resolution (clusters here are taken as given, keyed by the
+    synthesized variants' shared custkey; producing them from dirty
+    data is q234/q108's job): three deterministic source records per
+    entity (CRM master, web signup with a decorated name, a NULL
+    segment and a stale balance, and a truncated import feed) survive
+    into one golden row under pinned, deterministic rules — longest
+    name (ties: lexicographic, then eid), MAX balance, first non-null
+    segment by source priority (crm > import > web). Each rule is
+    either one hash aggregate or a per-cluster window over the BOUNDED
+    per-entity record group (3 rows), so the whole MDM merge is
+    shuffle-proportional to records, never entities². Rule choices are
+    the industry-standard recency/length/priority trio, each encoded
+    so the result value-hash-matches."""
+    c = load_table(spark, sf, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    r0 = c.select(
+        F.col("c_custkey").alias("cluster"),
+        (F.col("c_custkey") * 10).alias("eid"),
+        F.lit("crm").alias("src"),
+        F.lit(1).alias("prio"),
+        F.col("c_name").alias("name"),
+        cents.alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    r1 = c.select(
+        F.col("c_custkey").alias("cluster"),
+        (F.col("c_custkey") * 10 + 1).alias("eid"),
+        F.lit("web").alias("src"),
+        F.lit(3).alias("prio"),
+        F.concat(F.col("c_name"), F.lit("-x")).alias("name"),
+        (cents - 100).alias("cents"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    r2 = c.select(
+        F.col("c_custkey").alias("cluster"),
+        (F.col("c_custkey") * 10 + 2).alias("eid"),
+        F.lit("import").alias("src"),
+        F.lit(2).alias("prio"),
+        F.substring(F.col("c_name"), 1, 8).alias("name"),
+        (
+            cents
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(150)).otherwise(
+                F.lit(0)
+            )
+        ).alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    recs = r0.unionByName(r1).unionByName(r2).localCheckpoint(eager=True)
+    wn = W.partitionBy("cluster").orderBy(
+        F.length("name").desc(), "name", "eid"
+    )
+    best_name = (
+        recs.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("name").alias("golden_name"))
+    )
+    ws = W.partitionBy("cluster").orderBy("prio", "eid")
+    best_seg = (
+        recs.where(F.col("seg").isNotNull())
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("seg").alias("golden_seg"))
+    )
+    agg = recs.groupBy("cluster").agg(
+        F.max("cents").cast("long").alias("golden_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return (
+        agg.join(best_name, "cluster")
+        .join(best_seg, "cluster", "left")
+        .select(
+            "cluster", "golden_name", "golden_cents", "golden_seg", "n_sources"
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------- multi-signal dedup agreement ----
+def _signal_agreement_sql() -> str:
+    emb_pair = """
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[]))))
+                    * 1000000 + 0.5) / 1000000 >= 0.45
+    """
+    return f"""
+    WITH {_minhash_ctes()},
+    tp AS (SELECT doc_a AS pa, doc_b AS pb FROM verified
+           WHERE jaccard >= 0.8),
+    ep AS ({emb_pair}),
+    j AS (SELECT COALESCE(tp.pa, ep.pa) AS pa, COALESCE(tp.pb, ep.pb) AS pb,
+                 tp.pa IS NOT NULL AS in_text, ep.pa IS NOT NULL AS in_emb
+          FROM tp FULL OUTER JOIN ep ON tp.pa = ep.pa AND tp.pb = ep.pb)
+    SELECT CAST(COUNT(*) FILTER (WHERE in_text) AS BIGINT) AS n_text_pairs,
+           CAST(COUNT(*) FILTER (WHERE in_emb) AS BIGINT) AS n_emb_pairs,
+           CAST(COUNT(*) FILTER (WHERE in_text AND in_emb) AS BIGINT)
+             AS n_both,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE COUNT(*) FILTER (WHERE in_text AND in_emb) * 1000000
+                     // COUNT(*) END AS BIGINT) AS jaccard_ppm
+    FROM j
+    """
+
+
+@query("q344_dedup_signal_agreement", oracle=_signal_agreement_sql())
+def q344(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-signal dedup AGREEMENT report: before a 100 TB pipeline
+    deletes data, it cross-checks its duplicate signals — here the
+    lexical signal (q92's MinHash-LSH verified pairs at Jaccard ≥ 0.8)
+    against the semantic signal (q95's cosine pairs at ≥ 0.45, same id
+    domain) — and ships the overlap as counts plus the exact pair-set
+    Jaccard in integer ppm. Low agreement flags near-dups one signal
+    systematically misses (templated text with different topics, or
+    paraphrases with no shingle overlap). Plan: both pair generators
+    are the already-certified candidate-bounded joins; the comparison
+    itself is one FULL OUTER equi-join on the (a, b) pair key and one
+    aggregate — O(pairs), never O(corpus²)."""
+    from ..operators.similarity import cosine_pairs
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    tp = minhash_lsh_pairs(
+        docs, k=3, n_perm=16, band_rows=4, threshold=0.8
+    ).select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+    ep = cosine_pairs(emb, threshold=0.45).select(
+        F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
+    )
+    j = tp.withColumn("in_text", F.lit(True)).join(
+        ep.withColumn("in_emb", F.lit(True)), ["pa", "pb"], "full_outer"
+    )
+    both = F.sum(
+        F.when(F.col("in_text") & F.col("in_emb"), 1).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        F.sum(F.when(F.col("in_text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_text_pairs"),
+        F.sum(F.when(F.col("in_emb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_emb_pairs"),
+        both.alias("n_both"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(SUM(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            )
+        )
+        .alias("jaccard_ppm"),
+    )

@@ -883,3 +883,114 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------------------ personalized PageRank ----
+PPR_SEED_MOD = 7
+PPR_DAMP = 0.85
+
+
+def _ppr_sql() -> str:
+    return f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+    seeds AS (SELECT node FROM deg WHERE node % {PPR_SEED_MOD} = 0),
+    ns AS (SELECT COUNT(*) AS ns FROM seeds),
+    r0 AS (SELECT d.node, d.deg,
+                  CASE WHEN d.node % {PPR_SEED_MOD} = 0
+                       THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS rank
+           FROM deg d),
+    c1 AS (SELECT u.dst AS node,
+                  SUM(CAST(floor(r.rank / r.deg * 1e12 + 0.5) AS BIGINT)) AS q
+           FROM und u JOIN r0 r ON r.node = u.src GROUP BY u.dst),
+    r1 AS (SELECT d.node, d.deg,
+                  CASE WHEN d.node % {PPR_SEED_MOD} = 0
+                       THEN {1 - PPR_DAMP} / (SELECT ns FROM ns)
+                       ELSE 0.0 END
+                  + {PPR_DAMP} * (CAST(COALESCE(c.q, 0) AS DOUBLE) / 1e12)
+                    AS rank
+           FROM deg d LEFT JOIN c1 c ON c.node = d.node),
+    c2 AS (SELECT u.dst AS node,
+                  SUM(CAST(floor(r.rank / r.deg * 1e12 + 0.5) AS BIGINT)) AS q
+           FROM und u JOIN r1 r ON r.node = u.src GROUP BY u.dst),
+    r2 AS (SELECT d.node,
+                  CASE WHEN d.node % {PPR_SEED_MOD} = 0
+                       THEN {1 - PPR_DAMP} / (SELECT ns FROM ns)
+                       ELSE 0.0 END
+                  + {PPR_DAMP} * (CAST(COALESCE(c.q, 0) AS DOUBLE) / 1e12)
+                    AS rank
+           FROM deg d LEFT JOIN c2 c ON c.node = d.node)
+    SELECT node, node % {PPR_SEED_MOD} = 0 AS is_seed,
+           {sql_round_det("rank", 9)} AS ppr
+    FROM r2 ORDER BY ppr DESC, node LIMIT 25
+    """
+
+
+@query("q342_personalized_pagerank", oracle=_ppr_sql())
+def q342(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set —
+    nodes ≡ 0 mod {m}), two unrolled power-iteration rounds: the
+    recommendation/similar-items primitive where relevance is measured
+    FROM a context set rather than globally (q200 is the uniform
+    special case). Same per-round plan as q200 — one equi-join of
+    ranks onto outgoing edges + one hash aggregate of contributions —
+    with the teleport mass restored to seeds only each round; per-edge
+    contributions are 1e-12-quantized BIGINTs so re-aggregation is
+    exact and iteration inputs stay bit-identical cross-engine.
+    Non-seed mass decays by damping^rounds, so the top-k surfaces the
+    seed neighborhoods, which is the product behavior."""
+    und = (
+        _edges(spark, sf)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    is_seed = F.col("node") % PPR_SEED_MOD == 0
+    ns = deg.where(is_seed).count()
+    teleport = F.when(is_seed, F.lit((1 - PPR_DAMP) / ns)).otherwise(F.lit(0.0))
+    ranks = deg.withColumn(
+        "rank", F.when(is_seed, F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+    )
+    for _ in range(2):
+        contrib = (
+            und.join(ranks.select("node", "deg", "rank"), und.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                _q12(F.col("rank") / F.col("deg")).alias("q"),
+            )
+            .groupBy("node")
+            .agg(F.sum("q").alias("q"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .withColumn(
+                "rank",
+                teleport
+                + F.lit(PPR_DAMP)
+                * (F.coalesce(F.col("q"), F.lit(0)).cast("double") / F.lit(1e12)),
+            )
+            .select("node", "deg", "rank")
+        )
+    return (
+        ranks.select(
+            "node",
+            is_seed.alias("is_seed"),
+            round_det(F.col("rank"), 9).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), "node")
+        .limit(25)
+    )
+
+
+q342.__doc__ = q342.__doc__.format(m=PPR_SEED_MOD)

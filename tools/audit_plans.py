@@ -154,6 +154,14 @@ EXPECTED = {
     # degrees each round — none broadcast at graph scale; keyed SMJ is the
     # canonical power-iteration plan
     "q200_pagerank_two_rounds": {"SortMergeJoin"},
+    # same power-iteration joins as q200, seed-restricted teleport
+    "q342_personalized_pagerank": {"SortMergeJoin"},
+    # composes q92's band-keyed SMJ stage (post-explode stats unknown) and
+    # q95's declared bounded brute-force cosine baseline (BNLJ)
+    "q344_dedup_signal_agreement": {
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+    },
     # edge-edge wedge closure: both sides are the O(E) edge list
     "q201_triangle_count": {"SortMergeJoin"},
     # global max(ts) is a 1-row broadcast onto per-user RFM rows
