@@ -137,7 +137,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q338_nearest_centroid_confusion", "q339_dbscan_grid",
     "q340_hll_by_group", "q341_zipf_slope",
     "q342_personalized_pagerank", "q343_golden_record_survivorship",
-    "q344_dedup_signal_agreement",
+    "q344_dedup_signal_agreement", "q345_ktruss_peel",
 )
 
 

@@ -994,3 +994,84 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q342.__doc__ = q342.__doc__.format(m=PPR_SEED_MOD)
+
+
+# -------------------------------------------------- k-truss peeling -------
+KTRUSS_SUPPORT = 2  # survive iff edge sits in >= 2 triangles (4-truss)
+KTRUSS_ROUNDS = 2
+
+
+def _ktruss_sql() -> str:
+    def peel(src: str, i: int) -> str:
+        return f"""
+    t{i} AS (SELECT e1.a, e1.b, e2.b AS c
+             FROM {src} e1 JOIN {src} e2 ON e2.a = e1.b
+             JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    s{i} AS (SELECT a AS x, b AS y FROM t{i}
+             UNION ALL SELECT b, c FROM t{i}
+             UNION ALL SELECT a, c FROM t{i}),
+    sup{i} AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS s
+               FROM s{i} GROUP BY x, y),
+    e{i + 1} AS (SELECT e.a, e.b, s.s FROM {src} e
+                 JOIN sup{i} s ON s.x = e.a AND s.y = e.b
+                 WHERE s.s >= {KTRUSS_SUPPORT})"""
+
+    return f"""
+    WITH e0 AS ({_SQL_EDGES}),
+    {peel('e0', 0)},
+    {peel('e1', 1)}
+    SELECT a, b, s AS support FROM e2 ORDER BY a, b
+    """
+
+
+@query("q345_ktruss_peel", oracle=_ktruss_sql())
+def q345(spark: SparkSession, sf: str) -> DataFrame:
+    """K-truss peeling ({r} unrolled rounds, support ≥ {k} = 4-truss):
+    the community-core extractor one level up from q335's triangle
+    counting — an edge survives a round only if it participates in ≥
+    {k} triangles among the CURRENTLY surviving edges, so each round
+    re-enumerates triangles on the shrinking edge set and peels again
+    (full truss decomposition = this loop to fixed point + an isEmpty
+    probe, the q324 bounded-vs-unbounded convention). Per round: one
+    id-ordered wedge self-join + closure join (the q201 enumeration —
+    at hub-heavy scale swap in q335's degree ordering, same downstream
+    plan), one explode of each triangle's three edges into a hash
+    aggregate, one keyed semi-join filter. Rounds read an eagerly
+    checkpointed edge list so lineage stays flat. Output = surviving
+    edges with the support that justified survival."""
+    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    for _ in range(KTRUSS_ROUNDS):
+        edges = edges.select("a", "b")  # drop prior round's support
+        e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        e3 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        tri = e1.join(e2, "v").join(e3, ["u", "w"], "left_semi")
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+                        F.struct(F.col("v").alias("x"), F.col("w").alias("y")),
+                        F.struct(F.col("u").alias("x"), F.col("w").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select("e.x", "e.y")
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("s"))
+            .where(F.col("s") >= KTRUSS_SUPPORT)
+        )
+        edges = (
+            edges.join(
+                sup,
+                (edges.a == sup.x) & (edges.b == sup.y),
+            )
+            .select("a", "b", "s")
+            .localCheckpoint(eager=True)
+        )
+    return edges.select("a", "b", F.col("s").alias("support")).orderBy(
+        "a", "b"
+    )
+
+
+q345.__doc__ = q345.__doc__.format(r=KTRUSS_ROUNDS, k=KTRUSS_SUPPORT)

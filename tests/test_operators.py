@@ -742,3 +742,60 @@ def test_dbscan_roles_are_consistent(spark, sf_dir):
             core_by_label.setdefault(r.cluster_label, []).append(r.pid)
     for label, members in core_by_label.items():
         assert label == min(members)
+
+
+def test_ppr_with_all_seeds_equals_uniform_pagerank(spark, sf_dir, monkeypatch):
+    """Personalized PageRank degenerates to q200's uniform PageRank when
+    every node is a seed (teleport vector = uniform) — the algebraic
+    sanity check that the seed restriction is the ONLY difference."""
+    from data_engineer_capstone_spark.plans import graph_behavior as gb
+    from data_engineer_capstone_spark.plans import get_queries
+
+    monkeypatch.setattr(gb, "PPR_SEED_MOD", 1)
+    qs = get_queries()
+    ppr = {
+        r.node: r.ppr
+        for r in qs["q342_personalized_pagerank"](spark, sf_dir).collect()
+    }
+    pr = {
+        r.node: r.pagerank
+        for r in qs["q200_pagerank_two_rounds"](spark, sf_dir).collect()
+    }
+    assert ppr == pr
+
+
+def test_hll_grouped_registers_merge_to_global(spark, sf_dir):
+    """q340's per-group register partials must merge (bucket-wise MAX
+    across groups) into exactly q331's global registers — the
+    re-aggregation contract that lets per-dimension sketches roll up
+    without rescanning."""
+    from data_engineer_capstone_spark.functions.text import h64
+    from data_engineer_capstone_spark.plans.scale_patterns import (
+        HLL_M,
+        HLL_RHO_CAP,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    v = F.expr(f"h div {HLL_M}")
+    rho = F.least(
+        F.when(v == 0, F.lit(HLL_RHO_CAP)).otherwise(
+            F.bit_count(v.bitwiseAND(-v) - F.lit(1)) + F.lit(1)
+        ),
+        F.lit(HLL_RHO_CAP),
+    )
+    base = ev.select(
+        F.col("event_type").alias("g"), h.alias("h")
+    ).select("g", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+    grouped = base.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    merged = {
+        r.bucket: r.reg
+        for r in grouped.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    global_regs = {
+        r.bucket: r.reg
+        for r in base.groupBy("bucket").agg(F.max("rho").alias("reg")).collect()
+    }
+    assert merged == global_regs
