@@ -138,6 +138,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q340_hll_by_group", "q341_zipf_slope",
     "q342_personalized_pagerank", "q343_golden_record_survivorship",
     "q344_dedup_signal_agreement", "q345_ktruss_peel",
+    "q346_kaplan_meier", "q347_readability",
 )
 
 

@@ -3655,3 +3655,62 @@ def q344(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("jaccard_ppm"),
     )
+
+
+# ----------------------------------------------- readability scoring ------
+def _readability_sql() -> str:
+    w = f"len({_WORDS.format(c='text')})"
+    s = "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    y = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    return f"""
+    WITH counts AS (
+        SELECT doc_id, CAST({w} AS BIGINT) AS n_words,
+               CAST({s} AS BIGINT) AS n_sentences,
+               CAST({y} AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words AS BIGINT)
+             AS flesch_milli
+    FROM counts WHERE n_words > 0
+    ORDER BY doc_id
+    """
+
+
+@query("q347_readability", oracle=_readability_sql())
+def q347(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate
+    corpus-curation pipelines run next to q99's quality score (very low
+    scores flag machine-generated or degenerate text; very high ones
+    flag trivial/listicle content). Counts are pure row-local regex
+    extractions (words via the shared token regex, sentences via
+    terminal-punctuation runs clamped to ≥ 1, syllables via vowel-group
+    runs — the standard dictionary-free approximation), and the score
+    is pinned as EXACT integer milli-points (206.835 − 1.015·w/s −
+    84.6·y/w scaled ×1000 with integer division) so there is no float
+    boundary at all. One scan, zero shuffles before the ORDER BY."""
+    docs = load_table(spark, sf, "documents")
+    n_words = F.size(words("text")).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    counts = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div n_words AS BIGINT)"
+        ).alias("flesch_milli"),
+    ).orderBy("doc_id")

@@ -2897,3 +2897,147 @@ def q341(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q341.__doc__ = q341.__doc__.format(top=ZIPF_TOP)
+
+
+# ---------------------------------------------- Kaplan-Meier survival -----
+KM_CENSOR_DAYS = 7  # still active within N days of corpus end => censored
+
+
+def _km_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts)//{_US_DAY} AS d FROM events
+    ),
+    users AS (
+        SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d
+        FROM ev GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d) AS mx FROM ev),
+    durs AS (
+        SELECT u.last_d - u.first_d AS t,
+               CASE WHEN u.last_d < mx.mx - {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM users u CROSS JOIN mx
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+    sup AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS leaving,
+               CAST(SUM(churned) AS BIGINT) AS d_events
+        FROM durs GROUP BY t
+    ),
+    risk AS (
+        SELECT s.t, s.d_events,
+               CAST(tot.n - COALESCE(SUM(s.leaving) OVER (
+                   ORDER BY s.t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM sup s CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT t, d_events, n_risk,
+               CASE WHEN d_events < n_risk THEN
+                   CAST(floor(ln(1.0 - CAST(d_events AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS ln_q,
+               CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS hit_zero
+        FROM risk WHERE d_events > 0
+    ),
+    curve AS (
+        SELECT t, d_events, n_risk,
+               SUM(ln_q) OVER (ORDER BY t) AS ln_s,
+               MAX(hit_zero) OVER (ORDER BY t) AS zeroed
+        FROM terms
+    )
+    SELECT t AS duration_days, n_risk, d_events,
+           CAST(CASE WHEN zeroed = 1 THEN 0
+                ELSE floor(exp(CAST(ln_s AS DOUBLE) / 1e9) * 1e6 + 0.5)
+                END AS BIGINT) AS km_ppm
+    FROM curve ORDER BY t
+    """
+
+
+@query("q346_kaplan_meier", oracle=_km_sql())
+def q346(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes with
+    right-censoring — the retention statistic that plain churn rates
+    get wrong (a user still active near the corpus end hasn't churned,
+    they're CENSORED; KM counts them at risk until their observed
+    duration, then removes them without a death event). Duration =
+    active span in days; churn event iff the user went quiet more than
+    {c} days before the corpus ends. Exactness: at each event time the
+    at-risk and event counts are exact integers from one hash
+    aggregate + a cumulative window over the O(distinct durations)
+    support (bounded by the corpus day span — q309 class), the
+    ln(1 − d/n) terms are nano-quantized on identical double inputs,
+    the log-survival is an exact integer sum, and the d = n
+    (survival-hits-zero) edge is pinned via an explicit flag rather
+    than ln(0). Scale: nothing rank-based touches raw rows; the curve
+    is O(days)."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_DAY}").alias("d"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    mx = ev.agg(F.max("d").alias("mx"))
+    durs = users.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        F.when(
+            F.col("last_d") < F.col("mx") - KM_CENSOR_DAYS, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sup = durs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+        F.sum("churned").cast("long").alias("d_events"),
+    )
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = sup.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_events",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+    terms = risk.where(F.col("d_events") > 0).select(
+        "t",
+        "d_events",
+        "n_risk",
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.floor(F.log(1.0 - frac) * 1e9 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("ln_q"),
+        F.when(F.col("d_events") >= F.col("n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("hit_zero"),
+    )
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    curve = terms.select(
+        "t",
+        "d_events",
+        "n_risk",
+        F.sum("ln_q").over(w_cum).alias("ln_s"),
+        F.max("hit_zero").over(w_cum).alias("zeroed"),
+    )
+    return curve.select(
+        F.col("t").alias("duration_days"),
+        "n_risk",
+        "d_events",
+        F.when(F.col("zeroed") == 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("ln_s").cast("double") / 1e9) * 1e6 + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("km_ppm"),
+    ).orderBy("duration_days")
+
+
+q346.__doc__ = q346.__doc__.format(c=KM_CENSOR_DAYS)

@@ -79,6 +79,8 @@ EXPECTED = {
     "q318_reshard_plan": {"BroadcastNestedLoopJoin"},
     "q320_trailing_leaderboard": {"BroadcastNestedLoopJoin"},  # 1-row max_day scalar
     "q321_blocking_recall_report": {"BroadcastNestedLoopJoin"},  # 1-row truth scalar
+    # 1-row max-day and total-user scalars broadcast onto the duration rows
+    "q346_kaplan_meier": {"BroadcastNestedLoopJoin"},
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
@@ -204,6 +206,7 @@ GLOBAL_WINDOW_OK = {
     "q73_dq_checks",
     "q325_rrf_fusion",  # rank window over a TakeOrdered LIMIT-100 list
     "q334_skyline_pareto",  # suffix-min over the O(distinct p_size) agg (~50 rows)
+    "q346_kaplan_meier",  # cumulative windows over O(distinct durations) ≤ day span
 }
 
 
