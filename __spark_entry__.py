@@ -139,6 +139,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q342_personalized_pagerank", "q343_golden_record_survivorship",
     "q344_dedup_signal_agreement", "q345_ktruss_peel",
     "q346_kaplan_meier", "q347_readability",
+    "q348_cuped_variance_reduction", "q349_caliper_matching",
+    "q350_difference_in_differences", "q351_dedup_savings_report",
 )
 
 

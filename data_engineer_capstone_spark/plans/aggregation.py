@@ -1742,3 +1742,378 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("g").alias("event_type"), "mi")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- CUPED variance reduction ----
+CUPED_SPLIT_DAY = 15
+_CUPED_US_DAY = 86_400_000_000
+
+
+def _cuped_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts)//{_CUPED_US_DAY} AS d,
+               CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM ev),
+    per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CASE WHEN d - base.d0 < {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN d - base.d0 >= {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS y
+        FROM ev CROSS JOIN base
+        GROUP BY event_type, user_id
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1e6 + 0.5) / 1e6 AS theta,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+                      * 1000000 + 0.5) AS BIGINT) AS var_reduction_ppm
+    FROM m WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    ORDER BY event_type
+    """
+
+
+@query("q348_cuped_variance_reduction", oracle=_cuped_sql())
+def q348(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) — the
+    industry-standard A/B variance-reduction technique: per user, the
+    pre-period metric x (first {s} corpus days) predicts the
+    experiment-period metric y, and the adjusted metric y − θ(x − x̄)
+    with θ = cov(x,y)/var(x) removes the predictable between-user
+    variance. The achieved reduction has the closed form
+    corr(x,y)² = cov²/(var·var), so ONE pass of exact integer moment
+    sums (cents-quantized, the q119/q206 discipline) yields both θ and
+    the realized reduction in ppm — no second pass over adjusted
+    values, no float accumulation anywhere before the final identical
+    double expressions. Per event type: one per-user hash aggregate,
+    one moment aggregate. Degenerate (zero-variance) groups are
+    excluded by contract."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_CUPED_US_DAY}"
+        ).alias("d"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = ev.agg(F.min("d").alias("d0"))
+    pre = F.col("d") - F.col("d0") < CUPED_SPLIT_DAY
+    per_user = (
+        ev.crossJoin(F.broadcast(base))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    varx_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    return (
+        m.where((varx_n > 0) & (vary_n > 0))
+        .select(
+            "event_type",
+            "n",
+            round_det(cov_n / varx_n, 6).alias("theta"),
+            F.floor(cov_n * cov_n / (varx_n * vary_n) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("var_reduction_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q348.__doc__ = q348.__doc__.format(s=CUPED_SPLIT_DAY)
+
+
+# ------------------------------------- propensity-style caliper matching --
+MATCH_CALIPER = 2
+
+
+def _caliper_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts)//{_CUPED_US_DAY} AS d,
+               CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (
+                   WHERE d - base.d0 < {CUPED_SPLIT_DAY}) AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN d - base.d0 >= {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS y,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND d - base.d0 < {CUPED_SPLIT_DAY}
+                        THEN 1 ELSE 0 END) AS treated
+        FROM ev CROSS JOIN base GROUP BY user_id
+    ),
+    t AS (SELECT user_id, score, y FROM per_user WHERE treated = 1),
+    c AS (SELECT user_id, score, y FROM per_user WHERE treated = 0),
+    cand AS (
+        SELECT t.user_id AS tid, t.y AS ty, c.user_id AS cid, c.y AS cy,
+               abs(t.score - c.score) AS dist
+        FROM t JOIN c ON abs(t.score - c.score) <= {MATCH_CALIPER}
+    ),
+    best AS (
+        SELECT tid, ty, cid, cy FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tid ORDER BY dist, cid) AS rn
+            FROM cand)
+        WHERE rn = 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST((SUM(ty) - SUM(cy)) * 1000 // COUNT(*) AS BIGINT)
+             AS att_millicents
+    FROM best
+    """
+
+
+@query("q349_caliper_matching", oracle=_caliper_sql())
+def q349(spark: SparkSession, sf: str) -> DataFrame:
+    """Propensity-style CALIPER MATCHING — the observational-causal
+    estimator: each treated user (made a purchase in the pre-period)
+    is matched with replacement to the nearest control on a pre-period
+    activity score within caliper ±{c}, and the average treatment
+    effect on the treated (ATT) is the mean post-period outcome gap
+    over matched pairs. Determinism: matching ties break (distance,
+    control id) via ROW_NUMBER — classic greedy matching is
+    order-dependent; this contract is not. Scale shape: the candidate
+    space is generated through an EQUI-join key — treated users
+    explode to their {w} caliper buckets and join controls on the
+    bucket (the q122/q236 banding pattern), so no score-cross-score
+    nested loop; selection is a per-treated window over the bounded
+    caliper candidates, and the ATT is one exact integer aggregate
+    (truncating division verified identical cross-engine)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_CUPED_US_DAY}"
+        ).alias("d"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = ev.agg(F.min("d").alias("d0"))
+    pre = F.col("d") - F.col("d0") < CUPED_SPLIT_DAY
+    per_user = (
+        ev.crossJoin(F.broadcast(base))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("score"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & pre, 1
+                ).otherwise(0)
+            ).alias("treated"),
+        )
+        .localCheckpoint(eager=True)  # feeds both arms
+    )
+    t = per_user.where(F.col("treated") == 1).select(
+        F.col("user_id").alias("tid"),
+        F.col("score").alias("ts_"),
+        F.col("y").alias("ty"),
+    )
+    c = per_user.where(F.col("treated") == 0).select(
+        F.col("user_id").alias("cid"),
+        F.col("score").alias("cs"),
+        F.col("y").alias("cy"),
+    )
+    t_buckets = t.select(
+        "tid",
+        "ts_",
+        "ty",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("ts_") + F.lit(k)).alias("b")
+                    for k in range(-MATCH_CALIPER, MATCH_CALIPER + 1)
+                ]
+            )
+        ).alias("b"),
+    )
+    cand = t_buckets.join(c, F.col("b") == F.col("cs")).select(
+        "tid",
+        "ty",
+        "cid",
+        "cy",
+        F.abs(F.col("ts_") - F.col("cs")).alias("dist"),
+    )
+    wv = W.partitionBy("tid").orderBy("dist", "cid")
+    best = (
+        cand.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("tid", "ty", "cid", "cy")
+    )
+    n_t = t.agg(F.count(F.lit(1)).cast("long").alias("n_treated"))
+    return (
+        best.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.expr(
+                "CAST((SUM(ty) - SUM(cy)) * 1000 div COUNT(*) AS BIGINT)"
+            ).alias("att_millicents"),
+        )
+        .crossJoin(F.broadcast(n_t))
+        .select("n_treated", "n_matched", "att_millicents")
+    )
+
+
+q349.__doc__ = q349.__doc__.format(c=MATCH_CALIPER, w=2 * MATCH_CALIPER + 1)
+
+
+# ------------------------------------------ difference-in-differences -----
+def _did_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts)//{_CUPED_US_DAY} AS d,
+               CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN d - base.d0 < {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS y_pre,
+               CAST(SUM(CASE WHEN d - base.d0 >= {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS y_post,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND d - base.d0 < {CUPED_SPLIT_DAY}
+                        THEN 1 ELSE 0 END) AS treated
+        FROM ev CROSS JOIN base GROUP BY user_id
+    ),
+    cells AS (
+        SELECT treated, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y_pre) AS BIGINT) AS s_pre,
+               CAST(SUM(y_post) AS BIGINT) AS s_post
+        FROM per_user GROUP BY treated
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN treated = 1 THEN n END) AS n_t,
+               MAX(CASE WHEN treated = 1 THEN s_pre END) AS st_pre,
+               MAX(CASE WHEN treated = 1 THEN s_post END) AS st_post,
+               MAX(CASE WHEN treated = 0 THEN n END) AS n_c,
+               MAX(CASE WHEN treated = 0 THEN s_pre END) AS sc_pre,
+               MAX(CASE WHEN treated = 0 THEN s_post END) AS sc_post
+        FROM cells
+    )
+    SELECT n_t AS n_treated, n_c AS n_control,
+           CAST((st_post - st_pre) * 1000 // n_t AS BIGINT)
+             AS treated_delta_millicents,
+           CAST((sc_post - sc_pre) * 1000 // n_c AS BIGINT)
+             AS control_delta_millicents,
+           CAST((st_post - st_pre) * 1000 // n_t
+                - (sc_post - sc_pre) * 1000 // n_c AS BIGINT)
+             AS did_millicents
+    FROM wide
+    """
+
+
+@query("q350_difference_in_differences", oracle=_did_sql())
+def q350(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences — the third leg of the causal suite
+    (q348 CUPED, q349 matching): treated = purchased in the
+    pre-period, and the effect estimate is the treated group's
+    pre→post outcome change minus the control group's, which nets out
+    any shared time trend the single-group before/after comparison
+    would absorb. The whole estimator is 2×2 cells of exact
+    cent-integer sums — one per-user hash aggregate, one 2-row cell
+    aggregate, one pivot row — with every reported delta an exact
+    truncating integer division (pinned contract, verified identical
+    cross-engine). Parallel-trends is an assumption, not a
+    computation; the q327 expanding-window machinery is the placebo
+    harness for testing it."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_CUPED_US_DAY}"
+        ).alias("d"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = ev.agg(F.min("d").alias("d0"))
+    pre = F.col("d") - F.col("d0") < CUPED_SPLIT_DAY
+    per_user = (
+        ev.crossJoin(F.broadcast(base))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y_pre"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y_post"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & pre, 1
+                ).otherwise(0)
+            ).alias("treated"),
+        )
+    )
+    cells = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_pre").cast("long").alias("s_pre"),
+        F.sum("y_post").cast("long").alias("s_post"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("treated") == 1, F.col("s_pre"))).alias("st_pre"),
+        F.max(F.when(F.col("treated") == 1, F.col("s_post"))).alias("st_post"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("treated") == 0, F.col("s_pre"))).alias("sc_pre"),
+        F.max(F.when(F.col("treated") == 0, F.col("s_post"))).alias("sc_post"),
+    )
+    td = F.expr("CAST((st_post - st_pre) * 1000 div n_t AS BIGINT)")
+    cd = F.expr("CAST((sc_post - sc_pre) * 1000 div n_c AS BIGINT)")
+    return wide.select(
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        td.alias("treated_delta_millicents"),
+        cd.alias("control_delta_millicents"),
+        (td - cd).cast("long").alias("did_millicents"),
+    )

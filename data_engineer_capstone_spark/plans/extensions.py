@@ -3714,3 +3714,69 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
             " - (84600 * n_syllables) div n_words AS BIGINT)"
         ).alias("flesch_milli"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- dedup savings accounting -----
+def _dedup_savings_sql() -> str:
+    w = f"len({_WORDS.format(c='text')})"
+    return f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h, CAST({w} AS BIGINT) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(MIN(doc_id) AS BIGINT) AS canon,
+               CAST(SUM(toks) AS BIGINT) AS toks_all,
+               CAST(MIN_BY(toks, doc_id) AS BIGINT) AS toks_canon
+        FROM d GROUP BY h
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_dups,
+           CAST(SUM(toks_all) AS BIGINT) AS tokens_total,
+           CAST(SUM(toks_all - toks_canon) AS BIGINT) AS tokens_saved,
+           CAST(SUM(toks_all - toks_canon) * 1000000
+                // GREATEST(SUM(toks_all), 1) AS BIGINT) AS savings_ppm
+    FROM g
+    """
+
+
+@query("q351_dedup_savings_report", oracle=_dedup_savings_sql())
+def q351(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup SAVINGS accounting — the number a data-curation review
+    actually asks for: if exact dedup (q90's content-hash groups,
+    min-doc_id canonical) ran today, how many documents and how many
+    training tokens would it remove, absolutely and in ppm of the
+    corpus? One hash aggregate to groups (carrying size, canonical id,
+    and the canonical's token count via MIN_BY/min-struct — duplicate
+    groups keep the canonical's tokens, shed the rest), one summary
+    aggregate. At 100 TB this is the dry-run gate run BEFORE the
+    destructive dedup job, off the same hash shuffle that job would
+    use."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(words("text")).cast("long").alias("toks"),
+    )
+    g = d.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.min("doc_id").cast("long").alias("canon"),
+        F.sum("toks").cast("long").alias("toks_all"),
+        F.min(F.struct("doc_id", "toks"))["toks"]
+        .cast("long")
+        .alias("toks_canon"),
+    )
+    return g.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_dups"),
+        F.sum("toks_all").cast("long").alias("tokens_total"),
+        F.sum(F.col("toks_all") - F.col("toks_canon"))
+        .cast("long")
+        .alias("tokens_saved"),
+        F.expr(
+            "CAST(SUM(toks_all - toks_canon) * 1000000"
+            " div GREATEST(SUM(toks_all), 1) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

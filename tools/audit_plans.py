@@ -81,6 +81,11 @@ EXPECTED = {
     "q321_blocking_recall_report": {"BroadcastNestedLoopJoin"},  # 1-row truth scalar
     # 1-row max-day and total-user scalars broadcast onto the duration rows
     "q346_kaplan_meier": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-start-day scalar broadcast onto the event rows
+    "q348_cuped_variance_reduction": {"BroadcastNestedLoopJoin"},
+    # same d0 scalar + 1-row n_treated scalar crossed into the summary row
+    "q349_caliper_matching": {"BroadcastNestedLoopJoin"},
+    "q350_difference_in_differences": {"BroadcastNestedLoopJoin"},  # d0 scalar
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
