@@ -762,13 +762,24 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     wedges = o1.join(o2, "u").where(
         F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
     )
-    tri = wedges.join(
-        ori.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    # ONE pass over the wedge space: a left join against the closing edge
+    # marks closed wedges, so n_wedges and n_triangles come out of the same
+    # aggregate instead of running the (dominant-cost) wedge join twice
+    marked = wedges.join(
+        ori.select(
+            F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("hit")
+        ),
+        ["x", "y"],
+        "left",
     )
     n_e = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    n_w = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
-    n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    return n_e.crossJoin(F.broadcast(n_w)).crossJoin(F.broadcast(n_t))
+    n_wt = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.count("hit").cast("long").alias("n_triangles"),
+    )
+    return n_e.crossJoin(F.broadcast(n_wt)).select(
+        "n_edges", "n_wedges", "n_triangles"
+    )
 
 
 # ------------------------------------------- local clustering coefficient --
