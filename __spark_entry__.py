@@ -141,6 +141,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q346_kaplan_meier", "q347_readability",
     "q348_cuped_variance_reduction", "q349_caliper_matching",
     "q350_difference_in_differences", "q351_dedup_savings_report",
+    "q352_apply_in_arrow", "q353_uplift_deciles",
+    "q354_dynamic_gap_sessions",
 )
 
 

@@ -2117,3 +2117,132 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         cd.alias("control_delta_millicents"),
         (td - cd).cast("long").alias("did_millicents"),
     )
+
+
+# ------------------------------------------------- uplift by decile -------
+def _uplift_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts)//{_CUPED_US_DAY} AS d,
+               CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (
+                   WHERE d - base.d0 < {CUPED_SPLIT_DAY}) AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN d - base.d0 >= {CUPED_SPLIT_DAY}
+                             THEN cents ELSE 0 END) AS BIGINT) AS y,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND d - base.d0 < {CUPED_SPLIT_DAY}
+                        THEN 1 ELSE 0 END) AS treated
+        FROM ev CROSS JOIN base GROUP BY user_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user),
+    ranked AS (
+        SELECT p.*, ROW_NUMBER() OVER (ORDER BY score, user_id) AS r
+        FROM per_user p
+    ),
+    dec AS (
+        SELECT treated, y,
+               1 + (10 * (r - 1)) // n.n AS decile
+        FROM ranked CROSS JOIN n
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) FILTER (WHERE treated = 1) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) FILTER (WHERE treated = 0) AS BIGINT) AS n_control,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE treated = 1) > 0
+                THEN SUM(y) FILTER (WHERE treated = 1) * 1000
+                     // COUNT(*) FILTER (WHERE treated = 1) END AS BIGINT)
+             AS treated_mean_millicents,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE treated = 0) > 0
+                THEN SUM(y) FILTER (WHERE treated = 0) * 1000
+                     // COUNT(*) FILTER (WHERE treated = 0) END AS BIGINT)
+             AS control_mean_millicents
+    FROM dec GROUP BY decile ORDER BY decile
+    """
+
+
+@query("q353_uplift_deciles", oracle=_uplift_sql())
+def q353(spark: SparkSession, sf: str) -> DataFrame:
+    """Uplift-by-decile report — effect HETEROGENEITY on top of the
+    causal suite (q348-q350): users ranked by the pre-period activity
+    score, cut into exact global deciles, and each decile reports
+    treated vs control post-period means so targeting teams see WHERE
+    the effect concentrates. The global decile rank is the
+    q247-class problem — a partitionless ROW_NUMBER over data-scale
+    users is exactly what the plan audit bans — so ranks come from
+    ``distributed_cumsum``'s range-exchange machinery (range
+    repartition + partition-local window + literal-map offsets), and
+    decile = 1 + 10·(rank−1) div n. All reported means are exact
+    truncating integer divisions; empty cells stay NULL by pinned
+    contract (the oracle's global ROW_NUMBER is the semantic spec,
+    not the plan)."""
+    from ..functions.refops import distributed_cumsum
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_CUPED_US_DAY}"
+        ).alias("d"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = ev.agg(F.min("d").alias("d0"))
+    pre = F.col("d") - F.col("d0") < CUPED_SPLIT_DAY
+    per_user = (
+        ev.crossJoin(F.broadcast(base))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("score"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & pre, 1
+                ).otherwise(0)
+            ).alias("treated"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = distributed_cumsum(
+        per_user, ["score", "user_id"], "one", name="_cum", rank_name="r"
+    )
+    n = per_user.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        "treated",
+        "y",
+        (1 + F.expr("(10 * (r - 1)) div n")).cast("long").alias("decile"),
+    )
+    t_n = F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long")
+    c_n = F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long")
+    t_s = F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(F.lit(0)))
+    c_s = F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(F.lit(0)))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            t_n.alias("n_treated"),
+            c_n.alias("n_control"),
+            t_s.alias("_ts"),
+            c_s.alias("_cs"),
+        )
+        .select(
+            "decile",
+            "n_treated",
+            "n_control",
+            F.when(
+                F.col("n_treated") > 0,
+                F.expr("CAST(_ts * 1000 div n_treated AS BIGINT)"),
+            ).alias("treated_mean_millicents"),
+            F.when(
+                F.col("n_control") > 0,
+                F.expr("CAST(_cs * 1000 div n_control AS BIGINT)"),
+            ).alias("control_mean_millicents"),
+        )
+        .orderBy("decile")
+    )

@@ -597,3 +597,73 @@ def q333(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("secs_to_purchase"),
     ).orderBy("click_id", F.col("purchase_id").asc_nulls_first())
+
+
+# ------------------------------------- dynamic-gap session windows ----
+@query(
+    "q354_dynamic_gap_sessions",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us({_EV_TS}) AS t_us,
+               epoch_us({_EV_TS})
+               + CASE WHEN event_type = 'purchase'
+                      THEN 1800000000 ELSE 600000000 END AS end_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, t_us, end_us,
+               CASE WHEN MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR t_us >= MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, t_us, end_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us, end_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(end_us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q354(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC-gap session windows — ``F.session_window`` with a
+    per-row gap expression (purchases hold a session open 30 minutes,
+    everything else 10), the API q82's fixed-gap form doesn't reach:
+    a session's extent depends on WHICH events it contains, so the
+    engine must merge per-event intervals [ts, ts+gap(event)), not
+    apply one timeout. The oracle replays the same semantics as the
+    q153 interval-merge idiom (session break iff the event starts at
+    or after the running MAX of previous interval ends — Spark's
+    strict boundary, an event landing exactly at the gap edge opens a
+    NEW session) entirely in exact microsecond integers. Batch
+    ``session_window`` is one hash-partition + in-partition sort per
+    user; the same expression drops into the streaming form with
+    watermark-driven state eviction."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .otherwise(F.lit("10 minutes"))
+        .alias("gap"),
+    )
+    out = ev.groupBy(
+        F.session_window("ts", F.col("gap")).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        F.unix_micros(F.col("win.end")).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")

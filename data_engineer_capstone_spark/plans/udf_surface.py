@@ -453,3 +453,61 @@ def q330(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out.orderBy("user_id")
+
+
+# ------------------------------------------------ grouped applyInArrow ----
+@query(
+    "q352_apply_in_arrow",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q352(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped ``applyInArrow`` — the zero-copy sibling of grouped-map
+    ``applyInPandas`` (q111) and the grouped counterpart of
+    ``mapInArrow`` (q233), closing the Arrow-native API surface: each
+    event-type group arrives as a ``pyarrow.Table`` (no pandas
+    conversion, no index materialization — the fastest Python hop
+    Spark offers), and the exemplar reduces it with pyarrow compute
+    kernels to one summary row. Determinism-safe per the module
+    contract: counts, an exact integer cent sum, and a max id, so the
+    Arrow path hash-matches the plain SQL aggregate oracle. ONE
+    shuffle on the group key; at 100 TB this is the escape hatch for
+    group-wise Python logic that pandas overhead would dominate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def summarize(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array(
+                    [pc.sum(table.column("cents")).as_py() or 0], pa.int64()
+                ),
+                "max_event_id": pa.array(
+                    [pc.max(table.column("event_id")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInArrow(
+        summarize,
+        schema=(
+            "event_type string, n bigint, sum_cents bigint, "
+            "max_event_id bigint"
+        ),
+    )
+    return out.orderBy("event_type")

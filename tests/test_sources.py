@@ -646,3 +646,37 @@ def test_file_metadata_lineage_columns(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 25
     assert all(r.fname == "nation.parquet" and r.fsize > 0 for r in rows)
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE mode with columnNameOfCorruptRecord: valid lines parse,
+    the malformed line lands whole in the capture column with nulls
+    elsewhere — the quarantine-column pattern for non-fatal ingest."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"code": 1, "label": "x"}\n'
+        "{this is not json}\n"
+        '{"code": 2, "label": "y"}\n'
+    )
+    df = (
+        spark.read.schema("code bigint, label string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(p))
+        # Spark disallows filtering on ONLY the corrupt column straight off
+        # the scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, the
+        # documented pattern for quarantine splits
+        .cache()
+    )
+    rows = df.collect()
+    good = {r.code: r.label for r in rows if r._bad is None}
+    bad = [r for r in rows if r._bad is not None]
+    assert good == {1: "x", 2: "y"}
+    assert len(bad) == 1 and bad[0].code is None
+    assert "not json" in bad[0]._bad
+    # quarantine split: both sides of the gate are exact partitions
+    assert df.where(F.col("_bad").isNull()).count() == 2
+    assert df.where(F.col("_bad").isNotNull()).count() == 1
+    df.unpersist()

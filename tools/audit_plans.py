@@ -86,6 +86,8 @@ EXPECTED = {
     # same d0 scalar + 1-row n_treated scalar crossed into the summary row
     "q349_caliper_matching": {"BroadcastNestedLoopJoin"},
     "q350_difference_in_differences": {"BroadcastNestedLoopJoin"},  # d0 scalar
+    # d0 scalar + 1-row user-count scalar for the decile arithmetic
+    "q353_uplift_deciles": {"BroadcastNestedLoopJoin"},
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
