@@ -142,7 +142,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q348_cuped_variance_reduction", "q349_caliper_matching",
     "q350_difference_in_differences", "q351_dedup_savings_report",
     "q352_apply_in_arrow", "q353_uplift_deciles",
-    "q354_dynamic_gap_sessions",
+    "q354_dynamic_gap_sessions", "q355_stream_dynamic_sessions",
+    "q356_windowed_stream_join",
 )
 
 

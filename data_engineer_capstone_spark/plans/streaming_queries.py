@@ -612,11 +612,15 @@ def q333(spark: SparkSession, sf: str) -> DataFrame:
     ),
     flagged AS (
         SELECT user_id, t_us, end_us,
+               -- STRICT >: an event at exactly the running max interval
+               -- end merges into the session (pinned by the dynamic-gap
+               -- boundary probe in tests/test_streaming_infra.py, matching
+               -- q82's fixed-gap boundary contract)
                CASE WHEN MAX(end_us) OVER (
                         PARTITION BY user_id ORDER BY t_us, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     IS NULL
-                 OR t_us >= MAX(end_us) OVER (
+                 OR t_us > MAX(end_us) OVER (
                         PARTITION BY user_id ORDER BY t_us, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                THEN 1 ELSE 0 END AS new_s
@@ -642,10 +646,13 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
     a session's extent depends on WHICH events it contains, so the
     engine must merge per-event intervals [ts, ts+gap(event)), not
     apply one timeout. The oracle replays the same semantics as the
-    q153 interval-merge idiom (session break iff the event starts at
-    or after the running MAX of previous interval ends — Spark's
-    strict boundary, an event landing exactly at the gap edge opens a
-    NEW session) entirely in exact microsecond integers. Batch
+    q153 interval-merge idiom (session break iff the event starts
+    STRICTLY after the running MAX of previous interval ends — an
+    event landing exactly at the gap edge MERGES, the boundary
+    contract q82's fixed-gap property test pinned, re-verified for
+    the dynamic form by the boundary probe in
+    tests/test_streaming_infra.py) entirely in exact microsecond
+    integers. Batch
     ``session_window`` is one hash-partition + in-partition sort per
     user; the same expression drops into the streaming form with
     watermark-driven state eviction."""
@@ -667,3 +674,139 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_micros(F.col("win.end")).alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+# ------------------------------ STREAMED dynamic-gap sessions ---------
+def _dynamic_session_sql() -> str:
+    """Shared by q354 (batch) and q355 (streamed, complete mode): the
+    two must land on the identical session set."""
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us({_EV_TS}) AS t_us,
+               epoch_us({_EV_TS})
+               + CASE WHEN event_type = 'purchase'
+                      THEN 1800000000 ELSE 600000000 END AS end_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, t_us, end_us,
+               CASE WHEN MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR t_us > MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, t_us, end_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us, end_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(end_us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """
+
+
+@query("q355_stream_dynamic_sessions", oracle=_dynamic_session_sql())
+def q355(spark: SparkSession, sf: str) -> DataFrame:
+    """q354's dynamic-gap sessions executed as a REAL streaming query
+    (file replay, complete mode, session-window state store) — the
+    batch/stream parity certification for the dynamic-gap form, same
+    oracle as q354 verbatim. Complete mode emits every session at
+    termination, so the streamed state machine must reconstruct
+    exactly the batch interval merge; per-key session state merges
+    in the store when a new event's interval overlaps, which is the
+    stateful-operator path the batch plan never exercises."""
+    s = read_stream(spark, sf, 1).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .otherwise(F.lit("10 minutes"))
+        .alias("gap"),
+    )
+    agg = s.groupBy(
+        F.session_window("ts", F.col("gap")).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        F.unix_micros(F.col("win.end")).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
+# --------------------- chained stateful: window aggs -> stream join ---
+@query(
+    "q356_windowed_stream_join",
+    oracle=f"""
+    WITH m AS (
+        SELECT date_trunc('millisecond', MAX({_EV_TS}))
+               - INTERVAL 10 MINUTE AS wm
+        FROM events
+    ),
+    c AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, {_EV_TS}) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click'
+        GROUP BY w
+    ),
+    p AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, {_EV_TS}) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY w
+    )
+    SELECT CAST(epoch_us(c.w) AS BIGINT) AS win_start_us,
+           c.n_clicks, p.n_purchases,
+           CAST(p.n_purchases * 1000000 // c.n_clicks AS BIGINT)
+             AS conversion_ppm
+    FROM c JOIN p ON p.w = c.w CROSS JOIN m
+    WHERE c.w + INTERVAL 1 HOUR <= m.wm
+    ORDER BY win_start_us
+    """,
+)
+def q356(spark: SparkSession, sf: str) -> DataFrame:
+    """CHAINED stateful streaming operators — two windowed aggregates
+    joined stream-to-stream on the window (hourly click volume vs
+    purchase volume → conversion ppm), the multi-stateful-operator
+    pipeline Spark only allows since 3.5 (one watermark drives both
+    aggs AND the join's state eviction). Append mode means only
+    FINALIZED windows flow into the join, so the oracle is the batch
+    twin restricted to windows whose end the final watermark passed
+    (ms-truncated max event time − 10 min, the q333-verified rule).
+    At 100 TB this replaces the land-then-join batch detour: one
+    pipeline, state bounded by watermark horizon on both operators."""
+    clicks = (
+        read_stream(spark, sf, 1)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
+    purchases = (
+        read_stream(spark, sf, 1)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    j = clicks.join(purchases, clicks.w == purchases.w2, "inner")
+    out = run_to_table(j, "append")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "n_clicks",
+        "n_purchases",
+        F.expr(
+            "CAST(n_purchases * 1000000 div n_clicks AS BIGINT)"
+        ).alias("conversion_ppm"),
+    ).orderBy("win_start_us")

@@ -205,3 +205,36 @@ def test_session_window_gap_boundary_lockstep(spark):
         assert got == want, f"session mismatch\nspark={sorted(got)}\nduck={sorted(want)}"
 
     check()
+
+
+def test_dynamic_gap_session_boundary(spark):
+    """q354's dynamic-gap oracle break rule must be STRICT: an event at
+    exactly the previous interval's end (prev_ts + gap(prev)) merges into
+    the session; one microsecond later splits. Direct probe of both
+    sides of the boundary, per gap type."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "purchase"),                                      # gap 30m
+        (1, base + datetime.timedelta(minutes=30), "click"),        # AT edge
+        (2, base, "purchase"),
+        (2, base + datetime.timedelta(minutes=30, microseconds=1), "click"),
+        (3, base, "click"),                                         # gap 10m
+        (3, base + datetime.timedelta(minutes=10), "click"),        # AT edge
+        (4, base, "click"),
+        (4, base + datetime.timedelta(minutes=10, microseconds=1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    n_sessions = {
+        r.user_id: r.n
+        for r in df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert n_sessions == {1: 1, 2: 2, 3: 1, 4: 2}
