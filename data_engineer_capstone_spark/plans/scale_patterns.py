@@ -2158,3 +2158,78 @@ def q340(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------ inclusion-dependency discovery ------
+IND_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+)
+
+
+def _ind_sql() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{ta}.{ca} <= {tb}.{cb}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) FILTER (WHERE b.v IS NOT NULL) AS BIGINT)
+                 AS n_contained
+        FROM (SELECT DISTINCT {ca} AS v FROM {ta}) a
+        LEFT JOIN (SELECT DISTINCT {cb} AS v FROM {tb}) b ON b.v = a.v"""
+        for (ta, ca, tb, cb) in IND_CANDIDATES
+    )
+    return f"""
+    SELECT candidate, n_distinct, n_contained,
+           CAST(n_contained * 1000000 // n_distinct AS BIGINT)
+             AS containment_ppm,
+           n_contained = n_distinct AS holds
+    FROM ({arms})
+    ORDER BY candidate
+    """
+
+
+@query("q357_inclusion_dependencies", oracle=_ind_sql())
+def q357(spark: SparkSession, sf: str) -> DataFrame:
+    """Inclusion-dependency discovery (the FOREIGN-KEY complement of
+    q323's functional dependencies, per Metanome-style profiling):
+    for each candidate column pair A ⊆ B, how many of A's distinct
+    values exist in B — containment 1.0 means A is FK-shaped into B,
+    partial containment exposes orphaned keys (the row-level version
+    is q285's referential-integrity audit; this is the
+    schema-discovery view over a candidate catalog that includes true
+    FKs, a plausible-but-partial pair, and an accidental-overlap
+    decoy). Per candidate: ONE distinct aggregate on each side and a
+    keyed left join of the two distinct sets — O(distinct values)
+    shuffle, never row-scale; candidates are config-bounded as in all
+    profiling families."""
+    from functools import reduce
+
+    arms = []
+    for ta, ca, tb, cb in IND_CANDIDATES:
+        a = load_table(spark, sf, ta).select(F.col(ca).alias("v")).distinct()
+        b = (
+            load_table(spark, sf, tb)
+            .select(F.col(cb).alias("v"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        arm = a.join(b, "v", "left").agg(
+            F.lit(f"{ta}.{ca} <= {tb}.{cb}").alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.count("_hit").cast("long").alias("n_contained"),
+        )
+        arms.append(arm)
+    out = reduce(lambda x, y: x.unionByName(y), arms)
+    return out.select(
+        "candidate",
+        "n_distinct",
+        "n_contained",
+        F.expr(
+            "CAST(n_contained * 1000000 div n_distinct AS BIGINT)"
+        ).alias("containment_ppm"),
+        (F.col("n_contained") == F.col("n_distinct")).alias("holds"),
+    ).orderBy("candidate")
