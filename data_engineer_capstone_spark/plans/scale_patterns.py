@@ -2233,3 +2233,61 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("containment_ppm"),
         (F.col("n_contained") == F.col("n_distinct")).alias("holds"),
     ).orderBy("candidate")
+
+
+# ------------------------------------------ set-intersection (UpSet) ------
+def _upset_sql() -> str:
+    return """
+    WITH flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS f_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f_view AS BIGINT) AS has_view,
+           CAST(f_click AS BIGINT) AS has_click,
+           CAST(f_purchase AS BIGINT) AS has_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM flags
+    WHERE f_view + f_click + f_purchase > 0
+    GROUP BY f_view, f_click, f_purchase
+    ORDER BY has_view, has_click, has_purchase
+    """
+
+
+@query("q358_set_overlap_upset", oracle=_upset_sql())
+def q358(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-set overlap (UpSet-plot backing data): the 2³−1 exclusive
+    intersection cells of the view/click/purchase audiences — the
+    audience-overlap question Venn counts answer badly past two sets
+    (every user lands in EXACTLY one cell, so cells sum to the union,
+    unlike pairwise-intersection reports that double-count). Plan:
+    membership flags collapse per user in ONE hash aggregate
+    (MAX-of-CASE — duplicate-insensitive, mergeable partials), then
+    the cell histogram is a second aggregate over the 8-row flag
+    space. Generalizes to k sets as k flag columns, still two
+    aggregates; at 100 TB the per-user flag pass is the only
+    data-scale stage."""
+    ev = load_table(spark, sf, "events")
+    flags = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"f_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    return (
+        flags.where(
+            F.col("f_view") + F.col("f_click") + F.col("f_purchase") > 0
+        )
+        .groupBy(
+            F.col("f_view").cast("long").alias("has_view"),
+            F.col("f_click").cast("long").alias("has_click"),
+            F.col("f_purchase").cast("long").alias("has_purchase"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("has_view", "has_click", "has_purchase")
+    )
