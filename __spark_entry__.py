@@ -144,7 +144,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q352_apply_in_arrow", "q353_uplift_deciles",
     "q354_dynamic_gap_sessions", "q355_stream_dynamic_sessions",
     "q356_windowed_stream_join", "q357_inclusion_dependencies",
-    "q358_set_overlap_upset",
+    "q358_set_overlap_upset", "q359_wasserstein_drift",
+    "q360_cohens_kappa",
 )
 
 

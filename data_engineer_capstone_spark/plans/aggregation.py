@@ -2246,3 +2246,103 @@ def q353(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------ 1-D Wasserstein (EMD) drift ---
+def _emd_sql() -> str:
+    return """
+    WITH r AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT x, CAST(SUM(g1) AS BIGINT) AS d1, CAST(SUM(g2) AS BIGINT) AS d2
+        FROM r GROUP BY x
+    ),
+    c AS (
+        SELECT x,
+               CAST(SUM(d1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c1,
+               CAST(SUM(d2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c2,
+               CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(d2) OVER () AS BIGINT) AS n2,
+               LEAD(x) OVER (ORDER BY x) AS nx
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(ABS(c1 * n2 - c2 * n1) * (nx - x)) AS BIGINT)
+                 AS emd_num,
+               MAX(n1) AS n1, MAX(n2) AS n2
+        FROM c WHERE nx IS NOT NULL
+    )
+    SELECT emd_num, n1, n2,
+           CAST(emd_num // (n1 * n2) * 1000
+                + (emd_num % (n1 * n2)) * 1000 // (n1 * n2) AS BIGINT)
+             AS emd_millicents
+    FROM s
+    """
+
+
+@query("q359_wasserstein_drift", oracle=_emd_sql())
+def q359(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D Wasserstein distance (earth-mover's) between the click and
+    view value distributions — the drift metric that, unlike q309's KS
+    (max CDF gap, location-sensitive only), integrates the WHOLE CDF
+    gap weighted by how far mass must move: EMD = Σ |F1−F2|·Δx over
+    the support. Every term is exact: cross-scaled cumulative counts
+    (|c1·n2 − c2·n1|, no division) times the exact cent-width to the
+    next support point, summed in BIGINT; the reported millicent
+    distance splits the division into quotient and remainder so
+    nothing overflows and nothing floats. Same scale shape as q309:
+    one hash aggregate to the cent support, cumulative windows over
+    the bounded support table (GLOBAL_WINDOW_OK class), a 1-row
+    summary."""
+    r = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
+        )
+    )
+    g = r.groupBy("x").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = g.select(
+        "x",
+        F.sum("d1").over(w_cum).cast("long").alias("c1"),
+        F.sum("d2").over(w_cum).cast("long").alias("c2"),
+        F.sum("d1").over(w_all).cast("long").alias("n1"),
+        F.sum("d2").over(w_all).cast("long").alias("n2"),
+        F.lead("x").over(W.orderBy("x")).alias("nx"),
+    )
+    s = c.where(F.col("nx").isNotNull()).agg(
+        F.sum(
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            * (F.col("nx") - F.col("x"))
+        )
+        .cast("long")
+        .alias("emd_num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return s.select(
+        "emd_num",
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(emd_num div (n1 * n2) * 1000"
+            " + (emd_num % (n1 * n2)) * 1000 div (n1 * n2) AS BIGINT)"
+        ).alias("emd_millicents"),
+    )

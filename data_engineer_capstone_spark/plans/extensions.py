@@ -3780,3 +3780,96 @@ def q351(spark: SparkSession, sf: str) -> DataFrame:
             " div GREATEST(SUM(toks_all), 1) AS BIGINT)"
         ).alias("savings_ppm"),
     )
+
+
+# ----------------------------------------- classifier agreement (kappa) ---
+def _kappa_sql() -> str:
+    w = _WORDS.format(c="text")
+    hits = ", ".join(
+        f"len(list_intersect(list_distinct({w}), {_STOP_SQL[lg]})) AS h_{lg}"
+        for lg in ("de", "en", "es", "fr")
+    )
+    return f"""
+    WITH hits AS (
+        SELECT doc_id, lang, {hits} FROM documents
+    ),
+    preds AS (
+        SELECT lang AS labeled,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                      THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS pred
+        FROM hits
+    ),
+    cells AS (
+        SELECT labeled, pred, CAST(COUNT(*) AS BIGINT) AS c
+        FROM preds GROUP BY labeled, pred
+    ),
+    rm AS (SELECT labeled AS k, CAST(SUM(c) AS BIGINT) AS r FROM cells
+           GROUP BY labeled),
+    cm AS (SELECT pred AS k, CAST(SUM(c) AS BIGINT) AS m FROM cells
+           GROUP BY pred),
+    s AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n,
+               (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cells
+                WHERE labeled = pred) AS agree,
+               (SELECT CAST(SUM(rm.r * cm.m) AS BIGINT)
+                FROM rm JOIN cm ON cm.k = rm.k) AS pe_num
+    )
+    SELECT n, agree, pe_num,
+           CAST((agree * n - pe_num) * 1000000
+                // (n * n - pe_num) AS BIGINT) AS kappa_ppm
+    FROM s
+    """
+
+
+@query("q360_cohens_kappa", oracle=_kappa_sql())
+def q360(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language classifier (q97's
+    stopword argmax) and the dataset's own labels — chance-corrected
+    agreement, the metric that exposes a classifier whose raw accuracy
+    merely mirrors the label prior (κ = (p_o − p_e)/(1 − p_e), p_e
+    from the marginal products). Everything is exact integer
+    arithmetic: the confusion matrix is one hash aggregate, marginals
+    re-aggregate its ≤ |langs|² cells, and κ is reported as one
+    truncating integer division in ppm — the cross-scaled
+    (agree·n − Σrm·cm) / (n² − Σrm·cm) form never materializes a
+    float. Companion to q266's confusion matrix and q287's
+    calibration table in the model-evaluation kit."""
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        F.col("lang").alias("labeled"),
+        detect_language("text").alias("pred"),
+    )
+    cells = preds.groupBy("labeled", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # feeds totals, diagonal, both marginals
+    rm = cells.groupBy(F.col("labeled").alias("k")).agg(
+        F.sum("c").cast("long").alias("r")
+    )
+    cm = cells.groupBy(F.col("pred").alias("k")).agg(
+        F.sum("c").cast("long").alias("m")
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    agree = cells.where(F.col("labeled") == F.col("pred")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("agree")
+    )
+    pe = (
+        rm.join(cm, "k")
+        .agg(F.sum(F.col("r") * F.col("m")).cast("long").alias("pe_num"))
+    )
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            "pe_num",
+            F.expr(
+                "CAST((agree * n - pe_num) * 1000000"
+                " div (n * n - pe_num) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )

@@ -88,6 +88,8 @@ EXPECTED = {
     "q350_difference_in_differences": {"BroadcastNestedLoopJoin"},  # d0 scalar
     # d0 scalar + 1-row user-count scalar for the decile arithmetic
     "q353_uplift_deciles": {"BroadcastNestedLoopJoin"},
+    # 1-row n/agree/pe scalars crossed into the kappa summary row
+    "q360_cohens_kappa": {"BroadcastNestedLoopJoin"},
     # per-table 1-row purged × 1-row total count cross (share computation)
     "q295_cascade_purge_audit": {"BroadcastNestedLoopJoin"},
     # O(domains²) signature comparison: domain count is bounded by design
@@ -214,6 +216,7 @@ GLOBAL_WINDOW_OK = {
     "q325_rrf_fusion",  # rank window over a TakeOrdered LIMIT-100 list
     "q334_skyline_pareto",  # suffix-min over the O(distinct p_size) agg (~50 rows)
     "q346_kaplan_meier",  # cumulative windows over O(distinct durations) ≤ day span
+    "q359_wasserstein_drift",  # cumulative windows over the bounded cent support (q309 class)
 }
 
 
