@@ -145,7 +145,14 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q354_dynamic_gap_sessions", "q355_stream_dynamic_sessions",
     "q356_windowed_stream_join", "q357_inclusion_dependencies",
     "q358_set_overlap_upset", "q359_wasserstein_drift",
-    "q360_cohens_kappa",
+    "q360_cohens_kappa", "q361_theil_sen_slope",
+    "q362_average_precision", "q363_ndcg_popularity",
+    "q364_fifo_allocation", "q365_systematic_pps_sample",
+    "q366_k_anonymity_audit", "q367_dag_longest_path",
+    "q368_event_runs_rle", "q369_raking_ipf",
+    "q370_rank_biased_overlap", "q371_forecast_backtest",
+    "q372_label_noise_knn", "q373_peak_concurrency",
+    "q374_boruvka_round",
 )
 
 

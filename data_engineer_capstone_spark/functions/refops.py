@@ -244,8 +244,8 @@ def deterministic_id(
 def distributed_cumsum(
     df: DataFrame,
     order_by: list[str],
-    value_col: str,
-    name: str = "cumsum",
+    value_col: str | list[str],
+    name: str | list[str] = "cumsum",
     rank_name: str | None = None,
 ) -> DataFrame:
     """Global running total of ``value_col`` in ``order_by`` order, with NO
@@ -261,9 +261,19 @@ def distributed_cumsum(
     cross-partition re-aggregation is exact in any order. Optionally mints
     the global rank too (``rank_name``) from the same materialization —
     rank + cumsum in one range exchange instead of two.
+
+    ``value_col``/``name`` also accept parallel LISTS: every listed column
+    gets its own prefix sum from the SAME materialization (one range
+    exchange, one offsets job — the q362 shape needs running positives AND
+    running totals over the score axis; two separate calls would pay the
+    exchange twice and could disagree on tie placement between passes).
     """
     from pyspark.sql import Window as W
 
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    names = [name] if isinstance(name, str) else list(name)
+    if len(value_cols) != len(names):
+        raise ValueError("value_col and name lists must be the same length")
     cols = [F.col(c).asc_nulls_first() for c in order_by]
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -273,14 +283,18 @@ def distributed_cumsum(
         .localCheckpoint(eager=True)
     )
     part_rows = ranged.groupBy("_pid").agg(
-        F.sum(value_col).alias("s"), F.count(F.lit(1)).alias("n")
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
+        F.count(F.lit(1)).alias("n"),
     ).collect()
-    totals = {r["_pid"]: r["s"] for r in part_rows}
+    totals = {r["_pid"]: [r[f"s{i}"] for i in range(len(value_cols))]
+              for r in part_rows}
     counts = {r["_pid"]: r["n"] for r in part_rows}
-    sum_off, cnt_off, s_acc, c_acc = {}, {}, 0, 0
+    sum_off: dict[int, list[int]] = {}
+    cnt_off: dict[int, int] = {}
+    s_acc, c_acc = [0] * len(value_cols), 0
     for pid in sorted(counts):
-        sum_off[pid], cnt_off[pid] = s_acc, c_acc
-        s_acc += totals[pid] or 0
+        sum_off[pid], cnt_off[pid] = list(s_acc), c_acc
+        s_acc = [a + (t or 0) for a, t in zip(s_acc, totals[pid])]
         c_acc += counts[pid]
     def _lookup(d: dict):
         if not d:
@@ -289,9 +303,12 @@ def distributed_cumsum(
             *[F.lit(x) for pid in sorted(d) for x in (pid, d[pid])]
         )[F.col("_pid")]
     w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
-    out = ranged.withColumn(
-        name, (F.sum(value_col).over(w).cast("long") + _lookup(sum_off))
-    )
+    out = ranged
+    for i, (vc, nm) in enumerate(zip(value_cols, names)):
+        off_i = {pid: offs[i] for pid, offs in sum_off.items()}
+        out = out.withColumn(
+            nm, (F.sum(vc).over(w).cast("long") + _lookup(off_i))
+        )
     if rank_name is not None:
         wr = W.partitionBy("_pid").orderBy(*cols)
         out = out.withColumn(

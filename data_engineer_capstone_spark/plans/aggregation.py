@@ -2346,3 +2346,441 @@ def q359(spark: SparkSession, sf: str) -> DataFrame:
             " + (emd_num % (n1 * n2)) * 1000 div (n1 * n2) AS BIGINT)"
         ).alias("emd_millicents"),
     )
+
+
+# ------------------------------------------- Theil-Sen robust trend -------
+@query(
+    "q361_theil_sen_slope",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id, day
+    ),
+    p AS (
+        SELECT a.user_id,
+               CAST(floor(CAST((b.cents - a.cents) * 1000000 AS DOUBLE)
+                          / (b.day - a.day)) AS BIGINT) AS slope_q
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND b.day > a.day
+    ),
+    r AS (
+        SELECT user_id, slope_q,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope_q)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM p
+    )
+    SELECT r.user_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+            WHERE d.user_id = r.user_id) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_q AS ts_slope_q
+    FROM r WHERE rn = (n_pairs + 1) // 2
+    ORDER BY user_id
+    """,
+)
+def q361(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per user — the MEDIAN of all pairwise
+    day-over-day slopes of daily spend, the standard robust twin of
+    q164's least-squares slope (one corrupted day drags OLS arbitrarily
+    far; Theil-Sen tolerates ~29% outliers). Docstring names the
+    cousin: q164 fits the same (day, cents) series by closed-form OLS
+    moments; this query ranks the pairwise-slope distribution instead.
+
+    Exactness: inputs quantize to integer (day index, summed cents), so
+    every pairwise slope is one IEEE division of exact integers — both
+    engines' correctly-rounded doubles agree bit-for-bit — floored to a
+    1e-6 grid; the median is the LOWER median (rank ``(n+1) div 2``),
+    selected by rank so no float averaging of middle elements.
+
+    Scale shape: the pair space is (days choose 2) PER USER — bounded
+    by the calendar window (≤ 435 pairs per user-month), never
+    O(events²): events first collapse to one row per (user, day) via a
+    hash aggregate, and the self-join is an equi-join on user_id whose
+    per-key fan-out is calendar-bounded. Median selection is a
+    per-user window over those bounded pairs, not a global sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    d = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.floor(
+            ((F.col("b.cents") - F.col("a.cents")) * 1_000_000).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        )
+        .cast("long")
+        .alias("slope_q"),
+    )
+    wr = W.partitionBy("user_id").orderBy("slope_q")
+    wc = W.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope_q",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    n_days = d.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("long")
+    )
+    return (
+        med.join(n_days, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_q").alias("ts_slope_q"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------ raking (IPF) survey reweighting -----
+@query(
+    "q369_raking_ipf",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY segment, priority
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    rs AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS s_r
+           FROM cells GROUP BY segment),
+    w1 AS (
+        SELECT c.segment, c.priority, c.n,
+               CAST(floor(CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                          / (5.0 * CAST(r.s_r AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS w1q
+        FROM cells c JOIN rs r ON c.segment = r.segment, tot t
+    ),
+    cs AS (SELECT priority, CAST(SUM(w1q) AS BIGINT) AS s_c
+           FROM w1 GROUP BY priority),
+    w2 AS (
+        SELECT w.segment, w.priority, w.n, w.w1q,
+               CAST(floor(CAST(w.w1q AS DOUBLE)
+                          * (CAST(t.nn AS DOUBLE) * 1000000.0)
+                          / (5.0 * CAST(c.s_c AS DOUBLE))) AS BIGINT) AS w2q
+        FROM w1 w JOIN cs c ON w.priority = c.priority, tot t
+    ),
+    rg AS (SELECT segment, CAST(SUM(w2q) AS BIGINT) AS s2_r
+           FROM w2 GROUP BY segment)
+    SELECT w.segment, w.priority, w.n,
+           w.w1q AS w1_ppm, w.w2q AS w2_ppm,
+           CAST(5 * g.s2_r - CAST(t.nn AS BIGINT) * 1000000 AS BIGINT)
+               AS row_gap_scaled
+    FROM w2 w JOIN rg g ON w.segment = g.segment, tot t
+    ORDER BY w.segment, w.priority
+    """,
+)
+def q369(spark: SparkSession, sf: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of the (segment ×
+    priority) contingency table to uniform target margins — the survey
+    post-stratification weighting every analytics team eventually
+    ships: scale cell weights so row margins hit target (round 1),
+    then column margins (round 2, which perturbs the rows again; the
+    reported row_gap is exactly that residual, the quantity IPF drives
+    to zero as rounds continue). Weights live on an exact ppm integer
+    grid from round 1 onward, so the cross-cell re-sums that feed each
+    round are BIGINT — associative in any partition order — and every
+    float step is one pinned IEEE sequence on exact integer inputs,
+    identical in both engines; the residual gap is reported exactly
+    (scaled ×5, so the N/5 rational target never floats).
+
+    Scale: ONE data-scale hash aggregate (orders⋈customer → 25
+    cells); every subsequent margin sum, rescale, and gap is
+    arithmetic on the bounded cell table with 1-row/5-row broadcast
+    joins. More raking rounds cost zero additional passes over data."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    rs = cells.groupBy("segment").agg(F.sum("n").cast("long").alias("s_r"))
+    w1 = (
+        cells.join(F.broadcast(rs), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            "n",
+            "nn",
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("nn").cast("double")
+                / (F.lit(5.0) * F.col("s_r").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("w1q"),
+        )
+    )
+    cs = w1.groupBy("priority").agg(F.sum("w1q").cast("long").alias("s_c"))
+    w2 = w1.join(F.broadcast(cs), "priority").select(
+        "segment",
+        "priority",
+        "n",
+        "nn",
+        "w1q",
+        F.floor(
+            F.col("w1q").cast("double")
+            * (F.col("nn").cast("double") * F.lit(1000000.0))
+            / (F.lit(5.0) * F.col("s_c").cast("double"))
+        )
+        .cast("long")
+        .alias("w2q"),
+    )
+    rg = w2.groupBy("segment").agg(F.sum("w2q").cast("long").alias("s2_r"))
+    return (
+        w2.join(F.broadcast(rg), "segment")
+        .select(
+            "segment",
+            "priority",
+            "n",
+            F.col("w1q").alias("w1_ppm"),
+            F.col("w2q").alias("w2_ppm"),
+            (F.lit(5) * F.col("s2_r") - F.col("nn") * F.lit(1000000))
+            .cast("long")
+            .alias("row_gap_scaled"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+# ----------------------------------------- rank-biased overlap (RBO) ------
+RBO_K = 50
+RBO_P = 0.9
+# per-depth weights (1-p)·p^(d-1)/d on a 1e12 integer grid, minted ONCE
+# host-side (no engine evaluates pow — the no-libm rule); suffix sums give
+# each common item's TOTAL contribution from the depth it first appears in
+# both prefixes: sum_{d>=m} w_d, m = max(rank_a, rank_b).
+_RBO_W = [
+    round((1 - RBO_P) * RBO_P ** (d - 1) / d * 1e12) for d in range(1, RBO_K + 1)
+]
+_RBO_SUFFIX = [sum(_RBO_W[d:]) for d in range(RBO_K)]
+
+
+def _rbo_sql() -> str:
+    vals = ", ".join(f"({d + 1}, {s})" for d, s in enumerate(_RBO_SUFFIX))
+    return f"""
+    WITH rev AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM lineitem GROUP BY l_partkey
+    ),
+    qty AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ra AS (
+        SELECT partkey, ROW_NUMBER() OVER (ORDER BY v DESC, partkey) AS r
+        FROM rev QUALIFY r <= {RBO_K}
+    ),
+    rb AS (
+        SELECT partkey, ROW_NUMBER() OVER (ORDER BY v DESC, partkey) AS r
+        FROM qty QUALIFY r <= {RBO_K}
+    ),
+    common AS (
+        SELECT ra.partkey, greatest(ra.r, rb.r) AS m
+        FROM ra JOIN rb ON ra.partkey = rb.partkey
+    ),
+    s AS (
+        SELECT c.partkey, w.sw
+        FROM common c JOIN (VALUES {vals}) w(d, sw) ON w.d = c.m
+    )
+    SELECT CAST({RBO_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COALESCE(SUM(sw), 0) // 1000000 AS BIGINT) AS rbo_ppm
+    FROM s
+    """
+
+
+@query("q370_rank_biased_overlap", oracle=_rbo_sql())
+def q370(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (RBO@{k}, p={p}) between the revenue top-{k}
+    and quantity top-{k} part rankings — the TOP-WEIGHTED agreement
+    measure that completes the ranking family: q326's Spearman treats
+    every rank equally and q325's RRF FUSES lists; RBO answers "do the
+    two rankings agree where it matters — at the top?", the question a
+    relevance regression gate actually asks.
+
+    The geometric depth weights (1−p)p^(d−1)/d are minted once
+    host-side on a 1e12 integer grid (no engine pow — the q363
+    discipline), and the depth sum collapses analytically: an item in
+    both prefixes first counts at depth m = max(rank_a, rank_b) and
+    contributes every deeper depth, i.e. exactly the precomputed
+    SUFFIX weight at m — so the whole statistic is one equi-join of
+    two 50-row lists + a literal-map lookup + one BIGINT sum. No
+    per-depth explode, no float ever.
+
+    Scale: two part-key hash aggregates (catalog-bounded) feed two
+    TakeOrdered-{k} lists; everything after is O(k). The rank windows
+    run over the {k}-row LIMIT frames (q325 class)."""
+    li = load_table(spark, sf, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    qty = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    from pyspark.sql import Window as W
+
+    def topk(df: DataFrame) -> DataFrame:
+        lim = df.orderBy(F.desc("v"), "partkey").limit(RBO_K)
+        return lim.select(
+            "partkey",
+            F.row_number().over(W.orderBy(F.desc("v"), "partkey")).alias("r"),
+        )
+
+    ra, rb = topk(rev).alias("ra"), topk(qty).alias("rb")
+    suffix_map = F.create_map(
+        *[F.lit(x) for d, s in enumerate(_RBO_SUFFIX) for x in (d + 1, s)]
+    )
+    common = ra.join(rb, F.col("ra.partkey") == F.col("rb.partkey")).select(
+        F.greatest(F.col("ra.r"), F.col("rb.r")).alias("m")
+    )
+    return common.select(suffix_map[F.col("m")].alias("sw")).agg(
+        F.lit(RBO_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.expr("CAST(coalesce(SUM(sw), 0) div 1000000 AS BIGINT)").alias(
+            "rbo_ppm"
+        ),
+    )
+
+
+q370.__doc__ = q370.__doc__.format(k=RBO_K, p=RBO_P)
+
+
+# ------------------------------------- forecast backtest (seasonal naive) --
+@query(
+    "q371_forecast_backtest",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, day
+    ),
+    j AS (
+        SELECT a.event_type, a.day, a.cents AS actual, f.cents AS fcst
+        FROM d a JOIN d f
+          ON a.event_type = f.event_type AND f.day = a.day - 7
+    ),
+    t AS (
+        SELECT event_type, actual, fcst,
+               ABS(fcst - actual) AS ae,
+               CASE WHEN ABS(fcst) + ABS(actual) = 0 THEN 0
+                    ELSE (ABS(fcst - actual) * 2000000)
+                         // (ABS(fcst) + ABS(actual)) END AS smape_t
+        FROM j
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_millicents,
+           CAST(SUM(smape_t) // COUNT(*) AS BIGINT) AS smape_ppm,
+           CAST(SUM(fcst - actual) AS BIGINT) AS bias_cents
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q371(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast backtest for the seasonal-naive baseline (ŷ_d = actual
+    value one week earlier) on per-type daily revenue — the evaluation
+    harness every forecasting pipeline needs BEFORE any model ships:
+    seasonal-naive is the no-skill floor (M-competition practice), and
+    a model that can't beat its MAE/sMAPE has no business in
+    production. Completes the time-series family as its EVALUATOR:
+    q314 builds the seasonal index, q262/q298 smooth and changepoint —
+    none of them score a forecast.
+
+    Calendar honesty: the lag is a self-JOIN on (type, day−7), not a
+    LAG(7) window — a missing day must yield no forecast, not the
+    value from 7 ROWS back. Exactness: daily cents are integer sums;
+    MAE (millicents), sMAPE (ppm, per-day integer terms so the mean
+    is order-free), and signed bias are all BIGINT floor arithmetic —
+    no float anywhere.
+
+    Scale: one hash aggregate to (type, day) — calendar-bounded — and
+    a keyed self-join + final aggregate on that bounded table. The
+    data-scale pass is the first aggregate only."""
+    ev = load_table(spark, sf, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    a, f = d.alias("a"), d.alias("f")
+    j = a.join(
+        f,
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (F.col("f.day") == F.col("a.day") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.cents").alias("actual"),
+        F.col("f.cents").alias("fcst"),
+    )
+    ae = F.abs(F.col("fcst") - F.col("actual"))
+    denom = F.abs(F.col("fcst")) + F.abs(F.col("actual"))
+    t = j.select(
+        "event_type",
+        "actual",
+        "fcst",
+        ae.alias("ae"),
+        F.when(denom == 0, F.lit(0))
+        .otherwise(F.expr("(ABS(fcst - actual) * 2000000) div (ABS(fcst) + ABS(actual))"))
+        .cast("long")
+        .alias("smape_t"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("CAST(SUM(ae) * 1000 div COUNT(*) AS BIGINT)").alias(
+                "mae_millicents"
+            ),
+            F.expr("CAST(SUM(smape_t) div COUNT(*) AS BIGINT)").alias("smape_ppm"),
+            F.sum(F.col("fcst") - F.col("actual")).cast("long").alias("bias_cents"),
+        )
+        .orderBy("event_type")
+    )

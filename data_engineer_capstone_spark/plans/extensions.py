@@ -3873,3 +3873,89 @@ def q360(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# ------------------------------------ k-anonymity / l-diversity audit -----
+K_ANON = 5
+
+
+@query(
+    "q366_k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_mktsegment AS segment, c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ),
+    cls AS (
+        SELECT segment, c_nationkey, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT cents) AS BIGINT) AS l_div
+        FROM q GROUP BY segment, c_nationkey, bal_band
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS unsafe_classes,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS suppressed_rows,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS suppressed_ppm,
+           CAST(COALESCE(MIN(CASE WHEN n >= {K_ANON} THEN l_div END), 0)
+                AS BIGINT) AS min_l_safe
+    FROM cls GROUP BY segment ORDER BY segment
+    """,
+)
+def q366(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit — the privacy gate a
+    governed data release runs BEFORE publishing: quasi-identifiers
+    (segment, nation, $1k balance band) partition customers into
+    equivalence classes; any class smaller than k={k} re-identifies its
+    members and must be suppressed or generalized. Per segment the
+    audit reports class counts, the suppression cost of enforcing k
+    (rows lost, exact ppm), and the worst l-DIVERSITY among the classes
+    that survive — a k-anonymous class whose sensitive value (exact
+    balance) is constant still leaks it; min_l_safe = 1 is that alarm.
+    Complements q226, which masks PII *within* text; this gate decides
+    whether the STRUCTURED release is publishable at all.
+
+    Scale: two hash aggregates (rows → classes → segments), both with
+    mergeable partials; the distinct-sensitive count rides the first
+    aggregate's key space. No joins, no windows, nothing driver-side —
+    the same audit at 100 TB is the same two shuffles."""
+    cust = load_table(spark, sf, "customer")
+    q = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cls = q.groupBy("segment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("cents").cast("long").alias("l_div"),
+    )
+    unsafe = F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    return (
+        cls.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("n") < K_ANON).cast("int")).cast("long").alias("unsafe_classes"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(unsafe).cast("long").alias("suppressed_rows"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000"
+                " div SUM(n) AS BIGINT)"
+            ).alias("suppressed_ppm"),
+            F.coalesce(
+                F.min(F.when(F.col("n") >= K_ANON, F.col("l_div"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("min_l_safe"),
+        )
+        .orderBy("segment")
+    )
+
+
+q366.__doc__ = q366.__doc__.format(k=K_ANON)

@@ -1086,3 +1086,239 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q345.__doc__ = q345.__doc__.format(r=KTRUSS_ROUNDS, k=KTRUSS_SUPPORT)
+
+
+# ------------------------------------------- DAG longest-path layering ----
+DAG_LAYER_HOPS = 6
+
+
+def _dag_layer_sql() -> str:
+    arms = ["SELECT node, 0 AS d FROM nodes"]
+    prior = "nodes"
+    ctes = []
+    for h in range(1, DAG_LAYER_HOPS + 1):
+        ctes.append(
+            f"""w{h} AS (
+        SELECT DISTINCT e.b AS node
+        FROM edges e JOIN {prior} s ON s.node = e.a)"""
+        )
+        arms.append(f"SELECT node, {h} AS d FROM w{h}")
+        prior = f"w{h}"
+    union = "\n    UNION ALL ".join(arms)
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH edges AS ({_SQL_EDGES}),
+    nodes AS (SELECT DISTINCT a AS node FROM edges
+              UNION SELECT DISTINCT b FROM edges),
+    {cte_block},
+    walks AS ({union}),
+    lv AS (SELECT node, CAST(MAX(d) AS BIGINT) AS level FROM walks
+           GROUP BY node)
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM lv GROUP BY level ORDER BY level
+    """
+
+
+@query("q367_dag_longest_path", oracle=_dag_layer_sql())
+def q367(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest-path (critical-path) layering of the id-oriented
+    co-purchase DAG — the scheduling-depth computation behind DAG
+    batch planners (a node's layer = the longest dependency chain
+    that must finish before it). The id orientation (a < b, the
+    q201/q335 trick) makes the graph acyclic BY CONSTRUCTION, so
+    "longest path ending at v" is well-defined; layers are computed
+    over the MAX-PLUS semiring where q324's BFS uses MIN-plus — the
+    docstring names that twin deliberately: same per-round
+    frontier⋈edges equi-join + distinct + eager checkpoint loop, but
+    no visited-set anti-join (a LATER arrival always wins under max,
+    so re-reaching a node is progress, not waste), and the bounded
+    {h}-hop form is the registered, oracle-checkable contract exactly
+    as in q324.
+
+    Scale: each round shuffles O(frontier·avg-degree) on the edge
+    key; the final layering is one hash aggregate to max-depth per
+    node and one to the O(H) layer histogram. At 100 TB the edge list
+    is pre-partitioned by src so the loop's per-round exchange is the
+    probe side only."""
+    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    walks = nodes.select("node", F.lit(0).alias("d"))
+    frontier = nodes
+    for h in range(1, DAG_LAYER_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        walks = walks.unionByName(frontier.select("node", F.lit(h).alias("d")))
+    lv = walks.groupBy("node").agg(F.max("d").cast("long").alias("level"))
+    return (
+        lv.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("level")
+    )
+
+
+q367.__doc__ = q367.__doc__.format(h=DAG_LAYER_HOPS)
+
+
+# ---------------------------------------------- Boruvka MST round ---------
+BORUVKA_LABEL_HOPS = 8
+
+
+def _boruvka_sql() -> str:
+    ctes, prev = [], "l0"
+    for h in range(1, BORUVKA_LABEL_HOPS + 1):
+        ctes.append(
+            # MATERIALIZED is load-bearing: each hop references the
+            # previous one twice (n + m); inlined, DuckDB re-derives the
+            # chain 2^h times and OOMs — materialized, each hop runs once
+            f"""l{h} AS MATERIALIZED (
+        SELECT n.node,
+               least(n.lbl, COALESCE(MIN(m.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN fund u ON u.node = n.node
+        LEFT JOIN {prev} m ON m.node = u.nbr
+        GROUP BY n.node, n.lbl)"""
+        )
+        prev = f"l{h}"
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH we AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY a, b
+    ),
+    und AS (SELECT a AS node, b AS nbr, w FROM we
+            UNION ALL SELECT b, a, w FROM we),
+    pick AS (
+        SELECT node, nbr, w,
+               ROW_NUMBER() OVER (PARTITION BY node
+                    ORDER BY w DESC, nbr) AS rn
+        FROM und QUALIFY rn = 1
+    ),
+    forest AS MATERIALIZED (
+        SELECT DISTINCT least(node, nbr) AS u, greatest(node, nbr) AS v, w
+        FROM pick
+    ),
+    fund AS MATERIALIZED (SELECT u AS node, v AS nbr FROM forest
+             UNION ALL SELECT v, u FROM forest),
+    l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM fund),
+    {cte_block},
+    comp AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+             FROM {prev} GROUP BY lbl)
+    SELECT CAST((SELECT COUNT(*) FROM l0) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM forest) AS BIGINT) AS n_forest_edges,
+           CAST((SELECT SUM(w) FROM forest) AS BIGINT) AS forest_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(MAX(sz) AS BIGINT) AS largest_component
+    FROM comp
+    """
+
+
+@query("q374_boruvka_round", oracle=_boruvka_sql())
+def q374(spark: SparkSession, sf: str) -> DataFrame:
+    """One Borůvka round of MAXIMUM-weight spanning-forest construction
+    over the weighted co-purchase graph (edge weight = number of shared
+    orders): every node claims its heaviest incident edge (ties to the
+    smaller neighbor id), mutual claims collapse, and the claimed edge
+    set is cycle-free by the standard Borůvka argument — the MST family
+    the registry lacked (q108/q223 label components on the FULL graph;
+    here the propagation runs on the O(n)-edge claimed FOREST, and the
+    new work is the claim step + weight accounting). Repeating the
+    round on contracted components yields the full MSF in O(log n)
+    rounds; the registered, oracle-checkable form is one round plus
+    {h}-hop min-label components of the forest — the same bounded-hop
+    contract as q324/q367.
+
+    Scale: edge weights are one hash aggregate on the (a, b) pair key;
+    the claim is a per-node rank over incident edges (partitioned
+    window, fan-out = degree); each label hop is a keyed
+    forest⋈labels equi-join + min-aggregate, eagerly checkpointed —
+    O(n) rows per round, the component-loop discipline of q108."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    we = (
+        x.join(y, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = we.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).unionByName(we.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
+    wp = W.partitionBy("node").orderBy(F.desc("w"), "nbr")
+    pick = und.select(
+        "node", "nbr", "w", F.row_number().over(wp).alias("rn")
+    ).where(F.col("rn") == 1)
+    forest = (
+        pick.select(
+            F.least("node", "nbr").alias("u"),
+            F.greatest("node", "nbr").alias("v"),
+            "w",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fund = (
+        forest.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(forest.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        fund.select("node").distinct().select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BORUVKA_LABEL_HOPS):
+        nbr_lbl = (
+            fund.join(lbl.withColumnRenamed("node", "nbr2"),
+                      fund.nbr == F.col("nbr2"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(nbr_lbl, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    comp = lbl.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    nn = lbl.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    fe = forest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forest_edges"),
+        F.sum("w").cast("long").alias("forest_weight"),
+    )
+    return (
+        comp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest_component"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(fe))
+        .select(
+            "n_nodes",
+            "n_forest_edges",
+            "forest_weight",
+            "n_components",
+            "largest_component",
+        )
+    )
+
+
+q374.__doc__ = q374.__doc__.format(h=BORUVKA_LABEL_HOPS)

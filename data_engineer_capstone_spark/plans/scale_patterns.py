@@ -2291,3 +2291,167 @@ def q358(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("has_view", "has_click", "has_purchase")
     )
+
+
+# ------------------------------ FIFO allocation via cumsum intervals ------
+@query(
+    "q364_fifo_allocation",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey AS partkey, l_returnflag, l_shipdate, l_orderkey,
+               l_linenumber,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    sup AS (
+        SELECT partkey, qty,
+               CAST(floor(CAST(cents * 1000 AS DOUBLE) / qty) AS BIGINT)
+                   AS unit_mc,
+               CAST(SUM(qty) OVER (PARTITION BY partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        FROM base WHERE l_returnflag = 'R'
+    ),
+    dem AS (
+        SELECT partkey, qty,
+               CAST(SUM(qty) OVER (PARTITION BY partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        FROM base WHERE l_returnflag <> 'R'
+    ),
+    pairs AS (
+        SELECT s.partkey,
+               least(s.hi, d.hi) - greatest(s.hi - s.qty, d.hi - d.qty)
+                   AS alloc,
+               s.unit_mc
+        FROM sup s JOIN dem d
+          ON s.partkey = d.partkey
+         AND s.hi - s.qty < d.hi AND d.hi - d.qty < s.hi
+    ),
+    m AS (
+        SELECT partkey, CAST(SUM(alloc) AS BIGINT) AS matched_qty,
+               CAST(SUM(alloc * unit_mc) AS BIGINT) AS cogs_millicents
+        FROM pairs GROUP BY partkey
+    ),
+    st AS (SELECT partkey, CAST(SUM(qty) AS BIGINT) AS supply_qty
+           FROM base WHERE l_returnflag = 'R' GROUP BY partkey),
+    dt AS (SELECT partkey, CAST(SUM(qty) AS BIGINT) AS demand_qty
+           FROM base WHERE l_returnflag <> 'R' GROUP BY partkey)
+    SELECT COALESCE(st.partkey, dt.partkey) AS partkey,
+           CAST(COALESCE(st.supply_qty, 0) AS BIGINT) AS supply_qty,
+           CAST(COALESCE(dt.demand_qty, 0) AS BIGINT) AS demand_qty,
+           CAST(COALESCE(m.matched_qty, 0) AS BIGINT) AS matched_qty,
+           CAST(COALESCE(dt.demand_qty, 0) - COALESCE(m.matched_qty, 0)
+                AS BIGINT) AS backlog_qty,
+           CAST(COALESCE(m.cogs_millicents, 0) AS BIGINT) AS cogs_millicents
+    FROM st FULL OUTER JOIN dt ON st.partkey = dt.partkey
+    LEFT JOIN m ON COALESCE(st.partkey, dt.partkey) = m.partkey
+    ORDER BY partkey
+    """,
+)
+def q364(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO inventory allocation — the classic "impossible in SQL"
+    sequential matcher (each demand row consumes the OLDEST remaining
+    supply lots), expressed with zero sequential state: per part,
+    supply lots and demand rows each get a cumulative-quantity
+    interval [hi−qty, hi) in ship order, and FIFO allocation is
+    exactly the pairwise INTERSECTION of those two monotone interval
+    chains — ``min(hi) − max(lo)`` over an interval-overlap equi-join
+    on partkey. Returned stock ('R' lines, in shipdate order) forms
+    the lot chain; every other line is demand; allocated cost carries
+    the lot's exact unit millicents, so COGS is integer end to end.
+
+    Scale shape: both cumsums are windows PARTITIONED by part (no
+    global window), and because the two interval chains are monotone
+    within a part, the overlap join's output is LINEAR — at most
+    (n_supply + n_demand − 1) pairs per part, never the O(n·m)
+    rectangle (each pair advances at least one chain; the classic
+    merge argument). The join itself is a keyed equi-join on partkey
+    with a residual range predicate — co-partitioned, no broadcast of
+    anything data-scale. Companion shapes: q276 (interval OVERLAP
+    join, time axis), q300 (running clamp), q153 (interval union) —
+    none of them ALLOCATE one chain against another."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("partkey"),
+        "l_returnflag",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        W.partitionBy("partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sup = (
+        base.where(F.col("l_returnflag") == "R")
+        .select(
+            "partkey",
+            "qty",
+            F.floor((F.col("cents") * 1000).cast("double") / F.col("qty"))
+            .cast("long")
+            .alias("unit_mc"),
+            F.sum("qty").over(w).cast("long").alias("hi"),
+        )
+    )
+    dem = (
+        base.where(F.col("l_returnflag") != "R")
+        .select("partkey", "qty", F.sum("qty").over(w).cast("long").alias("hi"))
+    )
+    s, d = sup.alias("s"), dem.alias("d")
+    pairs = s.join(
+        d,
+        (F.col("s.partkey") == F.col("d.partkey"))
+        & (F.col("s.hi") - F.col("s.qty") < F.col("d.hi"))
+        & (F.col("d.hi") - F.col("d.qty") < F.col("s.hi")),
+    ).select(
+        F.col("s.partkey").alias("partkey"),
+        (
+            F.least(F.col("s.hi"), F.col("d.hi"))
+            - F.greatest(
+                F.col("s.hi") - F.col("s.qty"), F.col("d.hi") - F.col("d.qty")
+            )
+        ).alias("alloc"),
+        F.col("s.unit_mc").alias("unit_mc"),
+    )
+    m = pairs.groupBy("partkey").agg(
+        F.sum("alloc").cast("long").alias("matched_qty"),
+        F.sum(F.col("alloc") * F.col("unit_mc")).cast("long").alias("cogs_millicents"),
+    )
+    st = (
+        base.where(F.col("l_returnflag") == "R")
+        .groupBy("partkey")
+        .agg(F.sum("qty").cast("long").alias("supply_qty"))
+    )
+    dt = (
+        base.where(F.col("l_returnflag") != "R")
+        .groupBy("partkey")
+        .agg(F.sum("qty").cast("long").alias("demand_qty"))
+    )
+    out = (
+        st.join(dt, "partkey", "full_outer")
+        .join(m, "partkey", "left")
+        .select(
+            "partkey",
+            F.coalesce("supply_qty", F.lit(0)).cast("long").alias("supply_qty"),
+            F.coalesce("demand_qty", F.lit(0)).cast("long").alias("demand_qty"),
+            F.coalesce("matched_qty", F.lit(0)).cast("long").alias("matched_qty"),
+            (
+                F.coalesce("demand_qty", F.lit(0))
+                - F.coalesce("matched_qty", F.lit(0))
+            )
+            .cast("long")
+            .alias("backlog_qty"),
+            F.coalesce("cogs_millicents", F.lit(0))
+            .cast("long")
+            .alias("cogs_millicents"),
+        )
+        .orderBy("partkey")
+    )
+    return out

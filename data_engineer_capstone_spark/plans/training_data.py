@@ -12,6 +12,8 @@ boundary, no O(n²) pair spaces, no driver-side loops).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -3041,3 +3043,451 @@ def q346(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q346.__doc__ = q346.__doc__.format(c=KM_CENSOR_DAYS)
+
+
+# -------------------------------------- exact average precision (PR-AUC) --
+@query(
+    "q362_average_precision",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(floor(embedding[1] * 1000000000 + 0.5) AS BIGINT) AS s,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    g AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(pos) AS BIGINT) AS p_s
+        FROM r GROUP BY s
+    ),
+    c AS (
+        SELECT s, n_s, p_s,
+               CAST(SUM(n_s) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_n,
+               CAST(SUM(p_s) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_p,
+               CAST(SUM(p_s) OVER () AS BIGINT) AS np,
+               CAST(SUM(n_s) OVER () AS BIGINT) AS n
+        FROM g
+    ),
+    t AS (
+        SELECT n, np,
+               CAST(floor(CAST(p_s AS DOUBLE) * CAST(cum_p AS DOUBLE)
+                          / CAST(np AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                          * 1000000000000.0) AS BIGINT) AS term_q
+        FROM c
+    )
+    SELECT MAX(n) AS n, MAX(np) AS n_pos,
+           CAST(SUM(term_q) // 1000000 AS BIGINT) AS ap_q
+    FROM t
+    """,
+)
+def q362(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT average precision (area under the precision-recall curve at
+    distinct score thresholds — sklearn's ``average_precision_score``
+    definition), the PR-space twin of q252's ROC AUC: same (score,
+    label) stream, but the aggregation identity is
+    AP = Σ_thresholds ΔRecall·Precision, which — unlike ROC AUC — stays
+    informative under heavy class imbalance (the regime of every
+    quality-gate classifier on web corpora).
+
+    Exactness: scores quantize to a 1e-9 integer grid and collapse to
+    one row per DISTINCT score (ties form one threshold step, exactly
+    sklearn's contract); running totals (cum_n, cum_p) over the score
+    axis come from ONE `refops.distributed_cumsum` materialization —
+    the new multi-column form mints both prefix sums from the same
+    frozen range partitioning, so there is no second exchange and no
+    tie-placement drift between passes. Each threshold's term is a
+    fixed IEEE float sequence floored to a 1e-12 grid and summed in
+    BIGINT (associative — partial aggregation in any merge order), and
+    the final AP is an integer floor-division to a 1e-6 grid.
+
+    Scale: one hash aggregate onto the score support + one range
+    exchange over DISTINCT scores (cardinality-bounded, not
+    row-bounded) + a 1-row reduce. The oracle's global window is
+    exactly the partitionless plan the range exchange replaces."""
+    from ..functions.refops import distributed_cumsum
+
+    emb = load_table(spark, sf, "embeddings")
+    rows = emb.select(
+        F.floor(
+            F.element_at(F.col("embedding"), 1).cast("double") * 1e9 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+    )
+    g = (
+        rows.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("p_s"))
+        .withColumn("ns", -F.col("s"))
+    )
+    c = distributed_cumsum(
+        g, ["ns"], ["n_s", "p_s"], ["cum_n", "cum_p"]
+    )
+    term = (
+        F.floor(
+            F.col("p_s").cast("double")
+            * F.col("cum_p").cast("double")
+            / F.col("np").cast("double")
+            / F.col("cum_n").cast("double")
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("term_q")
+    )
+    tot = c.agg(
+        F.sum("p_s").cast("long").alias("np"),
+        F.sum("n_s").cast("long").alias("n"),
+    )
+    t = c.crossJoin(F.broadcast(tot)).select("n", "np", term)
+    return t.agg(
+        F.max("n").alias("n"),
+        F.max("np").alias("n_pos"),
+        F.expr("CAST(SUM(term_q) div 1000000 AS BIGINT)").alias("ap_q"),
+    )
+
+
+# ----------------------------------- NDCG@k popularity-recommender eval ---
+NDCG_K = 10
+# integer DCG weights: w[pos] = round(1e9 / log2(pos+1)), precomputed ONCE
+# host-side so neither engine evaluates a libm log at query time (the repo's
+# cross-engine no-libm rule); both sides consume the identical constants.
+_NDCG_W = [round(1_000_000_000 / math.log2(p + 1)) for p in range(1, NDCG_K + 1)]
+_NDCG_PREFIX = [sum(_NDCG_W[: i + 1]) for i in range(NDCG_K)]
+_NDCG_CUTOFF = "DATE '2000-01-01'"
+
+
+def _ndcg_sql() -> str:
+    w_case = " ".join(
+        f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_NDCG_W)
+    )
+    p_case = " ".join(
+        f"WHEN {i + 1} THEN {s}" for i, s in enumerate(_NDCG_PREFIX)
+    )
+    return f"""
+    WITH train AS (
+        SELECT l.l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < {_NDCG_CUTOFF}
+        GROUP BY 1
+    ),
+    top10 AS (
+        SELECT partkey,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, partkey) AS pos
+        FROM train QUALIFY pos <= {NDCG_K}
+    ),
+    hold AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= {_NDCG_CUTOFF}
+    ),
+    nrel AS (
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM hold GROUP BY custkey
+    ),
+    dcg AS (
+        SELECT h.custkey, CAST(COUNT(*) AS BIGINT) AS hits,
+               CAST(SUM(CASE t.pos {w_case} END) AS BIGINT) AS dcg_num
+        FROM hold h JOIN top10 t USING (partkey) GROUP BY h.custkey
+    )
+    SELECT n.custkey, n.n_rel,
+           CAST(COALESCE(d.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(d.dcg_num, 0) * 1000000
+                // (CASE least(n.n_rel, {NDCG_K}) {p_case} END)
+                AS BIGINT) AS ndcg_q
+    FROM nrel n LEFT JOIN dcg d ON n.custkey = d.custkey
+    ORDER BY n.custkey
+    """
+
+
+@query("q363_ndcg_popularity", oracle=_ndcg_sql())
+def q363(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 per customer for the simplest
+    production recommender — "recommend everyone the globally
+    most-popular items" — trained on pre-2000 purchases and evaluated
+    on each customer's post-2000 holdout basket. The popularity
+    baseline is THE sanity floor every ranking model must beat, and
+    NDCG is the position-discounted metric it is beaten on; this
+    completes the ranking family next to q325 (rank FUSION) and q326
+    (rank DRIFT), which compare rankings to each other, not to held-out
+    relevance.
+
+    DCG discounts (1/log2(pos+1)) are integer constants minted ONCE
+    host-side (no engine evaluates a log — the no-libm rule), the ideal
+    DCG is a prefix-sum CASE on min(n_rel, 10), and the final NDCG is
+    an exact BIGINT floor-division to a 1e-6 grid — all integer
+    arithmetic end to end.
+
+    Scale shape: train-side popularity is one hash aggregate over
+    partkey (catalog-bounded) and the top-10 a TakeOrdered; the 10-row
+    ranked list BROADCASTS to the holdout join, so per-customer DCG
+    costs one equi-join against 10 rows + one aggregate — no shuffle
+    grows with the recommendation list, and nothing is O(customers ×
+    catalog)."""
+    cutoff = F.lit("2000-01-01").cast("date")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    od = F.col("o_orderdate").cast("date")
+    train = (
+        li.join(
+            orders.where(od < cutoff).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top10 = train.orderBy(F.desc("cnt"), "partkey").limit(NDCG_K)
+    wpos = W.orderBy(F.desc("cnt"), "partkey")
+    top10 = top10.select(
+        "partkey", F.row_number().over(wpos).alias("pos")
+    )
+    hold = (
+        li.join(
+            orders.where(od >= cutoff).select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    nrel = hold.groupBy("custkey").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    wmap = F.create_map(
+        *[F.lit(x) for p, w in enumerate(_NDCG_W) for x in (p + 1, w)]
+    )
+    pmap = F.create_map(
+        *[F.lit(x) for i, s in enumerate(_NDCG_PREFIX) for x in (i + 1, s)]
+    )
+    dcg = (
+        hold.join(F.broadcast(top10), "partkey")
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.sum(wmap[F.col("pos")]).cast("long").alias("dcg_num"),
+        )
+    )
+    return (
+        nrel.join(dcg, "custkey", "left")
+        .withColumn("idcg", pmap[F.least(F.col("n_rel"), F.lit(NDCG_K))])
+        .select(
+            "custkey",
+            "n_rel",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "CAST(coalesce(dcg_num, 0) * 1000000 div idcg AS BIGINT)"
+            ).alias("ndcg_q"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ------------------------------------- systematic PPS token sampling ------
+PPS_N = 100
+
+
+@query(
+    "q365_systematic_pps_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_WORDS.format(c='text')}) AS n_tokens,
+               {_H64.format(x="'pps:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS w
+        FROM nz
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               ((2 * {PPS_N} * hi + w - 1) // w) // 2
+               - ((2 * {PPS_N} * (hi - n_tokens) + w - 1) // w) // 2
+                   AS n_hits
+        FROM c
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM s WHERE n_hits > 0 ORDER BY doc_id
+    """,
+)
+def q365(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: {n} midpoint
+    selection points p_k = (2k+1)·W/(2n) sweep the cumulative token axis
+    (documents in salted-hash order, so the systematic sweep is
+    decorrelated from ingest order without any RNG), and a document is
+    drawn once per point inside its cumulative interval — big documents
+    can legitimately be drawn twice (n_hits carries the multiplicity;
+    that IS textbook systematic PPS). The family twin framing: q239/q251
+    draw WITHOUT replacement via exponential keys (A-ES) and q145 keeps
+    a fixed-k reservoir; systematic PPS is the zero-variance-spread
+    design dataloaders favor for token-budget sampling, and unlike A-ES
+    its inclusion rule here is EXACT INTEGER arithmetic — a point m·W ∈
+    [2n·lo, 2n·hi) count, evaluated as a difference of two odd-count
+    ceil-divisions, no floats anywhere (the log-key ulp caveat ADVICE
+    noted on q239 cannot exist here).
+
+    Scale: ONE range exchange mints the cumulative axis
+    (`distributed_cumsum`), the total W rides the same pass as a 1-row
+    broadcast, and the hit count is a row-local closed form — no join,
+    no second shuffle, no per-point explode."""
+    from ..functions.refops import distributed_cumsum
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        word_count("text").alias("n_tokens"),
+        h64(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).where(F.col("n_tokens") > 0)
+    c = distributed_cumsum(t, ["h", "doc_id"], "n_tokens", name="hi")
+    tot = c.agg(F.sum("n_tokens").cast("long").alias("w"))
+    cc = c.crossJoin(F.broadcast(tot))
+    two_n = 2 * PPS_N
+    hits = F.expr(
+        f"(({two_n} * hi + w - 1) div w) div 2"
+        f" - (({two_n} * (hi - n_tokens) + w - 1) div w) div 2"
+    )
+    return (
+        cc.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            hits.cast("long").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+q365.__doc__ = q365.__doc__.format(n=PPS_N)
+
+
+# ------------------------------------------ label-noise kNN audit ---------
+KNN_NOISE_K = 5
+
+
+def _label_noise_sql() -> str:
+    dist = (
+        "(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(a.embedding AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+        " + list_dot_product(CAST(b.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[])))"
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS i, a.label AS own, b.vec_id AS j,
+               b.label AS nlabel,
+               CAST(floor({dist} * 1000000000 + 0.5) AS BIGINT) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT i, own, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn
+        FROM pairs QUALIFY rn <= {KNN_NOISE_K}
+    ),
+    votes AS (
+        SELECT i, own, nlabel, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM knn GROUP BY i, own, nlabel
+    ),
+    top AS (
+        SELECT i, own, nlabel AS maj, cnt,
+               ROW_NUMBER() OVER (PARTITION BY i
+                    ORDER BY cnt DESC, nlabel) AS vr
+        FROM votes QUALIFY vr = 1
+    )
+    SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN maj <> own AND cnt * 2 > {KNN_NOISE_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN maj <> own AND cnt * 2 > {KNN_NOISE_K}
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS flagged_ppm
+    FROM top GROUP BY own ORDER BY label
+    """
+
+
+@query("q372_label_noise_knn", oracle=_label_noise_sql())
+def q372(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise audit by k-NN disagreement (Confident-Learning-lite):
+    a vector whose {k} nearest neighbors hold a STRICT-majority label
+    different from its own is flagged as probably mislabeled — the
+    training-data QA gate run before any supervised fine-tune. This is
+    the declared bounded-n exact baseline (the q94/q95 class; at corpus
+    scale the identical vote runs over q96/q106's LSH/IVF candidate
+    lists instead of the full pair space — the docstring contract those
+    ANN operators exist for).
+
+    Exactness: squared-L2 distance needs NO sqrt (no libm) — one pinned
+    IEEE sequence qq − 2·qc + cc of sequential-fold dot products,
+    floor-quantized to a 1e-9 integer grid; neighbor ties break on
+    vec_id, vote ties on label — every rank deterministic. Per-label
+    output: vectors, strict-majority-flagged count, exact ppm rate."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, s: acc + s,
+        )
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("own"),
+        F.col("v").alias("va"),
+        dot(F.col("v"), F.col("v")).alias("qq"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("vb"),
+        dot(F.col("v"), F.col("v")).alias("cc"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "own",
+        "j",
+        "nlabel",
+        F.floor(
+            (F.col("qq") - 2 * dot(F.col("va"), F.col("vb")) + F.col("cc"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    wk = W.partitionBy("i").orderBy("d", "j")
+    knn = pairs.select(
+        "i", "own", "nlabel", F.row_number().over(wk).alias("rn")
+    ).where(F.col("rn") <= KNN_NOISE_K)
+    votes = knn.groupBy("i", "own", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = W.partitionBy("i").orderBy(F.desc("cnt"), "nlabel")
+    top = votes.select(
+        "i",
+        "own",
+        F.col("nlabel").alias("maj"),
+        "cnt",
+        F.row_number().over(wv).alias("vr"),
+    ).where(F.col("vr") == 1)
+    flag = (
+        (F.col("maj") != F.col("own")) & (F.col("cnt") * 2 > KNN_NOISE_K)
+    ).cast("int")
+    return (
+        top.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(flag).cast("long").alias("n_flagged"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN maj <> own AND cnt * 2 > {KNN_NOISE_K}"
+                " THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("flagged_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+q372.__doc__ = q372.__doc__.format(k=KNN_NOISE_K)

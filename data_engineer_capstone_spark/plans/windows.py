@@ -1293,3 +1293,249 @@ def q320(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q320.__doc__ = q320.__doc__.format(k=LB_K, w=LB_WINDOW_D)
+
+
+# --------------------------------------- run-length encoding of streams ---
+@query(
+    "q368_event_runs_rle",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, event_type, event_id,
+               CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM s
+    ),
+    r AS (
+        SELECT user_id, event_type, event_id,
+               SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM f
+    ),
+    runs AS (
+        SELECT user_id, run_id, MIN(event_type) AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM r GROUP BY user_id, run_id
+    ),
+    top AS (
+        SELECT user_id, event_type, run_len,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY run_len DESC, event_type) AS rn
+        FROM runs
+    ),
+    agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(run_len) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_runs, a.n_events,
+           t.run_len AS longest_run, t.event_type AS longest_run_type,
+           CAST(a.n_runs * 1000000 // a.n_events AS BIGINT)
+               AS compression_ppm
+    FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rn = 1
+    ORDER BY a.user_id
+    """,
+)
+def q368(spark: SparkSession, sf: str) -> DataFrame:
+    """Run-length encoding of per-user event streams: consecutive
+    same-type events collapse to (type, length) runs — the islands
+    construction with a VALUE-CHANGE boundary where q117/q354 break on
+    time gaps (the docstring names those cousins deliberately; the
+    boundary predicate is the only difference in the plan). Per user
+    the report carries the run count, the longest run (ties broken to
+    the alphabetically first type via rank, no composite arg-max),
+    and the RLE compression ratio in exact ppm — the statistic that
+    decides whether a repetitive telemetry stream is worth
+    run-encoding at the storage layer.
+
+    Ordering contract: runs break on (ts, event_id) order but the
+    running boundary-sum rides event_id alone — valid because
+    event_id is a total order consistent with ts in this dataset, and
+    the oracle pins the same contract. Scale: two partitioned windows
+    (lag, running sum) + two hash aggregates, all on the user key —
+    one shuffle, mergeable partials, nothing global."""
+    ev = load_table(spark, sf, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lag("event_type").over(wl).alias("prev"),
+    )
+    f = s.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = f.select(
+        "user_id", "event_type", "event_id", F.sum("brk").over(wr).alias("run_id")
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )
+    wt = W.partitionBy("user_id").orderBy(F.desc("run_len"), "event_type")
+    top = runs.select(
+        "user_id", "event_type", "run_len", F.row_number().over(wt).alias("rn")
+    ).where(F.col("rn") == 1)
+    agg = runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_events"),
+    )
+    return (
+        agg.join(top, "user_id")
+        .select(
+            "user_id",
+            "n_runs",
+            "n_events",
+            F.col("run_len").alias("longest_run"),
+            F.col("event_type").alias("longest_run_type"),
+            F.expr("CAST(n_runs * 1000000 div n_events AS BIGINT)").alias(
+                "compression_ppm"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------- peak concurrent sessions -------
+CONCURRENCY_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q373_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, t,
+               CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                         > {CONCURRENCY_GAP_US}
+                         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    g AS (
+        SELECT user_id, t,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id, sid, MIN(t) AS st, MAX(t) + 1 AS en
+        FROM g GROUP BY user_id, sid
+    ),
+    bounds AS (
+        SELECT user_id, sid, st AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT user_id, sid, en AS t, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT t, delta,
+               CAST(SUM(delta) OVER (ORDER BY t, delta, user_id, sid
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+        FROM bounds
+    ),
+    byday AS (
+        SELECT t // 86400000000 AS day, t, delta, active,
+               ROW_NUMBER() OVER (PARTITION BY t // 86400000000
+                    ORDER BY active DESC, t) AS rn
+        FROM run
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts,
+           CAST(MAX(active) AS BIGINT) AS peak_active,
+           CAST(MIN(CASE WHEN rn = 1 THEN t END) AS BIGINT) AS peak_at_us
+    FROM byday GROUP BY day ORDER BY day
+    """,
+)
+def q373(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (max simultaneously-active sessions and the microsecond it was
+    hit), computed by the classic +1/−1 boundary sweep: 30-minute-gap
+    sessions (q117's islands, cited) emit a +1 at start and a −1 just
+    after end, and concurrency is the RUNNING SUM over the global
+    time-ordered boundary stream. q153 merges intervals to measure
+    COVERED time and q276 joins overlapping intervals pairwise;
+    neither answers "how many at once?", which is what capacity
+    planning asks.
+
+    The boundary stream is data-scale (2 rows per session), so the
+    global running sum rides `refops.distributed_cumsum` — one range
+    exchange, per-partition windows, literal-map offsets — never a
+    partitionless window (the oracle's global window is exactly the
+    plan this replaces). Ordering pins (t, delta, user, sid) so an
+    end at the same microsecond as a start decrements FIRST —
+    touching intervals don't double-count. Daily peaks + first
+    peak-time are a per-day rank over the bounded per-day boundary
+    rows."""
+    from ..functions.refops import distributed_cumsum
+
+    ev = load_table(spark, sf, "events")
+    e = ev.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    wu = W.partitionBy("user_id").orderBy("t")
+    s = e.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(wu).isNull()
+            | ((F.col("t") - F.lag("t").over(wu)) > CONCURRENCY_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wr = W.partitionBy("user_id").orderBy("t").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    g = s.select("user_id", "t", F.sum("brk").over(wr).alias("sid"))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min("t").alias("st"), (F.max("t") + 1).alias("en")
+    )
+    bounds = sess.select(
+        "user_id", "sid", F.col("st").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id", "sid", F.col("en").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    run = distributed_cumsum(
+        bounds, ["t", "delta", "user_id", "sid"], "delta", name="active"
+    )
+    byday = run.select(
+        F.expr("t div 86400000000").alias("day"), "t", "delta", "active"
+    )
+    wd = W.partitionBy("day").orderBy(F.desc("active"), "t")
+    ranked = byday.select(
+        "day", "t", "delta", "active", F.row_number().over(wd).alias("rn")
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.sum((F.col("delta") == 1).cast("int")).cast("long").alias("n_starts"),
+            F.max("active").cast("long").alias("peak_active"),
+            F.min(F.when(F.col("rn") == 1, F.col("t"))).cast("long").alias("peak_at_us"),
+        )
+        .orderBy("day")
+    )

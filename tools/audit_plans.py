@@ -39,6 +39,28 @@ EXPECTED = {
     "q249_winsorize_approx": {"BroadcastNestedLoopJoin"},  # same, sketch cuts
     "q255_winsorize_sketch_exhaustive": {"BroadcastNestedLoopJoin"},  # same
     "q271_weighted_median": {"BroadcastNestedLoopJoin"},  # 1-row total_w scalar
+    "q362_average_precision": {"BroadcastNestedLoopJoin"},  # 1-row (n, n_pos) scalar
+    # declared bounded-n exact baseline (q94/q95 class): full pair space
+    # over the 500-vector embeddings table; at corpus scale the same vote
+    # runs over q96/q106 ANN candidate lists (docstring contract)
+    "q372_label_noise_knn": {"BroadcastNestedLoopJoin"},
+    # three 1-row summary aggregates (labels, forest, components) crossed
+    # into the single-row report — all broadcast scalars
+    "q374_boruvka_round": {"BroadcastNestedLoopJoin"},
+    # lineitem⋈orders is a fact-fact keyed join (filtered-orders stats
+    # unknown → static SMJ; AQE broadcasts at runtime while it fits, and at
+    # 100 TB keyed SMJ IS the right plan — the q92 argument)
+    "q363_ndcg_popularity": {"SortMergeJoin"},
+    # supply⋈demand cumulative-interval overlap is a keyed equi-join on
+    # partkey whose sides are window outputs (stats unknown → static SMJ);
+    # per-part output is LINEAR by the monotone-chain merge argument, and
+    # at 100 TB the co-partitioned keyed SMJ IS the plan
+    "q364_fifo_allocation": {"SortMergeJoin"},
+    # 1-row corpus-total scalar broadcast onto the cumulative axis
+    "q365_systematic_pps_sample": {"BroadcastNestedLoopJoin"},
+    # 1-row table-total scalar crossed onto the 25-cell contingency table
+    # (all post-aggregate raking arithmetic is on the bounded cell table)
+    "q369_raking_ipf": {"BroadcastNestedLoopJoin"},
     # 4-row fold-boundary table (derived from the 1-row min/max day
     # scalar) broadcast onto the O(days) per-day aggregate
     "q327_expanding_cv_splits": {"BroadcastNestedLoopJoin"},
@@ -217,6 +239,8 @@ GLOBAL_WINDOW_OK = {
     "q334_skyline_pareto",  # suffix-min over the O(distinct p_size) agg (~50 rows)
     "q346_kaplan_meier",  # cumulative windows over O(distinct durations) ≤ day span
     "q359_wasserstein_drift",  # cumulative windows over the bounded cent support (q309 class)
+    "q363_ndcg_popularity",  # position window over the TakeOrdered LIMIT-10 list (q325 class)
+    "q370_rank_biased_overlap",  # rank windows over two TakeOrdered LIMIT-50 lists (q325 class)
 }
 
 
