@@ -152,7 +152,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q368_event_runs_rle", "q369_raking_ipf",
     "q370_rank_biased_overlap", "q371_forecast_backtest",
     "q372_label_noise_knn", "q373_peak_concurrency",
-    "q374_boruvka_round",
+    "q374_boruvka_round", "q375_apportionment",
+    "q376_merkle_range_diff", "q377_constrained_funnel",
+    "q378_kendall_tau", "q379_market_concentration",
+    "q380_kmv_theta_anotb",
 )
 
 

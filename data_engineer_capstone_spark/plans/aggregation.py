@@ -2784,3 +2784,282 @@ def q371(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------- seat apportionment (Hamilton vs D'Hondt) --
+APPORTION_SEATS = 1000
+_DH_Q = 10**12  # quotient grid: (votes * 1e12) div k, exact BIGINT both engines
+
+
+@query(
+    "q375_apportionment",
+    oracle=f"""
+    WITH v AS (
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT CAST(SUM(votes) AS BIGINT) AS vt FROM v),
+    ham AS (
+        SELECT n_name, votes,
+               ({APPORTION_SEATS} * votes) // vt AS base,
+               ({APPORTION_SEATS} * votes) % vt AS rem
+        FROM v CROSS JOIN tot
+    ),
+    lv AS (SELECT CAST({APPORTION_SEATS} - SUM(base) AS BIGINT) AS leftover
+           FROM ham),
+    hseats AS (
+        SELECT n_name, votes,
+               CAST(base + CASE WHEN ROW_NUMBER() OVER
+                        (ORDER BY rem DESC, n_name) <= leftover
+                    THEN 1 ELSE 0 END AS BIGINT) AS hamilton_seats
+        FROM ham CROSS JOIN lv
+    ),
+    quot AS (
+        SELECT n_name, (votes * {_DH_Q}) // k.k AS q, k.k
+        FROM v CROSS JOIN (SELECT unnest(range(1, {APPORTION_SEATS} + 1)) AS k) k
+    ),
+    dh AS (
+        SELECT n_name, ROW_NUMBER() OVER (ORDER BY q DESC, n_name, k) AS rn
+        FROM quot
+    ),
+    dseats AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS dhondt_seats
+        FROM dh WHERE rn <= {APPORTION_SEATS} GROUP BY n_name
+    )
+    SELECT h.n_name, h.votes, h.hamilton_seats,
+           CAST(COALESCE(d.dhondt_seats, 0) AS BIGINT) AS dhondt_seats,
+           CAST(h.hamilton_seats - COALESCE(d.dhondt_seats, 0) AS BIGINT)
+               AS seat_diff
+    FROM hseats h LEFT JOIN dseats d ON h.n_name = d.n_name
+    ORDER BY h.n_name
+    """,
+)
+def q375(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportional seat apportionment of {s} budget slots across nations
+    by order volume, computed under BOTH classic methods side by side:
+    Hamilton (largest remainder — floor quota, leftovers to the biggest
+    remainders) and D'Hondt (highest averages — the k-th seat costs
+    votes/k, top {s} quotients win). The per-nation seat_diff column IS
+    the apportionment-paradox report: the two methods disagree on small
+    parties by design, and a capacity planner dividing shard budgets,
+    sampling quotas (q308 Neyman is the variance-weighted cousin; q369
+    raking adjusts WEIGHTS, this allocates INDIVISIBLE units) or ad
+    slots needs to see where. Every division rides an exact integer
+    grid: Hamilton on (S*v) div/mod V, D'Hondt on (v*1e12) div k —
+    deterministic floor division in both engines, ties pinned by name
+    then seat index.
+
+    Scale: ONE data-scale pass (orders⋈customer keyed join → nation
+    hash agg); everything after lives on the 25-row nation table — the
+    D'Hondt quotient explosion is 25×{s} bounded rows (GLOBAL_WINDOW_OK
+    class), the total and leftover are 1-row broadcast scalars."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    tot = v.agg(F.sum("votes").cast("long").alias("vt"))
+    ham = v.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "votes",
+        F.expr(f"({APPORTION_SEATS} * votes) div vt").alias("base"),
+        F.expr(f"({APPORTION_SEATS} * votes) % vt").alias("rem"),
+    )
+    lv = ham.agg(
+        (F.lit(APPORTION_SEATS) - F.sum("base")).cast("long").alias("leftover")
+    )
+    wr = W.orderBy(F.desc("rem"), "n_name")
+    hseats = (
+        ham.crossJoin(F.broadcast(lv))
+        .select(
+            "n_name",
+            "votes",
+            (
+                F.col("base")
+                + F.when(F.row_number().over(wr) <= F.col("leftover"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("hamilton_seats"),
+        )
+    )
+    quot = v.select(
+        "n_name",
+        F.explode(F.sequence(F.lit(1), F.lit(APPORTION_SEATS))).alias("k"),
+        "votes",
+    ).select(
+        "n_name", F.expr(f"(votes * {_DH_Q}) div k").alias("q"), "k"
+    )
+    wd = W.orderBy(F.desc("q"), "n_name", "k")
+    dseats = (
+        quot.select("n_name", F.row_number().over(wd).alias("rn"))
+        .where(F.col("rn") <= APPORTION_SEATS)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("dhondt_seats"))
+    )
+    return (
+        hseats.join(dseats, "n_name", "left")
+        .select(
+            "n_name",
+            "votes",
+            "hamilton_seats",
+            F.coalesce("dhondt_seats", F.lit(0)).cast("long").alias("dhondt_seats"),
+            (
+                F.col("hamilton_seats") - F.coalesce("dhondt_seats", F.lit(0))
+            )
+            .cast("long")
+            .alias("seat_diff"),
+        )
+        .orderBy("n_name")
+    )
+
+
+q375.__doc__ = q375.__doc__.format(s=APPORTION_SEATS)
+
+
+# ----------------------------- market concentration (HHI + CR4) per region --
+_CR_SALTS = 64  # two-phase top-k fan-in: per-(region, salt) top-4 candidates
+
+
+@query(
+    "q379_market_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    geo AS (
+        SELECT rv.l_suppkey, rv.cents, s.s_name, r.r_name
+        FROM rev rv
+        JOIN supplier s ON rv.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    tot AS (
+        SELECT r_name, CAST(SUM(cents) AS BIGINT) AS rtot,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM geo GROUP BY r_name
+    ),
+    sh AS (
+        SELECT g.r_name, g.cents, g.s_name,
+               (g.cents * 1000000) // t.rtot AS share_ppm,
+               ROW_NUMBER() OVER (PARTITION BY g.r_name
+                    ORDER BY g.cents DESC, g.l_suppkey) AS rk
+        FROM geo g JOIN tot t ON g.r_name = t.r_name
+    )
+    SELECT t.r_name, t.n_suppliers, t.rtot AS revenue_cents,
+           CAST(SUM(s.share_ppm * s.share_ppm) // 1000000 AS BIGINT)
+               AS hhi_ppm,
+           CAST(SUM(CASE WHEN s.rk <= 4 THEN s.cents ELSE 0 END)
+                * 1000000 // t.rtot AS BIGINT) AS cr4_ppm,
+           MIN(CASE WHEN s.rk = 1 THEN s.s_name END) AS top_supplier
+    FROM sh s JOIN tot t ON s.r_name = t.r_name
+    GROUP BY t.r_name, t.n_suppliers, t.rtot
+    ORDER BY t.r_name
+    """,
+)
+def q379(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-concentration report per region: Herfindahl-Hirschman
+    index (sum of squared supplier revenue shares — the antitrust
+    screen; >2500 points = highly concentrated, here on a ppm grid) and
+    CR4 (top-4 concentration ratio), plus the leading supplier. q310's
+    Gini measures INEQUALITY of the whole distribution; HHI/CR4 measure
+    CONCENTRATION at the top — the two answer different regulatory
+    questions and share no machinery. Shares ride the exact integer ppm
+    grid (cents*1e6 div region_total) so the squared sum is pure BIGINT
+    arithmetic in both engines.
+
+    Scale: supplier revenue is one hash agg on l_suppkey; dims broadcast.
+    The only rank is top-4-per-region over just 5 regions — a
+    hot-partition window at 100 TB — so the plan runs the SALTED
+    two-phase top-k: per-(region, salt-64) top-4 candidates first
+    (parallel across 320 partitions), then the true top-4 over the
+    ≤1280-row candidate table; any global top-4 row is top-4 in its salt
+    bucket, so the phases are lossless. HHI itself needs no rank — share
+    arithmetic after a 5-row broadcast of region totals."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import h64
+
+    li = load_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    geo = (
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_suppkey", "cents", "s_name", "r_name")
+    )
+    tot = geo.groupBy("r_name").agg(
+        F.sum("cents").cast("long").alias("rtot"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    salt = F.pmod(h64(F.col("l_suppkey").cast("string")), F.lit(_CR_SALTS))
+    w1 = W.partitionBy("r_name", "_salt").orderBy(
+        F.desc("cents"), "l_suppkey"
+    )
+    cand = (
+        geo.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= 4)
+        .drop("_rk1", "_salt")
+    )
+    w2 = W.partitionBy("r_name").orderBy(F.desc("cents"), "l_suppkey")
+    top4 = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= 4)
+        .groupBy("r_name")
+        .agg(
+            F.sum("cents").cast("long").alias("top4_cents"),
+            F.min(F.when(F.col("rk") == 1, F.col("s_name"))).alias(
+                "top_supplier"
+            ),
+        )
+    )
+    sh = geo.join(F.broadcast(tot), "r_name").select(
+        "r_name", F.expr("(cents * 1000000) div rtot").alias("share_ppm")
+    )
+    hhi = sh.groupBy("r_name").agg(
+        F.expr("CAST(SUM(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+            "hhi_ppm"
+        )
+    )
+    return (
+        tot.join(hhi, "r_name")
+        .join(top4, "r_name")
+        .select(
+            "r_name",
+            "n_suppliers",
+            F.col("rtot").alias("revenue_cents"),
+            "hhi_ppm",
+            F.expr("CAST(top4_cents * 1000000 div rtot AS BIGINT)").alias(
+                "cr4_ppm"
+            ),
+            "top_supplier",
+        )
+        .orderBy("r_name")
+    )

@@ -3959,3 +3959,139 @@ def q366(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q366.__doc__ = q366.__doc__.format(k=K_ANON)
+
+
+
+# --------------------------------- constrained (deadline) funnel ----------
+FUNNEL_DEADLINE_US = 72 * 3600 * 1_000_000  # 72h per-step conversion window
+
+
+@query(
+    "q377_constrained_funnel",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(v.t1) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > v.t1
+          AND epoch_us(e.ts) <= v.t1 + {FUNNEL_DEADLINE_US}
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(c.t2) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > c.t2
+          AND epoch_us(e.ts) <= c.t2 + {FUNNEL_DEADLINE_US}
+        GROUP BY e.user_id
+    ),
+    n0 AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) AS sd FROM c),
+    s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) AS sd FROM p)
+    SELECT * FROM (
+        SELECT 'step1_view' AS step, s1.n AS users,
+               CASE WHEN n0.n = 0 THEN 0
+                    ELSE s1.n * 1000000 // n0.n END AS conv_ppm,
+               CAST(0 AS BIGINT) AS mean_delay_us
+        FROM s1 CROSS JOIN n0
+        UNION ALL
+        SELECT 'step2_click', s2.n,
+               CASE WHEN s1.n = 0 THEN 0 ELSE s2.n * 1000000 // s1.n END,
+               CASE WHEN s2.n = 0 THEN 0 ELSE s2.sd // s2.n END
+        FROM s2 CROSS JOIN s1
+        UNION ALL
+        SELECT 'step3_purchase', s3.n,
+               CASE WHEN s2.n = 0 THEN 0 ELSE s3.n * 1000000 // s2.n END,
+               CASE WHEN s3.n = 0 THEN 0 ELSE s3.sd // s3.n END
+        FROM s3 CROSS JOIN s2)
+    ORDER BY step
+    """,
+)
+def q377(spark: SparkSession, sf: str) -> DataFrame:
+    """Deadline-constrained funnel — q147's ordered funnel with the
+    per-step conversion WINDOW every real product funnel has (click
+    within 72h of first view, purchase within 72h of the qualifying
+    click), plus per-step conversion ppm and mean step latency. q147
+    counts eventual converters; this counts converters WITHIN SLA —
+    the number growth teams actually report — and a user whose click
+    lands after the deadline drops even if a later click exists
+    (greedy first-qualifying-event semantics, pinned in both engines).
+
+    Scale: identical shuffle discipline to q147 — every stage is a
+    per-user min-timestamp aggregate joined forward on user_id, one
+    reused partitioning, per-user state one timestamp; stage outputs
+    shrink monotonically. The step report is three 1-row aggregates
+    chained by broadcast (the conversion denominators), never a
+    data-scale crossing."""
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", us.alias("tu"))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("tu"))
+        .join(v, "user_id")
+        .filter(
+            (F.col("tu") > F.col("t1"))
+            & (F.col("tu") <= F.col("t1") + F.lit(FUNNEL_DEADLINE_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("tu"))
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(
+            (F.col("tu") > F.col("t2"))
+            & (F.col("tu") <= F.col("t2") + F.lit(FUNNEL_DEADLINE_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t3"), F.min("t2").alias("t2"))
+    )
+    n0 = ev.agg(F.countDistinct("user_id").cast("long").alias("n0"))
+    s1 = v.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    s2 = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1")), F.lit(0))
+        .cast("long")
+        .alias("sd2"),
+    )
+    s3 = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n3"),
+        F.coalesce(F.sum(F.col("t3") - F.col("t2")), F.lit(0))
+        .cast("long")
+        .alias("sd3"),
+    )
+    row = (
+        s1.crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(s3))
+    )
+    return row.selectExpr(
+        """stack(3,
+            'step1_view', n1,
+            CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+                 ELSE n1 * 1000000 div n0 END,
+            CAST(0 AS BIGINT),
+            'step2_click', n2,
+            CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+                 ELSE n2 * 1000000 div n1 END,
+            CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) ELSE sd2 div n2 END,
+            'step3_purchase', n3,
+            CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+                 ELSE n3 * 1000000 div n2 END,
+            CASE WHEN n3 = 0 THEN CAST(0 AS BIGINT) ELSE sd3 div n3 END
+        ) AS (step, users, conv_ppm, mean_delay_us)"""
+    ).orderBy("step")

@@ -2455,3 +2455,547 @@ def q364(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("partkey")
     )
     return out
+
+
+
+# ------------------------------ Merkle range diff (hierarchical checksums) --
+MERKLE_LEAF_W = 256  # orderkeys per leaf range
+MERKLE_FANOUT = 16  # leaves per mid-level node
+
+
+def _merkle_sql() -> str:
+    from .extensions import _H64
+
+    h = _H64.format(x="CAST(o_orderkey AS VARCHAR) || '|' || CAST(cents AS VARCHAR)")
+    base = """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) {mod} AS cents
+        FROM orders {pred}
+    """
+    v1 = base.format(mod="", pred="")
+    v2 = base.format(
+        mod="+ CASE WHEN o_orderkey % 991 = 3 THEN 1 ELSE 0 END",
+        pred="WHERE o_orderkey % 997 <> 0",
+    )
+    return f"""
+    WITH v1 AS ({v1}), v2 AS ({v2}),
+    l1 AS (
+        SELECT o_orderkey // {MERKLE_LEAF_W} AS leaf,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(bit_xor({h}) AS BIGINT) AS dig
+        FROM v1 GROUP BY leaf
+    ),
+    l2 AS (
+        SELECT o_orderkey // {MERKLE_LEAF_W} AS leaf,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(bit_xor({h}) AS BIGINT) AS dig
+        FROM v2 GROUP BY leaf
+    ),
+    m1 AS (SELECT leaf // {MERKLE_FANOUT} AS mid, SUM(n) AS n,
+                  bit_xor(dig) AS dig FROM l1 GROUP BY mid),
+    m2 AS (SELECT leaf // {MERKLE_FANOUT} AS mid, SUM(n) AS n,
+                  bit_xor(dig) AS dig FROM l2 GROUP BY mid),
+    dm AS (
+        SELECT COALESCE(m1.mid, m2.mid) AS mid
+        FROM m1 FULL OUTER JOIN m2 ON m1.mid = m2.mid
+        WHERE m1.mid IS NULL OR m2.mid IS NULL
+           OR m1.n <> m2.n OR m1.dig <> m2.dig
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                    (SELECT leaf FROM l1 UNION SELECT leaf FROM l2))
+                   AS total_leaves,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                    (SELECT mid FROM m1 UNION SELECT mid FROM m2))
+                   AS total_mids,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dm) AS diverged_mids,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                    (SELECT leaf FROM l1 UNION SELECT leaf FROM l2) u
+                WHERE u.leaf // {MERKLE_FANOUT} IN (SELECT mid FROM dm))
+                   AS scanned_leaves
+    )
+    SELECT COALESCE(l1.leaf, l2.leaf) AS leaf,
+           CAST(COALESCE(l1.leaf, l2.leaf) * {MERKLE_LEAF_W} AS BIGINT)
+               AS key_lo,
+           CAST((COALESCE(l1.leaf, l2.leaf) + 1) * {MERKLE_LEAF_W} - 1
+               AS BIGINT) AS key_hi,
+           CAST(COALESCE(l1.n, 0) AS BIGINT) AS n_v1,
+           CAST(COALESCE(l2.n, 0) AS BIGINT) AS n_v2,
+           c.total_leaves, c.scanned_leaves, c.total_mids, c.diverged_mids
+    FROM l1 FULL OUTER JOIN l2 ON l1.leaf = l2.leaf
+    CROSS JOIN counts c
+    WHERE COALESCE(l1.leaf, l2.leaf) // {MERKLE_FANOUT}
+              IN (SELECT mid FROM dm)
+      AND (l1.leaf IS NULL OR l2.leaf IS NULL
+           OR l1.n <> l2.n OR l1.dig <> l2.dig)
+    ORDER BY leaf
+    """
+
+
+@query("q376_merkle_range_diff", oracle=_merkle_sql())
+def q376(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-style hierarchical range diff between two table versions —
+    q267's per-bucket checksum primitive actually RECURSED: leaf digests
+    (256-key ranges) roll up to mid-level digests (16 leaves each);
+    version comparison descends only into diverged mid nodes, and the
+    output is the diverged LEAF ranges plus the localization accounting
+    (scanned_leaves vs total_leaves — the O(diff·log) win over q128's
+    full row diff). v2 is a deterministic CDC mutation of orders
+    (delete keys ≡0 mod 997, +1 cent where ≡3 mod 991), so the expected
+    divergence set is pinned. Digests are XOR of the shared md5 row
+    hash — order-independent, mergeable (mid = XOR of leaves, proving
+    the rollup is one re-aggregation, not a rescan); row counts ride
+    along because XOR cancels doubled rows (q267's documented caveat).
+
+    Scale: two hash aggregates per version (leaf, then mid — the mid
+    agg runs on O(keys/256) rows); the diverged-mid set is broadcast
+    back as a semi-join filter, so the leaf comparison ships only
+    ranges already known bad. At 100 TB the mid/root levels are what
+    two replicas exchange — KBs, not the table."""
+    from ..functions.text import h64
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v1 = o.select("o_orderkey", cents.alias("cents"))
+    v2 = o.where(F.col("o_orderkey") % 997 != 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 991 == 3, 1).otherwise(0)
+        ).alias("cents"),
+    )
+
+    def leaf_digest(df: DataFrame) -> DataFrame:
+        row = F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("cents").cast("string")
+        )
+        return (
+            df.groupBy(
+                (F.col("o_orderkey") / MERKLE_LEAF_W)
+                .cast("long")
+                .alias("leaf")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.bit_xor(h64(row)).cast("long").alias("dig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    l1, l2 = leaf_digest(v1), leaf_digest(v2)
+
+    def mid_digest(leaf_df: DataFrame) -> DataFrame:
+        return leaf_df.groupBy(
+            (F.col("leaf") / MERKLE_FANOUT).cast("long").alias("mid")
+        ).agg(F.sum("n").alias("n"), F.bit_xor("dig").alias("dig"))
+
+    m1, m2 = mid_digest(l1), mid_digest(l2)
+    j = m1.alias("a").join(
+        m2.alias("b"), F.col("a.mid") == F.col("b.mid"), "full_outer"
+    )
+    dm = j.where(
+        F.col("a.mid").isNull()
+        | F.col("b.mid").isNull()
+        | (F.col("a.n") != F.col("b.n"))
+        | (F.col("a.dig") != F.col("b.dig"))
+    ).select(F.coalesce(F.col("a.mid"), F.col("b.mid")).alias("mid"))
+    all_leaves = (
+        l1.select("leaf").union(l2.select("leaf")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        all_leaves.agg(F.count(F.lit(1)).cast("long").alias("total_leaves"))
+        .crossJoin(
+            F.broadcast(
+                all_leaves.select(
+                    (F.col("leaf") / MERKLE_FANOUT).cast("long").alias("mid")
+                )
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("total_mids"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(dm.agg(F.count(F.lit(1)).cast("long").alias("diverged_mids")))
+        )
+        .crossJoin(
+            F.broadcast(
+                all_leaves.join(
+                    dm,
+                    (F.col("leaf") / MERKLE_FANOUT).cast("long") == dm.mid,
+                    "left_semi",
+                ).agg(F.count(F.lit(1)).cast("long").alias("scanned_leaves"))
+            )
+        )
+    )
+    lj = l1.alias("x").join(
+        l2.alias("y"), F.col("x.leaf") == F.col("y.leaf"), "full_outer"
+    )
+    leaf_col = F.coalesce(F.col("x.leaf"), F.col("y.leaf"))
+    return (
+        lj.select(
+            leaf_col.alias("leaf"),
+            F.coalesce(F.col("x.n"), F.lit(0)).cast("long").alias("n_v1"),
+            F.coalesce(F.col("y.n"), F.lit(0)).cast("long").alias("n_v2"),
+            F.col("x.n").alias("_n1"),
+            F.col("y.n").alias("_n2"),
+            F.col("x.dig").alias("_d1"),
+            F.col("y.dig").alias("_d2"),
+        )
+        .join(
+            F.broadcast(dm),
+            (F.col("leaf") / MERKLE_FANOUT).cast("long") == dm.mid,
+            "left_semi",
+        )
+        .where(
+            F.col("_n1").isNull()
+            | F.col("_n2").isNull()
+            | (F.col("_n1") != F.col("_n2"))
+            | (F.col("_d1") != F.col("_d2"))
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "leaf",
+            (F.col("leaf") * MERKLE_LEAF_W).cast("long").alias("key_lo"),
+            ((F.col("leaf") + 1) * MERKLE_LEAF_W - 1).cast("long").alias("key_hi"),
+            "n_v1",
+            "n_v2",
+            "total_leaves",
+            "scanned_leaves",
+            "total_mids",
+            "diverged_mids",
+        )
+        .orderBy("leaf")
+    )
+
+
+# ------------------------------- Kendall tau-b (bounded-support y axis) ----
+def _kendall_sql() -> str:
+    from ._util import sql_round_det
+
+    c_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE y = {v}) AS BIGINT) AS c{v}"
+        for v in range(1, 6)
+    )
+    k_cols = ", ".join(f"SUM(c{v}) OVER w AS k{v}" for v in range(1, 6))
+    p_cols = ", ".join(f"k{v} - c{v} AS p{v}" for v in range(1, 6))
+    conc = "c2*p1 + c3*(p1+p2) + c4*(p1+p2+p3) + c5*(p1+p2+p3+p4)"
+    disc = "c1*(p2+p3+p4+p5) + c2*(p3+p4+p5) + c3*(p4+p5) + c4*p5"
+    m_cols = ", ".join(f"CAST(SUM(c{v}) AS BIGINT) AS m{v}" for v in range(1, 6))
+    t2 = " + ".join(f"m{v}*(m{v}-1)" for v in range(1, 6))
+    tau = (
+        "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+        " / sqrt((CAST(n0 AS DOUBLE) - CAST(t1 AS DOUBLE))"
+        " * (CAST(n0 AS DOUBLE) - CAST(t2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+               CAST(substr(o_orderpriority, 1, 1) AS INT) AS y
+        FROM orders
+    ),
+    px AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS nx, {c_cols}
+           FROM o GROUP BY x),
+    cm AS (SELECT *, {k_cols} FROM px
+           WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+    t AS (SELECT nx, c1, c2, c3, c4, c5, {p_cols} FROM cm),
+    s AS (SELECT CAST(SUM(nx) AS BIGINT) AS n,
+                 CAST(SUM({conc}) AS BIGINT) AS conc,
+                 CAST(SUM({disc}) AS BIGINT) AS disc,
+                 CAST(SUM(nx * (nx - 1)) // 2 AS BIGINT) AS t1,
+                 {m_cols}
+          FROM t),
+    f AS (SELECT n, conc, disc, t1,
+                 CAST(({t2}) // 2 AS BIGINT) AS t2,
+                 CAST(n * (n - 1) // 2 AS BIGINT) AS n0
+          FROM s)
+    SELECT n, conc AS n_concordant, disc AS n_discordant,
+           t1 AS ties_x, t2 AS ties_y,
+           {sql_round_det(tau, 9)} AS tau_b
+    FROM f
+    """
+
+
+@query("q378_kendall_tau", oracle=_kendall_sql())
+def q378(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Kendall tau-b between order value (cent grid) and order
+    priority — the pair-concordance complement of q326's Spearman (rank
+    correlation): Spearman measures monotone association via rank
+    covariance, tau-b via concordant-minus-discordant PAIRS, and the
+    two disagree exactly when association is driven by a few extreme
+    ranks. Naive tau is O(n²) pair counting; this plan is O(n log n)
+    because the y axis has BOUNDED support (5 priorities): walking the
+    x axis in order with one running count per y value, every row's
+    concordant/discordant partners are prefix-sum lookups — the
+    classic inversion-count-by-value trick, here as 5 parallel prefix
+    sums minted from ONE `distributed_cumsum` range exchange (the
+    multi-column API exists for exactly this shape). Tie terms (t1 =
+    x-ties, t2 = y-ties) are plain aggregates; the only float ops are
+    the final IEEE-exact sqrt/divide, pinned by round_det(9) like
+    q326. BIGINT-safe to ~4e9 rows (n² in the denominator); beyond
+    that the closed form moves to DOUBLE — documented, not hit at any
+    test SF.
+
+    Scale: one hash agg to the distinct-cents grain, one range
+    exchange for all 5 prefix columns, one final 1-row aggregate. No
+    partitionless window anywhere (the oracle's WINDOW w is the shape
+    distributed_cumsum replaces)."""
+    from ..functions.refops import distributed_cumsum
+    from ._util import round_det
+
+    o = load_table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("y"),
+    )
+    px = o.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("nx"),
+        *[
+            F.sum(F.when(F.col("y") == v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{v}")
+            for v in range(1, 6)
+        ],
+    )
+    cm = distributed_cumsum(
+        px,
+        ["x"],
+        [f"c{v}" for v in range(1, 6)],
+        [f"k{v}" for v in range(1, 6)],
+    )
+    t = cm.select(
+        "nx",
+        *[F.col(f"c{v}") for v in range(1, 6)],
+        *[(F.col(f"k{v}") - F.col(f"c{v}")).alias(f"p{v}") for v in range(1, 6)],
+    )
+    conc = (
+        F.col("c2") * F.col("p1")
+        + F.col("c3") * (F.col("p1") + F.col("p2"))
+        + F.col("c4") * (F.col("p1") + F.col("p2") + F.col("p3"))
+        + F.col("c5")
+        * (F.col("p1") + F.col("p2") + F.col("p3") + F.col("p4"))
+    )
+    disc = (
+        F.col("c1")
+        * (F.col("p2") + F.col("p3") + F.col("p4") + F.col("p5"))
+        + F.col("c2") * (F.col("p3") + F.col("p4") + F.col("p5"))
+        + F.col("c3") * (F.col("p4") + F.col("p5"))
+        + F.col("c4") * F.col("p5")
+    )
+    s = t.agg(
+        F.sum("nx").cast("long").alias("n"),
+        F.sum(conc).cast("long").alias("conc"),
+        F.sum(disc).cast("long").alias("disc"),
+        F.expr("CAST(SUM(nx * (nx - 1)) div 2 AS BIGINT)").alias("t1"),
+        *[F.sum(f"c{v}").cast("long").alias(f"m{v}") for v in range(1, 6)],
+    )
+    t2_expr = " + ".join(f"m{v} * (m{v} - 1)" for v in range(1, 6))
+    f = s.select(
+        "n",
+        "conc",
+        "disc",
+        "t1",
+        F.expr(f"CAST(({t2_expr}) div 2 AS BIGINT)").alias("t2"),
+        F.expr("CAST(n * (n - 1) div 2 AS BIGINT)").alias("n0"),
+    )
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / F.sqrt(
+        (F.col("n0").cast("double") - F.col("t1").cast("double"))
+        * (F.col("n0").cast("double") - F.col("t2").cast("double"))
+    )
+    return f.select(
+        "n",
+        F.col("conc").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        F.col("t1").alias("ties_x"),
+        F.col("t2").alias("ties_y"),
+        round_det(tau, 9).alias("tau_b"),
+    )
+
+# --------------------------- KMV (k-minimum-values) theta sketch set ops ---
+KMV_K = 256
+KMV_M = 1 << 40  # hash space after fold: h64 % 2^40, BIGINT-safe products
+
+
+def _kmv_sql() -> str:
+    from .extensions import _H64
+
+    h = _H64.format(x="'kmv:' || CAST(o_custkey AS VARCHAR)")
+
+    def sk(pred: str, tag: str) -> str:
+        return f"""
+    {tag}_h AS (
+        SELECT DISTINCT {h} % {KMV_M} AS h FROM orders WHERE {pred}
+    ),
+    {tag}_s AS (SELECT h FROM {tag}_h ORDER BY h LIMIT {KMV_K}),
+    {tag}_t AS (
+        SELECT CAST(CASE WHEN COUNT(*) < {KMV_K} THEN {KMV_M}
+                         ELSE MAX(h) END AS BIGINT) AS theta,
+               CAST(CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                         ELSE ({KMV_K} - 1) * {KMV_M} // MAX(h) END
+                    AS BIGINT) AS est
+        FROM {tag}_s
+    )"""
+
+    return f"""
+    WITH {sk("o_orderpriority = '1-URGENT'", "a")},
+    {sk("o_orderpriority = '5-LOW'", "b")},
+    th AS (
+        SELECT CAST(LEAST(a_t.theta, b_t.theta) AS BIGINT) AS theta
+        FROM a_t, b_t
+    ),
+    d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_below
+        FROM a_s, th
+        WHERE a_s.h < th.theta
+          AND a_s.h NOT IN (SELECT h FROM b_s)
+    ),
+    dd AS (
+        SELECT CAST(d.n_below * {KMV_M} // th.theta AS BIGINT) AS est_diff
+        FROM d, th
+    ),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_a,
+               CAST(COUNT(DISTINCT CASE WHEN o_custkey NOT IN (
+                       SELECT o_custkey FROM orders
+                       WHERE o_orderpriority = '5-LOW')
+                    THEN o_custkey END) AS BIGINT) AS exact_diff
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    exb AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_b
+        FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           ex.exact_a, a_t.est AS est_a,
+           CAST((a_t.est - ex.exact_a) * 10000 // ex.exact_a AS BIGINT)
+               AS err_a_bps,
+           exb.exact_b, b_t.est AS est_b,
+           ex.exact_diff, dd.est_diff,
+           CAST(CASE WHEN ex.exact_diff = 0 THEN 0
+                     ELSE (dd.est_diff - ex.exact_diff) * 10000
+                          // ex.exact_diff END AS BIGINT) AS err_diff_bps
+    FROM a_t, b_t, ex, exb, dd
+    """
+
+
+@query("q380_kmv_theta_anotb", oracle=_kmv_sql())
+def q380(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV / theta-sketch distinct counting with SET-DIFFERENCE algebra,
+    oracle-backed end to end: the k={k} minimum hash values of each set
+    (urgent-order customers A, low-priority customers B) form mergeable
+    sketches; theta = min of the two k-th minima, and |A∖B| is estimated
+    from A-sketch entries below theta absent from B's sketch — valid
+    because below the SHARED theta both sketches are complete hash sets.
+    q331's deterministic HLL counts ONE set; registers cannot express
+    difference or intersection — set algebra is exactly why production
+    systems (DataSketches) pair HLL with theta sketches. Same md5 hash
+    family, folded to 2^40 so every estimator product stays BIGINT; the
+    whole estimate is integer arithmetic — deterministic in both
+    engines, the (k-1)·M/h_(k) classic KMV estimator. The exact counts
+    ride along and the error lands in basis points, so the driver hash
+    pins BOTH the sketch mechanics and the estimate quality.
+
+    Scale: per set one distinct-aggregate on the hash then a
+    TakeOrdered-{k} (no global sort materializes); sketches are {k}-row
+    tables from there on — the anti-join, thetas, and estimators all
+    run on broadcast-sized inputs. Sketch unions/monthly rollups would
+    merge by re-sorting 2k rows — the mergeability contract of q209,
+    for distincts."""
+    from ..functions.text import h64
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+
+    def sketch(pred) -> tuple[DataFrame, DataFrame]:
+        hs = (
+            o.where(pred)
+            .select(
+                (
+                    F.pmod(
+                        h64(
+                            F.concat(
+                                F.lit("kmv:"),
+                                F.col("o_custkey").cast("string"),
+                            )
+                        ),
+                        F.lit(KMV_M),
+                    )
+                ).alias("h")
+            )
+            .distinct()
+        )
+        sk = hs.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
+        st = sk.agg(
+            F.when(F.count(F.lit(1)) < KMV_K, F.lit(KMV_M))
+            .otherwise(F.max("h"))
+            .cast("long")
+            .alias("theta"),
+            F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
+            .otherwise(
+                F.expr(f"({KMV_K} - 1) * CAST({KMV_M} AS BIGINT) div MAX(h)")
+            )
+            .cast("long")
+            .alias("est"),
+        )
+        return sk, st
+
+    a_s, a_t = sketch(F.col("o_orderpriority") == "1-URGENT")
+    b_s, b_t = sketch(F.col("o_orderpriority") == "5-LOW")
+    th = (
+        a_t.select(F.col("theta").alias("ta"))
+        .crossJoin(F.broadcast(b_t.select(F.col("theta").alias("tb"))))
+        .select(F.least("ta", "tb").alias("theta"))
+    )
+    nb = (
+        a_s.join(b_s, "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_below"))
+    )
+    dd = nb.crossJoin(F.broadcast(th)).select(
+        F.expr(
+            f"CAST(n_below * CAST({KMV_M} AS BIGINT) div theta AS BIGINT)"
+        ).alias("est_diff")
+    )
+    a_keys = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    b_keys = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    ex = a_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_a")
+    ).crossJoin(
+        F.broadcast(
+            a_keys.join(b_keys, "o_custkey", "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_diff")
+            )
+        )
+    )
+    exb = b_keys.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
+    return (
+        a_t.select(F.col("est").alias("est_a"))
+        .crossJoin(F.broadcast(b_t.select(F.col("est").alias("est_b"))))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exb))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "exact_a",
+            "est_a",
+            F.expr(
+                "CAST((est_a - exact_a) * 10000 div exact_a AS BIGINT)"
+            ).alias("err_a_bps"),
+            "exact_b",
+            "est_b",
+            "exact_diff",
+            "est_diff",
+            F.expr(
+                "CAST(CASE WHEN exact_diff = 0 THEN 0"
+                " ELSE (est_diff - exact_diff) * 10000 div exact_diff"
+                " END AS BIGINT)"
+            ).alias("err_diff_bps"),
+        )
+    )
+
+
+q380.__doc__ = q380.__doc__.format(k=KMV_K)

@@ -47,6 +47,22 @@ EXPECTED = {
     # three 1-row summary aggregates (labels, forest, components) crossed
     # into the single-row report — all broadcast scalars
     "q374_boruvka_round": {"BroadcastNestedLoopJoin"},
+    # 1-row total-votes / leftover-seats scalars onto the 25-row nation table
+    "q375_apportionment": {"BroadcastNestedLoopJoin"},
+    # 1-row localization accounting (total/scanned leaves, total/diverged
+    # mids) crossed onto the diverged-leaf rows; the version-compare
+    # FULL OUTER digest joins cannot broadcast by definition and run
+    # keyed SMJ on leaf/mid — O(keys/256) rows, the right 100 TB plan
+    "q376_merkle_range_diff": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # revenue-agg⋈supplier is a keyed fact join whose build side is a
+    # post-aggregate (stats unknown → static SMJ; AQE broadcasts at test
+    # scale, and at 100 TB supplier-scale SMJ IS the plan — q363 argument)
+    "q379_market_concentration": {"SortMergeJoin"},
+    # step-report scalars: four 1-row aggregates chained by broadcast
+    "q377_constrained_funnel": {"BroadcastNestedLoopJoin"},
+    # sketch scalars (theta, estimators, exact counts) — every input is a
+    # 1-row aggregate or a 256-row sketch
+    "q380_kmv_theta_anotb": {"BroadcastNestedLoopJoin"},
     # lineitem⋈orders is a fact-fact keyed join (filtered-orders stats
     # unknown → static SMJ; AQE broadcasts at runtime while it fits, and at
     # 100 TB keyed SMJ IS the right plan — the q92 argument)
@@ -241,6 +257,7 @@ GLOBAL_WINDOW_OK = {
     "q359_wasserstein_drift",  # cumulative windows over the bounded cent support (q309 class)
     "q363_ndcg_popularity",  # position window over the TakeOrdered LIMIT-10 list (q325 class)
     "q370_rank_biased_overlap",  # rank windows over two TakeOrdered LIMIT-50 lists (q325 class)
+    "q375_apportionment",  # remainder rank over 25 nations; D'Hondt rank over the bounded 25×1000 quotient table
 }
 
 
