@@ -155,7 +155,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q374_boruvka_round", "q375_apportionment",
     "q376_merkle_range_diff", "q377_constrained_funnel",
     "q378_kendall_tau", "q379_market_concentration",
-    "q380_kmv_theta_anotb",
+    "q380_kmv_theta_anotb", "q381_mutual_nn_pairs",
+    "q382_cm_join_size", "q383_zorder_locality_audit",
+    "q384_hellinger_drift",
 )
 
 

@@ -3063,3 +3063,133 @@ def q379(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --------------------------- Hellinger / Bhattacharyya distribution drift --
+@query(
+    "q384_hellinger_drift",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        FROM events WHERE value IS NOT NULL
+    ),
+    mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM ev),
+    cells AS (
+        SELECT g, bin,
+               CAST(COUNT(*) FILTER (WHERE day < m) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE day >= m) AS BIGINT) AS n2
+        FROM ev CROSS JOIN mid GROUP BY g, bin
+    ),
+    terms AS (
+        SELECT g, n1, n2,
+               CAST(floor(sqrt(CAST(n1 * n2 AS DOUBLE)) * 1000000000 + 0.5)
+                    AS BIGINT) AS q
+        FROM cells
+    ),
+    s AS (
+        SELECT g, CAST(SUM(n1) AS BIGINT) AS na, CAST(SUM(n2) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(q) AS BIGINT) AS sq
+        FROM terms GROUP BY g
+    ),
+    f AS (
+        SELECT g, na, nb, n_bins,
+               (CAST(sq AS DOUBLE) / 1e9) / sqrt(CAST(na * nb AS DOUBLE))
+                   AS bc
+        FROM s
+    )
+    SELECT g AS event_type, na AS n_first, nb AS n_second, n_bins,
+           floor(bc * 1000000000 + 0.5) / 1000000000 AS bhattacharyya,
+           floor(sqrt(greatest(0.0, 1.0 - bc)) * 1000000000 + 0.5)
+               / 1000000000 AS hellinger
+    FROM f ORDER BY event_type
+    """,
+)
+def q384(spark: SparkSession, sf: str) -> DataFrame:
+    """Hellinger distance (and Bhattacharyya coefficient) per event type
+    between the first and second half of the observation window — the
+    BIN-BASED drift metric completing the drift family: q309's KS reads
+    the max CDF gap, q359's Wasserstein the transport cost; Hellinger
+    is bounded [0,1], symmetric, and — unlike both — built from
+    per-bin terms sqrt(p_i·q_i), so partial per-bin counts MERGE
+    (q209's contract) and the metric can be maintained incrementally
+    where KS/Wasserstein need the full sorted support. It is also the
+    log-free drift score: PSI/KL blow up on empty bins, Hellinger
+    handles them natively (sqrt(0·q) = 0).
+
+    Cross-engine exactness: per-bin terms are sqrt(n1·n2) — BIGINT
+    product, one IEEE-exact sqrt — quantized to 1e-9 BIGINT units
+    BEFORE the sum (q328's discipline: float sums are order-dependent,
+    integer sums are not); the normalization divides once by
+    sqrt(na·nb) with a pinned op sequence, and outputs round on the
+    same 1e-9 grid. The day split point is (min+max+1)/2 computed from
+    the data, a 1-row broadcast.
+
+    Scale: one hash aggregate to the (type, dollar-bin) support, a
+    1-row scalar broadcast, one final per-type aggregate. Nothing
+    data-scale after the first groupBy."""
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"
+        ).alias("bin"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    mid = e.agg(
+        F.expr("CAST((MIN(day) + MAX(day) + 1) div 2 AS BIGINT)").alias("m")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("g", "bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("day") >= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    terms = cells.select(
+        "g",
+        "n1",
+        "n2",
+        F.floor(
+            F.sqrt((F.col("n1") * F.col("n2")).cast("double")) * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    s = terms.groupBy("g").agg(
+        F.sum("n1").cast("long").alias("na"),
+        F.sum("n2").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    bc = (F.col("sq").cast("double") / F.lit(1e9)) / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    return s.select(
+        F.col("g").alias("event_type"),
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        "n_bins",
+        (F.floor(bc * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+            "bhattacharyya"
+        ),
+        (
+            F.floor(
+                F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)) * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("hellinger"),
+    ).orderBy("event_type")

@@ -4095,3 +4095,135 @@ def q377(spark: SparkSession, sf: str) -> DataFrame:
             CASE WHEN n3 = 0 THEN CAST(0 AS BIGINT) ELSE sd3 div n3 END
         ) AS (step, users, conv_ppm, mean_delay_us)"""
     ).orderBy("step")
+
+
+# ------------------------------ z-order locality / layout pruning audit ----
+ZL_FILE_ROWS = 64  # simulated parquet file size (rows per file)
+
+
+def _zorder_locality_sql() -> str:
+    z = _zorder_sql_terms("x", "y", 6)
+    return f"""
+    WITH base AS (
+        SELECT p_partkey, p_size AS x,
+               CAST(floor((p_retailprice - 900) / 2) AS INT) AS y
+        FROM part
+    ),
+    keyed AS (SELECT p_partkey, x, y, {z} AS zkey FROM base),
+    zlay AS (
+        SELECT x, y,
+               (ROW_NUMBER() OVER (ORDER BY zkey, p_partkey) - 1)
+                   // {ZL_FILE_ROWS} AS f
+        FROM keyed
+    ),
+    llay AS (
+        SELECT x, y,
+               (ROW_NUMBER() OVER (ORDER BY x, y, p_partkey) - 1)
+                   // {ZL_FILE_ROWS} AS f
+        FROM keyed
+    ),
+    tagged AS (
+        SELECT 'zorder' AS layout, x, y, f FROM zlay
+        UNION ALL SELECT 'lexicographic', x, y, f FROM llay
+    ),
+    preds AS (
+        SELECT layout, 'x_band' AS predicate, f,
+               CAST(COUNT(*) FILTER (WHERE x BETWEEN 10 AND 19) AS BIGINT)
+                   AS hits
+        FROM tagged GROUP BY layout, f
+        UNION ALL
+        SELECT layout, 'y_band', f,
+               CAST(COUNT(*) FILTER (WHERE y BETWEEN 10 AND 19) AS BIGINT)
+        FROM tagged GROUP BY layout, f
+    )
+    SELECT layout, predicate,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(COUNT(*) FILTER (WHERE hits > 0) AS BIGINT) AS files_touched,
+           CAST(SUM(hits) AS BIGINT) AS rows_matched,
+           CAST(COUNT(*) FILTER (WHERE hits > 0) * 1000000
+                // COUNT(*) AS BIGINT) AS touched_ppm
+    FROM preds GROUP BY layout, predicate
+    ORDER BY layout, predicate
+    """
+
+
+@query("q383_zorder_locality_audit", oracle=_zorder_locality_sql())
+def q383(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout A/B audit for multi-dimensional clustering: simulate
+    {n}-row files under q138's z-order key versus a lexicographic
+    (x, y) sort, then measure how many files a single-dimension band
+    predicate actually touches in each layout. This is the number that
+    justifies (or rejects) an OPTIMIZE ZORDER run before anyone pays
+    for the rewrite: lexicographic prunes beautifully on the leading
+    column and not at all on the trailing one; z-order prunes BOTH at
+    ~sqrt cost — and the report shows exactly that asymmetry as
+    touched_ppm per (layout, predicate). q138 mints the key; q319/q267
+    audit value- and content-level skipping; this audits the LAYOUT,
+    the remaining piece of the data-skipping stack.
+
+    Scale: the file id is a global rank — minted by
+    `deterministic_id(fact_scale=True)` (range exchange + partition-
+    local windows + literal-map offsets), never a partitionless window
+    over data-scale rows (the oracle's ROW_NUMBER() OVER (ORDER BY) is
+    exactly the shape it replaces); per-(layout, file) hit counts and
+    the final report are two bounded hash aggregates."""
+    from ..functions.refops import deterministic_id
+
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").alias("x"),
+        F.floor((F.col("p_retailprice") - 900) / 2).cast("int").alias("y"),
+    )
+    zkey = F.lit(0)
+    for i in range(6):
+        zkey = zkey + F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        zkey = zkey + F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    keyed = p.withColumn("zkey", zkey).localCheckpoint(eager=True)
+
+    def layout(df: DataFrame, order: list[str], tag: str) -> DataFrame:
+        ranked = deterministic_id(df, order, name="rid", fact_scale=True)
+        return ranked.select(
+            F.lit(tag).alias("layout"),
+            "x",
+            "y",
+            F.expr(f"CAST((rid - 1) div {ZL_FILE_ROWS} AS BIGINT)").alias("f"),
+        )
+
+    tagged = layout(keyed, ["zkey", "p_partkey"], "zorder").unionByName(
+        layout(keyed, ["x", "y", "p_partkey"], "lexicographic")
+    )
+    preds = None
+    for pname, col, lo, hi in [
+        ("x_band", "x", 10, 19),
+        ("y_band", "y", 10, 19),
+    ]:
+        g = tagged.groupBy("layout", "f").agg(
+            F.sum(
+                F.when(F.col(col).between(lo, hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits")
+        ).select("layout", F.lit(pname).alias("predicate"), "f", "hits")
+        preds = g if preds is None else preds.unionByName(g)
+    return (
+        preds.groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum((F.col("hits") > 0).cast("int"))
+            .cast("long")
+            .alias("files_touched"),
+            F.sum("hits").cast("long").alias("rows_matched"),
+            F.expr(
+                "CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("touched_ppm"),
+        )
+        .orderBy("layout", "predicate")
+    )
+
+
+q383.__doc__ = q383.__doc__.format(n=ZL_FILE_ROWS)

@@ -2999,3 +2999,152 @@ def q380(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q380.__doc__ = q380.__doc__.format(k=KMV_K)
+
+
+# ------------------------- CM-sketch join-size estimation (AGM primitive) --
+CMJ_ROWS = 4
+CMJ_W = 256
+
+
+def _cm_joinsize_sql() -> str:
+    from .extensions import _H64
+
+    def hq(i: int) -> str:
+        return (
+            _H64.format(x=f"'cms{i}:' || CAST(user_id AS VARCHAR)")
+            + f" % {CMJ_W}"
+        )
+
+    build_a = "\n        UNION ALL ".join(
+        f"SELECT {i} AS r, {hq(i)} AS c FROM events"
+        f" WHERE event_type = 'view'"
+        for i in range(CMJ_ROWS)
+    )
+    build_b = "\n        UNION ALL ".join(
+        f"SELECT {i} AS r, {hq(i)} AS c FROM events"
+        f" WHERE event_type = 'purchase'"
+        for i in range(CMJ_ROWS)
+    )
+    return f"""
+    WITH ca AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ({build_a}) GROUP BY r, c),
+    cb AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ({build_b}) GROUP BY r, c),
+    ip AS (SELECT ca.r, CAST(SUM(ca.n * cb.n) AS BIGINT) AS est
+           FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
+           GROUP BY ca.r),
+    est AS (SELECT CAST(MIN(est) AS BIGINT) AS est_join
+            FROM ip),
+    ex AS (
+        SELECT CAST(SUM(v.n * p.n) AS BIGINT) AS exact_join
+        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              WHERE event_type = 'view' GROUP BY user_id) v
+        JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id) p
+          ON v.user_id = p.user_id
+    )
+    SELECT CAST({CMJ_ROWS} AS BIGINT) AS rows_d,
+           CAST({CMJ_W} AS BIGINT) AS width_w,
+           ex.exact_join, est.est_join,
+           CAST((est.est_join - ex.exact_join) * 1000000
+                // ex.exact_join AS BIGINT) AS overestimate_ppm
+    FROM ex CROSS JOIN est
+    """
+
+
+@query("q382_cm_join_size", oracle=_cm_joinsize_sql())
+def q382(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches — the cardinality-
+    estimation primitive a cost-based planner needs BEFORE running a
+    join at 100 TB: |A ⋈ B| on a key equals the inner product of the
+    two key-frequency vectors, and the CM estimate is min over hash
+    rows of the per-row sketch inner products (upper-biased, like the
+    point estimate). q322 uses the SAME sketch for point frequency;
+    this is its second classic application — two fixed {r}×{w} integer
+    arrays predict the join size without touching either fact side
+    again. The join here (view-events ⋈ purchase-events on user) is
+    many-to-many and skew-prone — exactly where planners misestimate
+    and AQE (q229/q222) has to rescue the plan at runtime; a sketch
+    kept per partition-key column makes the estimate free at compile
+    time. Deterministic end to end: the shared md5 hash family and
+    integer counters make the ESTIMATE itself oracle-pinned, not just
+    the exact answer.
+
+    Scale: building each sketch is one hash aggregate to {r}×{w}
+    bounded cells (mergeable — partials XOR-free integer sums); the
+    inner product is a {r}×{w}-row equi-join. The exact join size
+    rides along from per-user count aggregates (never materializing
+    the pair blowup)."""
+    from .extensions import _H64  # noqa: F401  (oracle twin documented)
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+
+    def sketch(etype: str) -> DataFrame:
+        side = ev.where(F.col("event_type") == etype)
+        cells = side.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            F.pmod(
+                                h64(
+                                    F.concat(
+                                        F.lit(f"cms{i}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                F.lit(CMJ_W),
+                            ).alias("c"),
+                        )
+                        for i in range(CMJ_ROWS)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.r", "e.c")
+        return cells.groupBy("r", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    ca, cb = sketch("view"), sketch("purchase")
+    est = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.c") == F.col("b.c")),
+        )
+        .groupBy(F.col("a.r"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("np"))
+    )
+    ex = (
+        v.join(p, "user_id")
+        .agg(F.sum(F.col("nv") * F.col("np")).cast("long").alias("exact_join"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(est))
+        .select(
+            F.lit(CMJ_ROWS).cast("long").alias("rows_d"),
+            F.lit(CMJ_W).cast("long").alias("width_w"),
+            "exact_join",
+            "est_join",
+            F.expr(
+                "CAST((est_join - exact_join) * 1000000 div exact_join"
+                " AS BIGINT)"
+            ).alias("overestimate_ppm"),
+        )
+    )
+
+
+q382.__doc__ = q382.__doc__.format(r=CMJ_ROWS, w=CMJ_W)

@@ -3491,3 +3491,115 @@ def q372(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q372.__doc__ = q372.__doc__.format(k=KNN_NOISE_K)
+
+
+# ------------------------------------- mutual nearest neighbors -----------
+def _mutual_nn_sql() -> str:
+    dist = (
+        "(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(a.embedding AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+        " + list_dot_product(CAST(b.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[])))"
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS i, a.label AS il, b.vec_id AS j, b.label AS jl,
+               CAST(floor({dist} * 1000000000 + 0.5) AS BIGINT) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT i, il, j, jl, d,
+               ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn
+        FROM pairs QUALIFY rn = 1
+    )
+    SELECT n1.i AS vec_a, n1.j AS vec_b, n1.d AS dist_q9,
+           CAST(CASE WHEN n1.il = n1.jl THEN 1 ELSE 0 END AS BIGINT)
+               AS same_label
+    FROM nn n1 JOIN nn n2 ON n1.j = n2.i AND n2.j = n1.i
+    WHERE n1.i < n1.j
+    ORDER BY vec_a
+    """
+
+
+@query("q381_mutual_nn_pairs", oracle=_mutual_nn_sql())
+def q381(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual nearest neighbors: pairs (a, b) where each is the other's
+    single closest vector — the reciprocal-best-match criterion behind
+    parallel-corpus mining (two sentences that pick each other across
+    languages are translation candidates) and high-precision entity
+    matching, far stricter than q372's one-directional kNN vote: a hub
+    vector that is everyone's neighbor mutualizes with at most ONE of
+    them. Declared bounded-n exact baseline (q94/q95/q372 class); at
+    corpus scale the identical reciprocity filter runs over q96/q106's
+    ANN candidate lists — a self-join on the (i, nn) table either way.
+    Same pinned distance grid as q372: sqrt-free squared-L2 folded
+    sequentially, floor-quantized to 1e-9 units; ties break on vec_id.
+    same_label rides along as the purity signal (mutual pairs crossing
+    labels are either label noise — q372's quarry — or true duplicates
+    — q219's)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, s: acc + s,
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("il"),
+        F.col("v").alias("va"),
+        dot(F.col("v"), F.col("v")).alias("qq"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("jl"),
+        F.col("v").alias("vb"),
+        dot(F.col("v"), F.col("v")).alias("cc"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "il",
+        "j",
+        "jl",
+        F.floor(
+            (F.col("qq") - 2 * dot(F.col("va"), F.col("vb")) + F.col("cc"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    wk = W.partitionBy("i").orderBy("d", "j")
+    nn = (
+        pairs.select(
+            "i", "il", "j", "jl", "d", F.row_number().over(wk).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    n2 = nn.select(F.col("i").alias("j2"), F.col("j").alias("i2"))
+    return (
+        nn.join(
+            n2, (nn.j == F.col("j2")) & (nn.i == F.col("i2")), "left_semi"
+        )
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.col("i").alias("vec_a"),
+            F.col("j").alias("vec_b"),
+            F.col("d").alias("dist_q9"),
+            F.when(F.col("il") == F.col("jl"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("same_label"),
+        )
+        .orderBy("vec_a")
+    )

@@ -63,6 +63,17 @@ EXPECTED = {
     # sketch scalars (theta, estimators, exact counts) — every input is a
     # 1-row aggregate or a 256-row sketch
     "q380_kmv_theta_anotb": {"BroadcastNestedLoopJoin"},
+    # declared bounded-n exact baseline (q94/q95/q372 class): full pair
+    # space over the 500-vector embeddings table; at corpus scale the
+    # reciprocity filter runs over q96/q106 ANN candidate lists. The
+    # reciprocity SEMI-join keys on the checkpointed (i, nn) table —
+    # post-checkpoint stats are unknown so the static plan is SMJ, and
+    # at O(n) rows keyed SMJ is the right 100 TB shape anyway
+    "q381_mutual_nn_pairs": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # 1-row day-split-point scalar broadcast onto the event stream
+    "q384_hellinger_drift": {"BroadcastNestedLoopJoin"},
+    # 1-row exact-join-size scalar crossed with the 1-row sketch estimate
+    "q382_cm_join_size": {"BroadcastNestedLoopJoin"},
     # lineitem⋈orders is a fact-fact keyed join (filtered-orders stats
     # unknown → static SMJ; AQE broadcasts at runtime while it fits, and at
     # 100 TB keyed SMJ IS the right plan — the q92 argument)
