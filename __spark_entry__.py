@@ -157,7 +157,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q378_kendall_tau", "q379_market_concentration",
     "q380_kmv_theta_anotb", "q381_mutual_nn_pairs",
     "q382_cm_join_size", "q383_zorder_locality_audit",
-    "q384_hellinger_drift",
+    "q384_hellinger_drift", "q385_lead_lag_xcorr",
+    "q386_cell_suppression", "q387_sql_udf_kit",
+    "q388_hits_hubs_authorities", "q389_bellman_ford_sssp",
+    "q390_binary_segmentation", "q391_shapley_attribution",
 )
 
 

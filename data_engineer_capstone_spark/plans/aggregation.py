@@ -3193,3 +3193,285 @@ def q384(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("hellinger"),
     ).orderBy("event_type")
+
+
+# ----------------------------- lead-lag cross-correlation of daily series --
+XCORR_MAX_LAG = 3
+
+
+@query(
+    "q385_lead_lag_xcorr",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type AS g,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events WHERE value IS NOT NULL GROUP BY g, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    spine AS (
+        SELECT t.g, s.day
+        FROM (SELECT DISTINCT g FROM d) t,
+             (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) s
+    ),
+    s AS (
+        SELECT spine.g, spine.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+        FROM spine LEFT JOIN d ON d.g = spine.g AND d.day = spine.day
+    ),
+    lags AS (SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1))
+                 AS lag),
+    p AS (
+        SELECT a.g AS ga, b.g AS gb, l.lag, a.c AS x, b.c AS y
+        FROM s a CROSS JOIN lags l
+        JOIN s b ON b.g > a.g AND b.day = a.day + l.lag
+    ),
+    m AS (
+        SELECT ga, gb, lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM p GROUP BY ga, gb, lag
+    ),
+    f AS (
+        SELECT ga, gb, lag, n,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(
+                        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) END AS q
+        FROM m
+    )
+    SELECT ga AS type_a, gb AS type_b, lag, n AS n_days,
+           CAST(q AS DOUBLE) / 1e6 AS xcorr,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY ga, gb
+                         ORDER BY q DESC, lag) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM f ORDER BY type_a, type_b, lag
+    """,
+)
+def q385(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily revenue series of every
+    event-type pair, at lags −{L}..+{L} — "which metric LEADS which",
+    the ops-analytics question q170's lag-1 AUTOcorrelation (one series
+    against itself) and q119's Pearson (paired columns, no shift)
+    cannot answer. Series are gap-filled to zero on the full day spine
+    so a missing day shifts nothing silently; the best lag per pair is
+    flagged by ranking the QUANTIZED correlation (BIGINT 1e-6 units) —
+    ranking the raw double would hang tie-breaks on ulps.
+
+    Cross-engine exactness: q170's recipe — integer-cent moment sums
+    (exact in any aggregation order), then ONE pinned double formula
+    per (pair, lag), floor-quantized; zero-variance series short to 0
+    explicitly. Scale: everything after the one data-scale hash
+    aggregate (type, day) lives on the bounded types×days table — the
+    lag explosion, shifted self-join, and rank are all
+    O(types²·days·lags)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("c")
+    ).localCheckpoint(eager=True)
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+    )
+    s = (
+        spine.join(d, ["g", "day"], "left")
+        .select("g", "day", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = s.select(F.col("g").alias("ga"), F.col("day").alias("da"), F.col("c").alias("x"))
+    b = s.select(F.col("g").alias("gb"), F.col("day").alias("db"), F.col("c").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("gb") > F.col("ga"))
+            & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+    )
+    m = p.groupBy("ga", "gb", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    q = (
+        F.when(vx * vy <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(cov / F.sqrt(vx * vy) * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .alias("q")
+    )
+    f = m.select("ga", "gb", "lag", "n", q)
+    wb = W.partitionBy("ga", "gb").orderBy(F.desc("q"), "lag")
+    return (
+        f.select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "lag",
+            F.col("n").alias("n_days"),
+            (F.col("q").cast("double") / F.lit(1e6)).alias("xcorr"),
+            F.when(F.row_number().over(wb) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+q385.__doc__ = q385.__doc__.format(L=XCORR_MAX_LAG)
+
+
+# ------------------------- changepoint localization (binary segmentation) --
+@query(
+    "q390_binary_segmentation",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS g,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events WHERE value IS NOT NULL GROUP BY g, day
+    ),
+    r AS (
+        SELECT g, day, y,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS k,
+               SUM(y) OVER (PARTITION BY g ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS s,
+               COUNT(*) OVER (PARTITION BY g) AS n,
+               SUM(y) OVER (PARTITION BY g) AS st
+        FROM d
+    ),
+    gains AS (
+        SELECT g, day, k, n, s, st,
+               (s * s) // k + ((st - s) * (st - s)) // (n - k) AS gain,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+                    (s * s) // k + ((st - s) * (st - s)) // (n - k) DESC,
+                    k) AS rk
+        FROM r WHERE k < n
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS split_after_rank, day AS last_left_day,
+           CAST(s // k AS BIGINT) AS mean_left_cents,
+           CAST((st - s) // (n - k) AS BIGINT) AS mean_right_cents,
+           CAST(gain AS BIGINT) AS gain_q
+    FROM gains WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q390(spark: SparkSession, sf: str) -> DataFrame:
+    """Changepoint LOCALIZATION by one binary-segmentation round: per
+    event type, the split of the daily-revenue series that maximizes
+    the between-segment gain S_l²/n_l + S_r²/n_r (equivalently
+    minimizes total SSE, since ΣY² is split-invariant) — "WHERE did
+    the level shift", the complement of q298's CUSUM "DID it shift".
+    Full binary segmentation recurses on each side; the registered,
+    oracle-checkable form is the first (deepest-signal) split — the
+    q374/q386 single-round contract.
+
+    Determinism: the objective is pinned as the floor-quantized
+    integer gain (S²  div n per side, cents² units) — both engines
+    compute the identical argmax with ties to the earliest split;
+    comparing exact rationals would need per-pair cross
+    multiplication, and comparing doubles would hang the argmax on
+    ulps. Means are integer division on the cent grid.
+
+    Scale: one data-scale hash aggregate to (type, day); prefix sums
+    and the argmax rank are windows PARTITIONED BY type over the
+    bounded day support (q326's argument) — nothing global, nothing
+    per-event after the first shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wo = W.partitionBy("g").orderBy("day")
+    wa = W.partitionBy("g")
+    r = d.select(
+        "g",
+        "day",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("y").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("y").over(wa).alias("st"),
+    ).where(F.col("k") < F.col("n"))
+    gain = F.expr("(s * s) div k + ((st - s) * (st - s)) div (n - k)")
+    wg = W.partitionBy("g").orderBy(F.desc(gain), "k")
+    return (
+        r.select(
+            "g",
+            "day",
+            "k",
+            "n",
+            "s",
+            "st",
+            gain.alias("gain"),
+            F.row_number().over(wg).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_days"),
+            F.col("k").alias("split_after_rank"),
+            F.col("day").alias("last_left_day"),
+            F.expr("CAST(s div k AS BIGINT)").alias("mean_left_cents"),
+            F.expr("CAST((st - s) div (n - k) AS BIGINT)").alias(
+                "mean_right_cents"
+            ),
+            F.col("gain").cast("long").alias("gain_q"),
+        )
+        .orderBy("event_type")
+    )

@@ -4227,3 +4227,288 @@ def q383(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q383.__doc__ = q383.__doc__.format(n=ZL_FILE_ROWS)
+
+
+# -------------------------- small-cell suppression (disclosure control) ----
+SDC_K = 12  # primary suppression threshold for published cells
+
+
+@query(
+    "q386_cell_suppression",
+    oracle=f"""
+    WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, seg
+    ),
+    p1 AS (
+        SELECT *, CASE WHEN cnt < {SDC_K} THEN 1 ELSE 0 END AS prim
+        FROM cells
+    ),
+    rowstat AS (
+        SELECT *, SUM(prim) OVER (PARTITION BY n_name) AS row_supp,
+               ROW_NUMBER() OVER (PARTITION BY n_name, prim
+                    ORDER BY cnt, seg) AS rr
+        FROM p1
+    ),
+    p2 AS (
+        SELECT n_name, seg, cnt, prim,
+               CASE WHEN prim = 0 AND row_supp = 1 AND rr = 1
+                    THEN 1 ELSE 0 END AS rowc
+        FROM rowstat
+    ),
+    colstat AS (
+        SELECT *, SUM(prim + rowc) OVER (PARTITION BY seg) AS col_supp,
+               ROW_NUMBER() OVER (PARTITION BY seg, prim + rowc
+                    ORDER BY cnt, n_name) AS cr
+        FROM p2
+    ),
+    p3 AS (
+        SELECT n_name, seg, cnt, prim, rowc,
+               CASE WHEN prim = 0 AND rowc = 0 AND col_supp = 1 AND cr = 1
+                    THEN 1 ELSE 0 END AS colc
+        FROM colstat
+    )
+    SELECT n_name, seg AS c_mktsegment, cnt AS n_customers,
+           CASE WHEN prim = 1 THEN 'suppressed_primary'
+                WHEN rowc = 1 THEN 'suppressed_row_comp'
+                WHEN colc = 1 THEN 'suppressed_col_comp'
+                ELSE 'published' END AS status
+    FROM p3 ORDER BY n_name, c_mktsegment
+    """,
+)
+def q386(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-cell suppression for a published nation×segment count table
+    — the statistical-disclosure-control step every census/health
+    agency runs before releasing aggregates: cells under k={k} are
+    primary-suppressed, and because a row (or column) with exactly ONE
+    suppressed cell lets the marginal total reveal it, one round of
+    complementary suppression hides the smallest surviving cell in
+    each singly-suppressed row, then column. q366 audits MICRODATA
+    k-anonymity (can a released row be re-identified); this protects
+    the AGGREGATE release — the two halves of a disclosure-control
+    pipeline. Real SDC iterates row/column rounds to a fixed point;
+    the registered, oracle-checkable form is the first full round —
+    the q374 single-round contract.
+
+    Deterministic: suppression picks rank on (count, name) — no
+    arbitrary engine choice survives. Scale: one hash aggregate to the
+    25×5 cell table; every window is partitioned by nation or segment
+    over bounded cells. At a 10^6-cell release the same plan holds —
+    windows stay keyed, nothing global."""
+    c = load_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    cells = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    p1 = cells.withColumn(
+        "prim", F.when(F.col("cnt") < SDC_K, 1).otherwise(0)
+    )
+    wrow = W.partitionBy("n_name")
+    wrr = W.partitionBy("n_name", "prim").orderBy("cnt", "seg")
+    p2 = (
+        p1.withColumn("row_supp", F.sum("prim").over(wrow))
+        .withColumn("rr", F.row_number().over(wrr))
+        .withColumn(
+            "rowc",
+            F.when(
+                (F.col("prim") == 0)
+                & (F.col("row_supp") == 1)
+                & (F.col("rr") == 1),
+                1,
+            ).otherwise(0),
+        )
+        .drop("row_supp", "rr")
+    )
+    wcol = W.partitionBy("seg")
+    wcr = W.partitionBy("seg", (F.col("prim") + F.col("rowc"))).orderBy(
+        "cnt", "n_name"
+    )
+    p3 = (
+        p2.withColumn(
+            "col_supp", F.sum(F.col("prim") + F.col("rowc")).over(wcol)
+        )
+        .withColumn("cr", F.row_number().over(wcr))
+        .withColumn(
+            "colc",
+            F.when(
+                (F.col("prim") == 0)
+                & (F.col("rowc") == 0)
+                & (F.col("col_supp") == 1)
+                & (F.col("cr") == 1),
+                1,
+            ).otherwise(0),
+        )
+    )
+    status = (
+        F.when(F.col("prim") == 1, "suppressed_primary")
+        .when(F.col("rowc") == 1, "suppressed_row_comp")
+        .when(F.col("colc") == 1, "suppressed_col_comp")
+        .otherwise("published")
+    )
+    return p3.select(
+        "n_name",
+        F.col("seg").alias("c_mktsegment"),
+        F.col("cnt").alias("n_customers"),
+        status.alias("status"),
+    ).orderBy("n_name", "c_mktsegment")
+
+
+q386.__doc__ = q386.__doc__.format(k=SDC_K)
+
+
+# ----------------------------- Shapley-value marketing attribution --------
+SHAP_WINDOW_US = 48 * 3600 * 1_000_000  # exposure window before 1st purchase
+
+
+@query(
+    "q391_shapley_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    x AS (
+        SELECT DISTINCT e.user_id, e.event_type
+        FROM events e JOIN p ON e.user_id = p.user_id
+        WHERE e.event_type IN ('view', 'click', 'signup')
+          AND epoch_us(e.ts) < p.t
+          AND epoch_us(e.ts) >= p.t - {SHAP_WINDOW_US}
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS INT) AS v,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS INT) AS c,
+               CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS INT) AS g
+        FROM x GROUP BY user_id
+    ),
+    n AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS total,
+            CAST(COUNT(*) FILTER (WHERE v=1 AND c=0 AND g=0) AS BIGINT) AS nv,
+            CAST(COUNT(*) FILTER (WHERE v=0 AND c=1 AND g=0) AS BIGINT) AS nc,
+            CAST(COUNT(*) FILTER (WHERE v=0 AND c=0 AND g=1) AS BIGINT) AS ng,
+            CAST(COUNT(*) FILTER (WHERE v=1 AND c=1 AND g=0) AS BIGINT) AS nvc,
+            CAST(COUNT(*) FILTER (WHERE v=1 AND c=0 AND g=1) AS BIGINT) AS nvg,
+            CAST(COUNT(*) FILTER (WHERE v=0 AND c=1 AND g=1) AS BIGINT) AS ncg,
+            CAST(COUNT(*) FILTER (WHERE v=1 AND c=1 AND g=1) AS BIGINT) AS nvcg
+        FROM s
+    ),
+    phi AS (
+        SELECT total,
+               6*nv + 3*nvc + 3*nvg + 2*nvcg AS p_view,
+               6*nc + 3*nvc + 3*ncg + 2*nvcg AS p_click,
+               6*ng + 3*nvg + 3*ncg + 2*nvcg AS p_signup,
+               nv + nvc + nvg + nvcg AS e_view,
+               nc + nvc + ncg + nvcg AS e_click,
+               ng + nvg + ncg + nvcg AS e_signup
+        FROM n
+    )
+    SELECT channel, exposed_converters,
+           CAST(phi6 AS BIGINT) AS phi6,
+           CAST(phi6 * 1000000 // 6 AS BIGINT) AS phi_micro,
+           CAST(phi6 * 1000000 // (6 * total) AS BIGINT) AS share_ppm
+    FROM (
+        SELECT total, 'click' AS channel, e_click AS exposed_converters,
+               p_click AS phi6 FROM phi
+        UNION ALL
+        SELECT total, 'signup', e_signup, p_signup FROM phi
+        UNION ALL
+        SELECT total, 'view', e_view, p_view FROM phi)
+    ORDER BY channel
+    """,
+)
+def q391(spark: SparkSession, sf: str) -> DataFrame:
+    """Shapley-value conversion attribution over the three marketing
+    channels (view/click/signup exposure in the 48h before a user's
+    first purchase) — the game-theoretic, order-free credit split that
+    q265's last-touch and q312's position rules approximate: each
+    channel's credit is its average marginal contribution across all
+    3! coalition orderings, computed in closed form from the 7
+    exact-exposure-set converter counts. With characteristic v(S) =
+    converters whose exposure set ⊆ S, the formula collapses to
+    φ6_i = 6·n_own + 3·(each pair containing i) + 2·n_all — exact
+    integers in 1/6-conversion units (Σφ6 = 6·total: efficiency holds
+    by construction, and the driver hash pins it). Converters with no
+    exposure in the window cancel out of every marginal and are
+    excluded; the q374 single-configuration contract.
+
+    Scale: one keyed join (events⋈first-purchase) and one per-user
+    aggregate; the subset census is a single 8-counter row, the
+    Shapley arithmetic row-local on it. Channels beyond ~10 need
+    sampled permutations — documented boundary, not hit here."""
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("tu"))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t"))
+    )
+    x = (
+        ev.where(F.col("event_type").isin("view", "click", "signup"))
+        .select("user_id", "event_type", us.alias("tu"))
+        .join(p, "user_id")
+        .where(
+            (F.col("tu") < F.col("t"))
+            & (F.col("tu") >= F.col("t") - F.lit(SHAP_WINDOW_US))
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    s = x.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("g"),
+    )
+
+    def cnt(vv: int, cc: int, gg: int):
+        return F.sum(
+            F.when(
+                (F.col("v") == vv) & (F.col("c") == cc) & (F.col("g") == gg), 1
+            ).otherwise(0)
+        ).cast("long")
+
+    n = s.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        cnt(1, 0, 0).alias("nv"),
+        cnt(0, 1, 0).alias("nc"),
+        cnt(0, 0, 1).alias("ng"),
+        cnt(1, 1, 0).alias("nvc"),
+        cnt(1, 0, 1).alias("nvg"),
+        cnt(0, 1, 1).alias("ncg"),
+        cnt(1, 1, 1).alias("nvcg"),
+    )
+    phi = n.selectExpr(
+        "total",
+        "6*nv + 3*nvc + 3*nvg + 2*nvcg AS p_view",
+        "6*nc + 3*nvc + 3*ncg + 2*nvcg AS p_click",
+        "6*ng + 3*nvg + 3*ncg + 2*nvcg AS p_signup",
+        "nv + nvc + nvg + nvcg AS e_view",
+        "nc + nvc + ncg + nvcg AS e_click",
+        "ng + nvg + ncg + nvcg AS e_signup",
+    )
+    return (
+        phi.selectExpr(
+            """stack(3,
+                'click', e_click, p_click,
+                'signup', e_signup, p_signup,
+                'view', e_view, p_view
+            ) AS (channel, exposed_converters, phi6)""",
+            "total",
+        )
+        .selectExpr(
+            "channel",
+            "CAST(exposed_converters AS BIGINT) AS exposed_converters",
+            "CAST(phi6 AS BIGINT) AS phi6",
+            "CAST(phi6 * 1000000 div 6 AS BIGINT) AS phi_micro",
+            "CAST(phi6 * 1000000 div (6 * total) AS BIGINT) AS share_ppm",
+        )
+        .orderBy("channel")
+    )

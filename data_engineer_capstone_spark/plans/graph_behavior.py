@@ -1322,3 +1322,264 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q374.__doc__ = q374.__doc__.format(h=BORUVKA_LABEL_HOPS)
+
+
+# ------------------------------------------ HITS hubs & authorities --------
+HITS_ROUNDS = 2
+HITS_TOP = 15
+_HITS_Q = 10**6  # L1-normalized score grid: scores sum to Q per side, so
+# every update sum s <= Q and s*Q <= 1e12 stays far inside BIGINT
+
+
+def _hits_sql() -> str:
+    # every score table is referenced twice per round (update + norm):
+    # MATERIALIZED or DuckDB re-derives the chain exponentially (q374)
+    steps = []
+    prev_a = "a0"
+    for r in range(1, HITS_ROUNDS + 1):
+        steps.append(f"""
+    hraw{r} AS MATERIALIZED (
+        SELECT e.c AS node, CAST(SUM(a.q) AS BIGINT) AS s
+        FROM e JOIN {prev_a} a ON a.node = e.p GROUP BY e.c),
+    hn{r} AS MATERIALIZED (
+        SELECT CAST(SUM(s) AS BIGINT) AS t FROM hraw{r}),
+    h{r} AS MATERIALIZED (
+        SELECT node, CAST(s * {_HITS_Q} // t AS BIGINT) AS q
+        FROM hraw{r}, hn{r}),
+    araw{r} AS MATERIALIZED (
+        SELECT e.p AS node, CAST(SUM(h.q) AS BIGINT) AS s
+        FROM e JOIN h{r} h ON h.node = e.c GROUP BY e.p),
+    an{r} AS MATERIALIZED (
+        SELECT CAST(SUM(s) AS BIGINT) AS t FROM araw{r}),
+    a{r} AS MATERIALIZED (
+        SELECT node, CAST(s * {_HITS_Q} // t AS BIGINT) AS q
+        FROM araw{r}, an{r})""")
+        prev_a = f"a{r}"
+    body = ",".join(steps)
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a0 AS MATERIALIZED (
+        SELECT p AS node, CAST(1 AS BIGINT) AS q
+        FROM (SELECT DISTINCT p FROM e)
+    ),{body},
+    ranked AS (
+        SELECT 'hub' AS side, node, q,
+               ROW_NUMBER() OVER (ORDER BY q DESC, node) AS rk
+        FROM h{HITS_ROUNDS}
+        UNION ALL
+        SELECT 'authority', node, q,
+               ROW_NUMBER() OVER (ORDER BY q DESC, node) AS rk
+        FROM a{HITS_ROUNDS}
+    )
+    SELECT side, CAST(rk AS BIGINT) AS rk, node,
+           CAST(q AS DOUBLE) / {_HITS_Q} AS score
+    FROM ranked WHERE rk <= {HITS_TOP}
+    ORDER BY side, rk
+    """
+
+
+@query("q388_hits_hubs_authorities", oracle=_hits_sql())
+def q388(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS (hubs & authorities), {r} unrolled rounds over the bipartite
+    customer↔part purchase graph: a customer is a good HUB if they buy
+    authoritative parts, a part a good AUTHORITY if good hubs buy it —
+    two mutually recursive scores PageRank's single random-surfer score
+    (q200) collapses; on a bipartite graph PageRank just leaks across
+    sides while HITS is the native algorithm (it IS SALSA's ancestor
+    and the shape of every "power users / flagship products" report).
+    Per round: hub = sum of neighbor authority scores, L1-normalize,
+    authority = sum of neighbor hub scores, L1-normalize. All score
+    state lives on the exact {q}-unit integer grid (q200's discipline):
+    sums are BIGINT (order-free), normalization is integer floor
+    division — both engines bit-identical with NO floats until the
+    final display column.
+
+    Scale: the edge list is one orders⋈lineitem join deduped; each
+    update is one keyed equi-join + hash aggregate, O(E) per round with
+    edges pre-partitionable by the probe key; norms are 1-row
+    broadcasts. The final top-{t} per side is a rank over the two
+    O(V) score tables."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = e.select("p").distinct().select(
+        F.col("p").alias("node"), F.lit(1).cast("long").alias("q")
+    )
+    h = None
+    for _ in range(HITS_ROUNDS):
+        hraw = (
+            e.join(a.withColumnRenamed("node", "p"), "p")
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.sum("q").cast("long").alias("s"))
+        )
+        hn = hraw.agg(F.sum("s").cast("long").alias("t"))
+        h = (
+            hraw.crossJoin(F.broadcast(hn))
+            .select(
+                "node",
+                F.expr(f"CAST(s * {_HITS_Q} div t AS BIGINT)").alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        araw = (
+            e.join(h.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("p").alias("node"))
+            .agg(F.sum("q").cast("long").alias("s"))
+        )
+        an = araw.agg(F.sum("s").cast("long").alias("t"))
+        a = (
+            araw.crossJoin(F.broadcast(an))
+            .select(
+                "node",
+                F.expr(f"CAST(s * {_HITS_Q} div t AS BIGINT)").alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wk = W.orderBy(F.desc("q"), "node")
+
+    def top(df: DataFrame, side: str) -> DataFrame:
+        # TakeOrdered first (no global sort materializes), THEN the rank
+        # window runs over the LIMIT-k rows only (q325 class)
+        lim = df.orderBy(F.desc("q"), "node").limit(HITS_TOP)
+        return lim.select(
+            F.lit(side).alias("side"),
+            F.row_number().over(wk).cast("long").alias("rk"),
+            "node",
+            (F.col("q").cast("double") / F.lit(float(_HITS_Q))).alias("score"),
+        )
+
+    return top(h, "hub").unionByName(top(a, "authority")).orderBy("side", "rk")
+
+
+q388.__doc__ = q388.__doc__.format(r=HITS_ROUNDS, q=_HITS_Q, t=HITS_TOP)
+
+
+# ----------------------------- Bellman-Ford (weighted SSSP, k rounds) ------
+BF_ROUNDS = 4
+BF_TOP = 20
+
+
+def _bellman_ford_sql() -> str:
+    steps, prev = [], "d0"
+    for r in range(1, BF_ROUNDS + 1):
+        # MATERIALIZED: each round reads the previous distance table twice
+        # (carry + relax) — inlined, DuckDB re-derives the chain 2^r times
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT u.nbr AS node, p.dist + u.w AS dist
+            FROM {prev} p JOIN und u ON u.node = p.node
+        ) GROUP BY node)""")
+        prev = f"d{r}"
+    body = ",".join(steps)
+    return f"""
+    WITH we AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b,
+               CAST(1000000 // COUNT(*) AS BIGINT) AS w
+        FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY x.l_partkey, y.l_partkey
+    ),
+    und AS MATERIALIZED (
+        SELECT a AS node, b AS nbr, w FROM we
+        UNION ALL SELECT b, a, w FROM we
+    ),
+    src AS MATERIALIZED (SELECT MIN(node) AS s FROM und),
+    d0 AS MATERIALIZED (
+        SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src
+    ),{body},
+    reach AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS reached,
+               CAST(MAX(dist) AS BIGINT) AS max_dist
+        FROM {prev}
+    ),
+    top AS (
+        SELECT node, dist FROM {prev} ORDER BY dist, node LIMIT {BF_TOP}
+    )
+    SELECT t.node, CAST(t.dist AS BIGINT) AS dist_cost,
+           r.reached, r.max_dist
+    FROM top t CROSS JOIN reach r
+    ORDER BY dist_cost, node
+    """
+
+
+@query("q389_bellman_ford_sssp", oracle=_bellman_ford_sql())
+def q389(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted single-source shortest paths, {r} Bellman-Ford rounds
+    over the co-purchase graph with edge cost 1e6/shared-orders (the
+    frequently-co-bought pair is the cheap hop) from the smallest part
+    id — the WEIGHTED member of the traversal family: q324's BFS counts
+    hops (all edges cost 1), q367 runs MAX-plus on a DAG; this is
+    MIN-plus relaxation on a cyclic weighted graph, the semiring
+    recommendation/routing engines actually need. Each round is the
+    full relaxation d_{{r+1}}(v) = min(d_r(v), min over (u,v) of d_r(u)
+    + w) — after k rounds distances using ≤ k edges are exact (the
+    Bellman-Ford invariant), the registered bounded-round contract of
+    q324/q367/q374. Costs are BIGINT; MIN is order-free; no floats
+    anywhere.
+
+    Scale: edge weights are one self-join hash aggregate; each round is
+    one keyed equi-join (frontier⋈edges, edges pre-partitionable by
+    node) + one MIN hash aggregate, eagerly checkpointed so round r+1
+    reads a frozen O(V) table, never a re-derivation (the q108
+    component-loop discipline). The top-{t} report is a TakeOrdered."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    we = (
+        x.join(y, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.expr("CAST(1000000 div COUNT(*) AS BIGINT)").alias("w"))
+    )
+    und = (
+        we.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+        .unionByName(
+            we.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = (
+        und.agg(F.min("node").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BF_ROUNDS):
+        relaxed = (
+            und.join(d.withColumnRenamed("node", "u"), und.node == F.col("u"))
+            .select(F.col("nbr").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    reach = d.agg(
+        F.count(F.lit(1)).cast("long").alias("reached"),
+        F.max("dist").cast("long").alias("max_dist"),
+    )
+    top = d.orderBy("dist", "node").limit(BF_TOP)
+    return (
+        top.crossJoin(F.broadcast(reach))
+        .select(
+            "node",
+            F.col("dist").alias("dist_cost"),
+            "reached",
+            "max_dist",
+        )
+        .orderBy("dist_cost", "node")
+    )
+
+
+q389.__doc__ = q389.__doc__.format(r=BF_ROUNDS, t=BF_TOP)

@@ -775,3 +775,66 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         minus1d.alias("minus1d"),
         span.alias("span_minutes"),
     ).orderBy("event_id")
+
+
+# ----------------------------------- SQL UDFs (declarative, inlined) -------
+@query(
+    "q387_sql_udf_kit",
+    oracle="""
+    SELECT l_returnflag,
+           CASE WHEN CAST(floor(l_quantity + 0.5) AS BIGINT) < 10
+                THEN 'small'
+                WHEN CAST(floor(l_quantity + 0.5) AS BIGINT) < 30
+                THEN 'mid' ELSE 'bulk' END AS qty_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY l_returnflag, qty_band
+    ORDER BY l_returnflag, qty_band
+    """,
+)
+def q387(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr) — the
+    DECLARATIVE user-function surface added in Spark 4: the body is a
+    SQL expression, so Catalyst inlines it into the calling plan and
+    the whole query stays in whole-stage codegen — zero Python
+    workers, zero serialization, unlike q103's pandas UDF (the
+    escape hatch for logic SQL can't express). This is the right
+    first tool for shared business logic (a revenue formula, a
+    banding rule) reused across hundreds of queries: one definition,
+    engine-optimized everywhere, and portable — the oracle runs the
+    same expressions inlined, which is exactly what Catalyst does.
+
+    The kit registers a money formula (discounted revenue on the
+    exact cent grid) and a CASE banding rule, then aggregates through
+    both. Scale: indistinguishable from writing the expressions
+    inline — one hash aggregate, functions evaluated row-local inside
+    codegen; `.explain` shows no BatchEvalPython/ArrowEvalPython
+    node (asserted in tests/test_operators.py)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev_cents("
+        "price DOUBLE, disc DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(floor(price * (1 - disc) * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN q < 10 THEN 'small' "
+        "WHEN q < 30 THEN 'mid' ELSE 'bulk' END"
+    )
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "_q387_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               qty_band(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty_band,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(disc_rev_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_cents
+        FROM _q387_lineitem
+        GROUP BY l_returnflag, qty_band(CAST(floor(l_quantity + 0.5)
+                                             AS BIGINT))
+        ORDER BY l_returnflag, qty_band
+        """
+    )

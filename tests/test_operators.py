@@ -799,3 +799,18 @@ def test_hll_grouped_registers_merge_to_global(spark, sf_dir):
         for r in base.groupBy("bucket").agg(F.max("rho").alias("reg")).collect()
     }
     assert merged == global_regs
+
+
+def test_sql_udf_stays_in_codegen(spark, sf_dir):
+    """q387's SQL UDFs must inline into the plan: no Python evaluation
+    node (BatchEvalPython/ArrowEvalPython) may appear — the whole point
+    of the declarative function surface vs q103's pandas UDF."""
+    from data_engineer_capstone_spark.plans.scalars import q387
+
+    df = q387(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r["qty_band"] for r in rows} <= {"small", "mid", "bulk"}

@@ -63,6 +63,8 @@ EXPECTED = {
     # sketch scalars (theta, estimators, exact counts) — every input is a
     # 1-row aggregate or a 256-row sketch
     "q380_kmv_theta_anotb": {"BroadcastNestedLoopJoin"},
+    # 1-row reached/max-dist scalar crossed onto the TakeOrdered-20 report
+    "q389_bellman_ford_sssp": {"BroadcastNestedLoopJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
@@ -72,6 +74,11 @@ EXPECTED = {
     "q381_mutual_nn_pairs": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     # 1-row day-split-point scalar broadcast onto the event stream
     "q384_hellinger_drift": {"BroadcastNestedLoopJoin"},
+    # 1-row day-bounds scalar for the spine + the 7-row lag table crossed
+    # onto the bounded types×days series (150 rows at any SF); the shifted
+    # self-join keys on the expression day+lag over the same bounded table
+    # (post-checkpoint stats unknown → static SMJ; input is O(types·days))
+    "q385_lead_lag_xcorr": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     # 1-row exact-join-size scalar crossed with the 1-row sketch estimate
     "q382_cm_join_size": {"BroadcastNestedLoopJoin"},
     # lineitem⋈orders is a fact-fact keyed join (filtered-orders stats
@@ -269,6 +276,7 @@ GLOBAL_WINDOW_OK = {
     "q363_ndcg_popularity",  # position window over the TakeOrdered LIMIT-10 list (q325 class)
     "q370_rank_biased_overlap",  # rank windows over two TakeOrdered LIMIT-50 lists (q325 class)
     "q375_apportionment",  # remainder rank over 25 nations; D'Hondt rank over the bounded 25×1000 quotient table
+    "q388_hits_hubs_authorities",  # rank over the TakeOrdered LIMIT-15 lists (q325 class)
 }
 
 
