@@ -161,6 +161,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q386_cell_suppression", "q387_sql_udf_kit",
     "q388_hits_hubs_authorities", "q389_bellman_ford_sssp",
     "q390_binary_segmentation", "q391_shapley_attribution",
+    "q392_watermark_lag_audit", "q393_bom_explosion",
+    "q394_profile_diff_contract", "q395_isotonic_calibration",
+    "q396_woe_information_value",
 )
 
 

@@ -317,6 +317,50 @@ def distributed_cumsum(
     return out.drop("_pid")
 
 
+def distributed_cummax(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    name: str = "cummax",
+) -> DataFrame:
+    """Global running MAX of ``value_col`` in ``order_by`` order —
+    `distributed_cumsum`'s sibling for the prefix-MAX semiring (max is
+    associative, so the same range-exchange + per-partition-window +
+    literal-offset shape applies; the cross-partition combine is
+    ``greatest`` of the preceding partitions' maxes instead of a sum).
+    The watermark primitive: cummax(event_time) over arrival order IS
+    the running watermark, and cummax(x) - x the per-event lateness."""
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c).asc_nulls_first() for c in order_by]
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_rows = ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
+    maxes = {r["_pid"]: r["m"] for r in part_rows}
+    off: dict[int, int] = {}
+    acc = None
+    for pid in sorted(maxes):
+        off[pid] = acc
+        acc = maxes[pid] if acc is None else max(acc, maxes[pid])
+    pairs = [(pid, v) for pid, v in off.items() if v is not None]
+    if pairs:
+        lookup = F.create_map(
+            *[F.lit(x) for pid, v in pairs for x in (pid, v)]
+        )[F.col("_pid")]
+    else:
+        lookup = F.lit(None)
+    w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
+    local = F.max(value_col).over(w)
+    return ranged.withColumn(
+        name, F.greatest(local, F.coalesce(lookup, local))
+    ).drop("_pid")
+
+
 def data_quality_checks(df: DataFrame, schema: T.StructType) -> dict[str, bool]:
     """Reference DQ gate (ref data_quality_checks pyspark.py:22-39):
     (a) non-emptiness — head(1) instead of the reference's limit(1).count();

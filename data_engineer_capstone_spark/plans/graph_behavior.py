@@ -1583,3 +1583,99 @@ def q389(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q389.__doc__ = q389.__doc__.format(r=BF_ROUNDS, t=BF_TOP)
+
+
+# --------------------------- BOM explosion (sum-product semiring) ----------
+BOM_LEVELS = 3
+
+
+def _bom_sql() -> str:
+    steps, prev = [], "l0"
+    for r in range(1, BOM_LEVELS + 1):
+        steps.append(f"""
+    l{r} AS MATERIALIZED (
+        SELECT p.root, e.child AS node,
+               CAST(SUM(p.eff * e.qty) AS BIGINT) AS eff
+        FROM l{r - 1} p JOIN edges e ON e.parent = p.node
+        GROUP BY p.root, e.child)""")
+        prev = f"l{r}"
+    body = ",".join(steps)
+    levels = "\n        UNION ALL ".join(
+        f"SELECT root, {r} AS lvl, node, eff FROM l{r}"
+        for r in range(1, BOM_LEVELS + 1)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT p_partkey // 10 AS parent, p_partkey AS child,
+               CAST(p_partkey % 7 + 1 AS BIGINT) AS qty
+        FROM part WHERE p_partkey >= 10
+    ),
+    l0 AS MATERIALIZED (
+        SELECT p_partkey AS root, p_partkey AS node, CAST(1 AS BIGINT) AS eff
+        FROM part WHERE p_partkey < 10
+    ),{body},
+    allv AS ({levels})
+    SELECT root, CAST(lvl AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(eff) AS BIGINT) AS units,
+           CAST(MAX(eff) AS BIGINT) AS max_units
+    FROM allv GROUP BY root, lvl ORDER BY root, lvl
+    """
+
+
+@query("q393_bom_explosion", oracle=_bom_sql())
+def q393(spark: SparkSession, sf: str) -> DataFrame:
+    """Bill-of-materials explosion, {h} levels: effective component
+    quantities per root assembly under the SUM-PRODUCT semiring —
+    eff(child) = Σ over parents of eff(parent)·qty(edge) — the
+    manufacturing/requirements-planning rollup that completes the
+    registry's semiring family (q324 BFS = boolean, q367 = MAX-plus,
+    q389 = MIN-plus, this = sum-product; q133 walks the paths, q304
+    sums a static measure UP the tree — neither multiplies quantities
+    ALONG paths). The hierarchy is the deterministic base-10 trie on
+    p_partkey (parent = key div 10, qty = key mod 7 + 1), so both
+    engines derive the identical DAG; quantities are BIGINT products
+    summed exactly.
+
+    Scale: each level is one keyed equi-join (frontier⋈edges, edges
+    pre-partitionable by parent) + one hash aggregate on (root,
+    child), eagerly checkpointed per round (q108 loop discipline);
+    the report is one bounded aggregate over (root, level)."""
+    p = load_table(spark, sf, "part").select("p_partkey")
+    edges = (
+        p.where(F.col("p_partkey") >= 10)
+        .select(
+            F.expr("p_partkey div 10").alias("parent"),
+            F.col("p_partkey").alias("child"),
+            (F.col("p_partkey") % 7 + 1).cast("long").alias("qty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = p.where(F.col("p_partkey") < 10).select(
+        F.col("p_partkey").alias("root"),
+        F.col("p_partkey").alias("node"),
+        F.lit(1).cast("long").alias("eff"),
+    )
+    levels = None
+    for r in range(1, BOM_LEVELS + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.parent)
+            .groupBy("root", F.col("child").alias("node2"))
+            .agg(F.sum(F.col("eff") * F.col("qty")).cast("long").alias("eff"))
+            .withColumnRenamed("node2", "node")
+            .localCheckpoint(eager=True)
+        )
+        lv = frontier.select("root", F.lit(r).cast("long").alias("lvl"), "eff")
+        levels = lv if levels is None else levels.unionByName(lv)
+    return (
+        levels.groupBy("root", "lvl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("eff").cast("long").alias("units"),
+            F.max("eff").cast("long").alias("max_units"),
+        )
+        .orderBy("root", "lvl")
+    )
+
+
+q393.__doc__ = q393.__doc__.format(h=BOM_LEVELS)

@@ -3148,3 +3148,231 @@ def q382(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q382.__doc__ = q382.__doc__.format(r=CMJ_ROWS, w=CMJ_W)
+
+
+# ---------------------- out-of-orderness / watermark-delay audit ----------
+WM_PCTS = (50, 95, 99, 100)
+
+
+@query(
+    "q392_watermark_lag_audit",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS t FROM events
+    ),
+    w AS (
+        SELECT event_id, t,
+               MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                   - t AS lateness
+        FROM e
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+    g AS (SELECT lateness, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY lateness),
+    cum AS (
+        SELECT lateness,
+               CAST(SUM(c) OVER (ORDER BY lateness
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM g
+    ),
+    thr AS (SELECT unnest(ARRAY{list(WM_PCTS)}) AS pct),
+    pick AS (
+        SELECT t.pct, MIN(c.lateness) AS delay_us
+        FROM thr t CROSS JOIN n
+        JOIN cum c ON c.cum * 100 >= t.pct * n.n
+        GROUP BY t.pct
+    )
+    SELECT CAST(p.pct AS BIGINT) AS pct,
+           CAST(p.delay_us AS BIGINT) AS delay_us,
+           CAST(c.cum * 1000000 // n.n AS BIGINT) AS captured_ppm
+    FROM pick p
+    JOIN cum c ON c.lateness = p.delay_us
+    CROSS JOIN n
+    ORDER BY pct
+    """,
+)
+def q392(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-delay audit: how out-of-order does the event stream
+    actually arrive, and what watermark delay would capture 50/95/99/
+    100% of events? Arrival order is the ingestion sequence (event_id);
+    the running MAX of event time over arrival IS the watermark, and
+    cummax − event_time each event's lateness — the exact distribution
+    q83's `withWatermark` delay should be read off, measured instead
+    of guessed (pick the p99 row: that delay loses 1% of events; the
+    p100 row is the lossless delay and its cost in state retention).
+
+    Scale: the global prefix-max rides the new `distributed_cummax`
+    (range exchange on arrival key + per-partition window + greatest
+    with the literal prefix-of-partition-maxes — max is associative,
+    so the cross-partition combine is exact like cumsum's), never a
+    partitionless window; the lateness CDF is a hash aggregate +
+    `distributed_cumsum` over the bounded lateness support; threshold
+    picks are a 4-row broadcast."""
+    from ..functions.refops import distributed_cummax, distributed_cumsum
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    w = distributed_cummax(ev, ["event_id"], "t", name="wm").select(
+        (F.col("wm") - F.col("t")).alias("lateness")
+    )
+    n = w.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = w.groupBy("lateness").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = distributed_cumsum(g, ["lateness"], "c", name="cum")
+    thr = spark.createDataFrame(
+        [(p,) for p in WM_PCTS], "pct int"
+    )
+    pick = (
+        cum.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cum") * 100 >= F.col("pct").cast("long") * F.col("n"))
+        .groupBy("pct")
+        .agg(
+            F.min(F.struct("lateness", "cum", "n")).alias("s"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("s.lateness").cast("long").alias("delay_us"),
+            F.expr("CAST(s.cum * 1000000 div s.n AS BIGINT)").alias(
+                "captured_ppm"
+            ),
+        )
+    )
+    return pick.orderBy("pct")
+
+
+# ----------------------------- profile diff (data-contract check) ---------
+def _profile_diff_sql() -> str:
+    cols = [
+        ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        ("o_totalprice_cents",
+         "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"),
+        ("o_orderpriority", "o_orderpriority"),
+    ]
+
+    def prof(src: str, tag: str) -> str:
+        arms = "\n            UNION ALL ".join(
+            f"""SELECT '{name}' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE {expr} IS NULL) AS BIGINT)
+                   AS nulls,
+               CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS nd
+            FROM {src}"""
+            for name, expr in cols
+        )
+        return f"{tag} AS MATERIALIZED ({arms})"
+
+    return f"""
+    WITH v1 AS MATERIALIZED (SELECT * FROM orders),
+    v2 AS MATERIALIZED (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + CASE WHEN o_orderkey % 991 = 3
+                                   THEN 0.01 ELSE 0 END AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 499 = 7 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 997 <> 0
+    ),
+    {prof("v1", "p1")},
+    {prof("v2", "p2")}
+    SELECT p1.col,
+           p1.n AS n_v1, p2.n AS n_v2,
+           p1.nulls AS nulls_v1, p2.nulls AS nulls_v2,
+           p1.nd AS distinct_v1, p2.nd AS distinct_v2,
+           CAST((p2.n - p1.n) * 1000000 // p1.n AS BIGINT) AS row_delta_ppm,
+           CAST((p2.nd - p1.nd) * 1000000 // p1.nd AS BIGINT)
+               AS distinct_delta_ppm,
+           CASE WHEN p1.nulls = 0 AND p2.nulls > 0 THEN 'break'
+                WHEN ABS((p2.n - p1.n) * 1000000 // p1.n) > 500
+                     OR ABS((p2.nd - p1.nd) * 1000000 // p1.nd) > 1000
+                THEN 'drift' ELSE 'pass' END AS status
+    FROM p1 JOIN p2 ON p1.col = p2.col
+    ORDER BY p1.col
+    """
+
+
+@query("q394_profile_diff_contract", oracle=_profile_diff_sql())
+def q394(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract check between two table versions: per-column
+    profile (rows, nulls, exact distincts) diffed with ppm deltas and
+    a pinned verdict — 'break' when a column that was null-free gains
+    nulls (the contract violation that silently breaks downstream NOT
+    NULL assumptions), 'drift' past ppm thresholds, else 'pass'. This
+    is the CI gate for data: q246 profiles ONE version, q128 ships
+    row diffs, q376 localizes WHERE bytes changed — this says whether
+    the new version still honors the schema contract, in one bounded
+    report. v2 is the deterministic CDC mutation (q376's deletes and
+    cent bumps, plus nulled priorities at keys ≡7 mod 499) so every
+    verdict class is exercised.
+
+    Scale: one aggregate pass per version per column — counts and
+    exact COUNT(DISTINCT) (hash-agg'd per column; sketch twin q208
+    where exactness can yield); everything after is a 4-row join. At
+    a 100-column table the per-column arms are one generated plan,
+    still two passes over the data."""
+    o = load_table(spark, sf, "orders")
+    v1 = o
+    v2 = o.where(F.col("o_orderkey") % 997 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 991 == 3, 0.01).otherwise(0.0)
+        ).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 499 == 7, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+    )
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        (
+            "o_totalprice_cents",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+
+    def prof(df: DataFrame) -> DataFrame:
+        out = None
+        for name, expr in cols:
+            arm = df.select(expr.alias("x")).agg(
+                F.lit(name).alias("col"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("x").isNull().cast("int"))
+                .cast("long")
+                .alias("nulls"),
+                F.countDistinct("x").cast("long").alias("nd"),
+            )
+            out = arm if out is None else out.unionByName(arm)
+        return out
+
+    p1 = prof(v1).alias("a")
+    p2 = prof(v2).alias("b")
+    j = p1.join(F.broadcast(p2), F.col("a.col") == F.col("b.col"))
+    row_delta = F.expr("(b.n - a.n) * 1000000 div a.n")
+    nd_delta = F.expr("(b.nd - a.nd) * 1000000 div a.nd")
+    status = (
+        F.when((F.col("a.nulls") == 0) & (F.col("b.nulls") > 0), "break")
+        .when(
+            (F.abs(row_delta) > 500) | (F.abs(nd_delta) > 1000), "drift"
+        )
+        .otherwise("pass")
+    )
+    return j.select(
+        F.col("a.col").alias("col"),
+        F.col("a.n").alias("n_v1"),
+        F.col("b.n").alias("n_v2"),
+        F.col("a.nulls").alias("nulls_v1"),
+        F.col("b.nulls").alias("nulls_v2"),
+        F.col("a.nd").alias("distinct_v1"),
+        F.col("b.nd").alias("distinct_v2"),
+        row_delta.cast("long").alias("row_delta_ppm"),
+        nd_delta.cast("long").alias("distinct_delta_ppm"),
+        status.alias("status"),
+    ).orderBy("col")

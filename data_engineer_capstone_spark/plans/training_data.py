@@ -3603,3 +3603,295 @@ def q381(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# -------------------- isotonic calibration (weighted PAV, closed form) -----
+ISO_BINS = 20
+
+
+def _isotonic_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hot
+        FROM orders
+    ),
+    bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+    binned AS (
+        SELECT LEAST({ISO_BINS} - 1,
+                     (cents - lo) * {ISO_BINS} // (hi - lo + 1)) AS b,
+               hot
+        FROM o CROSS JOIN bounds
+    ),
+    g AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hot) AS BIGINT) AS u
+        FROM binned GROUP BY b
+    ),
+    c AS (
+        SELECT b, n, u,
+               SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+               SUM(u) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cu
+        FROM g
+    ),
+    a AS (
+        SELECT i.b AS i, k.b AS k,
+               (k.cu - i.cu + i.u) * 1000000000
+                   // (k.cn - i.cn + i.n) AS aq
+        FROM c i JOIN c k ON i.b <= k.b
+    ),
+    mn AS (
+        SELECT j.b AS j, a.i, MIN(a.aq) AS m
+        FROM g j JOIN a ON a.i <= j.b AND a.k >= j.b
+        GROUP BY j.b, a.i
+    ),
+    fit AS (SELECT j, CAST(MAX(m) AS BIGINT) AS iso_q9 FROM mn GROUP BY j)
+    SELECT g.b AS bin, g.n, g.u AS n_hot,
+           CAST(g.u * 1000000000 // g.n AS BIGINT) AS raw_rate_q9,
+           f.iso_q9 AS iso_rate_q9
+    FROM g JOIN fit f ON f.j = g.b
+    ORDER BY bin
+    """
+
+
+@query("q395_isotonic_calibration", oracle=_isotonic_sql())
+def q395(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the urgent-order rate against
+    {b} equi-width price bins — weighted PAV computed in CLOSED FORM via
+    the min-max identity fitted_j = max_(i≤j) min_(k≥j) avg(i..k),
+    which equals pool-adjacent-violators exactly for weighted L2 — the
+    monotonizing step sklearn's IsotonicRegression applies after q287
+    builds the raw reliability table (raw bin rates can zig-zag from
+    noise; a calibrated score must be monotone). PAV itself is a
+    sequential pooling loop no engine parallelizes; the min-max form
+    turns it into TWO bounded aggregates over the O(bins²) averages
+    table — the same sequential→closed-form trade as q364's FIFO.
+
+    Determinism: interval averages are quantized to the 1e-9 integer
+    grid BEFORE min/max (the pinned-objective discipline of q390);
+    integer division and MIN/MAX commute with nothing float. Scale:
+    one data-scale pass bins and counts; the A-table is bins(bins+1)/2
+    rows and the min-max double aggregate O(bins³) worst case on a
+    BOUNDED support — bins is a report knob, not a data scale."""
+    o = load_table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hot"),
+    )
+    bounds = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(ISO_BINS - 1),
+            F.expr(f"(cents - lo) * {ISO_BINS} div (hi - lo + 1)"),
+        ).alias("b"),
+        "hot",
+    )
+    g = binned.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hot").cast("long").alias("u"),
+    ).localCheckpoint(eager=True)
+    w_iso = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "b",
+        "n",
+        "u",
+        F.sum("n").over(w_iso).alias("cn"),
+        F.sum("u").over(w_iso).alias("cu"),
+    )
+    i = c.select(
+        F.col("b").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("u").alias("ui"),
+        F.col("cn").alias("cni"),
+        F.col("cu").alias("cui"),
+    )
+    k = c.select(
+        F.col("b").alias("k"),
+        F.col("cn").alias("cnk"),
+        F.col("cu").alias("cuk"),
+    )
+    a = i.join(k, F.col("i") <= F.col("k")).select(
+        "i",
+        "k",
+        F.expr(
+            "(cuk - cui + ui) * 1000000000 div (cnk - cni + ni)"
+        ).alias("aq"),
+    )
+    j = g.select(F.col("b").alias("j"))
+    mn = (
+        j.join(a, (a.i <= F.col("j")) & (a.k >= F.col("j")))
+        .groupBy("j", "i")
+        .agg(F.min("aq").alias("m"))
+    )
+    fit = mn.groupBy("j").agg(F.max("m").cast("long").alias("iso_q9"))
+    return (
+        g.join(fit, g.b == fit.j)
+        .select(
+            F.col("b").alias("bin"),
+            "n",
+            F.col("u").alias("n_hot"),
+            F.expr("CAST(u * 1000000000 div n AS BIGINT)").alias(
+                "raw_rate_q9"
+            ),
+            F.col("iso_q9").alias("iso_rate_q9"),
+        )
+        .orderBy("bin")
+    )
+
+
+q395.__doc__ = q395.__doc__.format(b=ISO_BINS)
+
+
+# ------------------- weight-of-evidence / information value screening ------
+WOE_BINS = 10
+
+
+@query(
+    "q396_woe_information_value",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_totalprice, o_orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ),
+    tiled AS (
+        SELECT bad,
+               NTILE({WOE_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bin
+        FROM o
+    ),
+    g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bad) AS BIGINT) AS nb,
+               CAST(COUNT(*) - SUM(bad) AS BIGINT) AS ng
+        FROM tiled GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
+                   CAST(SUM(ng) AS BIGINT) AS tg FROM g),
+    w AS (
+        SELECT bin, n, nb, ng,
+               CAST(nb * 1000000 // tb AS BIGINT) AS bad_ppm,
+               CAST(ng * 1000000 // tg AS BIGINT) AS good_ppm,
+               CASE WHEN nb = 0 OR ng = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(ln(
+                        (CAST(nb AS DOUBLE) / tb) / (CAST(ng AS DOUBLE) / tg)
+                    ) * 1000000000 + 0.5) AS BIGINT) END AS woe_q9
+        FROM g CROSS JOIN tot
+    ),
+    ivt AS (
+        SELECT CAST(SUM((bad_ppm - good_ppm) * woe_q9 // 1000000)
+                    AS BIGINT) AS iv_q9
+        FROM w
+    )
+    SELECT w.bin, w.n, w.nb AS n_bad, w.ng AS n_good,
+           w.bad_ppm, w.good_ppm, w.woe_q9, ivt.iv_q9
+    FROM w CROSS JOIN ivt
+    ORDER BY w.bin
+    """,
+)
+def q396(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening: order
+    value in {b} equi-depth bins against the high-priority target —
+    WOE_bin = ln(bad-share / good-share), IV = Σ (bad% − good%)·WOE,
+    the credit-risk industry's standard monotonic-encoding and
+    feature-power score (IV < 0.02 = useless, > 0.3 = strong). q328's
+    mutual information scores dependence on a nominal support; WOE/IV
+    is its BINNED-MONOTONE sibling that also yields the encoding
+    itself — q303's target encoding without leakage risk because the
+    bin grid is fixed. Completes the model-prep chain: q218 mints the
+    bins, q395 monotonizes a rate, this scores the feature.
+
+    Cross-engine: binning is exact NTILE (the q218 closed form, no
+    partitionless window); shares live on integer ppm grids; the one
+    ln() per bin is floor-quantized to 1e-9 BEFORE the IV sum (q328's
+    libm discipline — per-term quantization, integer aggregation).
+    Scale: one range exchange for the global rank, one hash aggregate
+    to {b} bins, everything after bounded."""
+    from ..functions.refops import deterministic_id
+    from ._util import ntile_from_rank
+
+    o = load_table(spark, sf, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("bad"),
+    )
+    ranked = deterministic_id(
+        o, ["o_totalprice", "o_orderkey"], name="rnk", fact_scale=True
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_tot"))
+    g = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            ntile_from_rank(F.col("rnk"), F.col("n_tot"), WOE_BINS).alias(
+                "bin"
+            ),
+            "bad",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bad").cast("long").alias("nb"),
+            (F.count(F.lit(1)) - F.sum("bad")).cast("long").alias("ng"),
+        )
+    )
+    tot = g.agg(
+        F.sum("nb").cast("long").alias("tb"),
+        F.sum("ng").cast("long").alias("tg"),
+    )
+    woe = (
+        F.when((F.col("nb") == 0) | (F.col("ng") == 0), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.log(
+                    (F.col("nb").cast("double") / F.col("tb"))
+                    / (F.col("ng").cast("double") / F.col("tg"))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+    )
+    w = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "nb",
+            "ng",
+            F.expr("CAST(nb * 1000000 div tb AS BIGINT)").alias("bad_ppm"),
+            F.expr("CAST(ng * 1000000 div tg AS BIGINT)").alias("good_ppm"),
+            woe.alias("woe_q9"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ivt = w.agg(
+        F.expr(
+            "CAST(SUM((bad_ppm - good_ppm) * woe_q9 div 1000000) AS BIGINT)"
+        ).alias("iv_q9")
+    )
+    return (
+        w.crossJoin(F.broadcast(ivt))
+        .select(
+            "bin",
+            "n",
+            F.col("nb").alias("n_bad"),
+            F.col("ng").alias("n_good"),
+            "bad_ppm",
+            "good_ppm",
+            "woe_q9",
+            "iv_q9",
+        )
+        .orderBy("bin")
+    )
+
+
+q396.__doc__ = q396.__doc__.format(b=WOE_BINS)

@@ -814,3 +814,27 @@ def test_sql_udf_stays_in_codegen(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert {r["qty_band"] for r in rows} <= {"small", "mid", "bulk"}
+
+
+def test_distributed_cummax_matches_window(spark, sf_dir):
+    """distributed_cummax must equal the partitionless-window prefix max
+    it replaces (the q392 watermark primitive), row for row."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.functions.refops import distributed_cummax
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    got = {
+        r["event_id"]: r["wm"]
+        for r in distributed_cummax(ev, ["event_id"], "t", name="wm").collect()
+    }
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["event_id"]: r["wm"]
+        for r in ev.withColumn("wm", F.max("t").over(w)).collect()
+    }
+    assert got == want

@@ -65,6 +65,14 @@ EXPECTED = {
     "q380_kmv_theta_anotb": {"BroadcastNestedLoopJoin"},
     # 1-row reached/max-dist scalar crossed onto the TakeOrdered-20 report
     "q389_bellman_ford_sssp": {"BroadcastNestedLoopJoin"},
+    # 4-row threshold table + 1-row n scalar crossed onto the bounded
+    # lateness-CDF table
+    "q392_watermark_lag_audit": {"BroadcastNestedLoopJoin"},
+    # 1-row bin-bounds scalar + the O(bins²) interval-average table's
+    # i<=k / i<=j<=k range joins — all on the bounded 20-bin support
+    "q395_isotonic_calibration": {"BroadcastNestedLoopJoin"},
+    # 1-row rank total + good/bad totals + IV scalar onto the 10-bin table
+    "q396_woe_information_value": {"BroadcastNestedLoopJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
@@ -277,6 +285,7 @@ GLOBAL_WINDOW_OK = {
     "q370_rank_biased_overlap",  # rank windows over two TakeOrdered LIMIT-50 lists (q325 class)
     "q375_apportionment",  # remainder rank over 25 nations; D'Hondt rank over the bounded 25×1000 quotient table
     "q388_hits_hubs_authorities",  # rank over the TakeOrdered LIMIT-15 lists (q325 class)
+    "q395_isotonic_calibration",  # prefix sums over the bounded 20-bin table (q334 class)
 }
 
 
