@@ -163,7 +163,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q390_binary_segmentation", "q391_shapley_attribution",
     "q392_watermark_lag_audit", "q393_bom_explosion",
     "q394_profile_diff_contract", "q395_isotonic_calibration",
-    "q396_woe_information_value",
+    "q396_woe_information_value", "q397_winnowing_pairs",
+    "q398_consistent_hashing", "q399_harmonic_centrality",
+    "q400_phrase_search", "q401_srm_check",
+    "q402_dwell_time_transitions",
 )
 
 

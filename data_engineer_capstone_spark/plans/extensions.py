@@ -4512,3 +4512,194 @@ def q391(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------- winnowing fingerprints (MOSS) ----------------
+WIN_K = 8  # k-gram length (chars)
+WIN_W = 4  # winnowing window (k-gram hashes per window)
+WIN_SHARED_T = 5  # report pairs sharing at least this many fingerprints
+
+
+@query(
+    "q397_winnowing_pairs",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               [{_H64.format(x="substr(text, i, {k})").format(k=WIN_K)}
+                for i in range(1, greatest(length(text) - {WIN_K - 1}, 1) + 1)]
+                   AS hs
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               list_distinct([list_min(hs[i:i+{WIN_W - 1}])
+                   for i in range(1, greatest(len(hs) - {WIN_W - 1}, 1) + 1)])
+                   AS fps
+        FROM h
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, shared_fps
+    FROM p WHERE shared_fps >= {WIN_SHARED_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q397(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS plagiarism-detection algorithm):
+    hash every {k}-char gram, slide a {w}-hash window, keep each
+    window's MINIMUM — the selected set is guaranteed to share a
+    fingerprint with any copy that overlaps ≥ w+k−1 characters
+    (winnowing's coverage theorem), unlike q92's MinHash which bounds
+    SIMILARITY, not guaranteed substring detection. q100 keeps one
+    global min (a 1-sample sketch); this keeps the full winnowed set
+    and reports document pairs sharing ≥ {t} fingerprints — the
+    shared-boilerplate / copied-passage detector (q213 scores
+    boilerplate per SHINGLE frequency; this localizes which PAIRS
+    share verbatim runs). Keeping only the hash (not its position)
+    makes the window tie rule irrelevant — the set contract is pinned
+    without robust-winnowing's rightmost-tie clause.
+
+    Scale: per-document work is two row-local HOFs (hash array, then
+    window minima via slice — zero Python); pair generation is the
+    inverted-index equi-join on fingerprint (q91's shape), never
+    doc×doc. A hot fingerprint (corpus-wide boilerplate) fans out like
+    any hot shingle — the q91 df-cap guard is the documented remedy at
+    corpus scale."""
+    from ..functions.text import h64
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    n_pos = F.greatest(F.length("text") - (WIN_K - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: h64(F.col("text").substr(i, F.lit(WIN_K))),
+    )
+    h = docs.select("doc_id", hs.alias("hs"))
+    n_win = F.greatest(F.size("hs") - (WIN_W - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WIN_W)),
+        )
+    )
+    e = h.select("doc_id", F.explode(fps).alias("fp"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = e.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WIN_SHARED_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+q397.__doc__ = q397.__doc__.format(k=WIN_K, w=WIN_W, t=WIN_SHARED_T)
+
+
+# ----------------------- sample-ratio-mismatch (SRM) experiment guard ------
+# chi-square GoF vs 50/50 collapses to (O0-O1)^2/n — exact rational,
+# carried in 1e-9 units; 3.841 (chi2_1df, p=0.05) is the standard gate
+SRM_CRIT_Q9 = 3_841_000_000
+
+
+@query(
+    "q401_srm_check",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               {_H64.format(x="'exp1:' || CAST(user_id AS VARCHAR)")} % 2
+                   AS bucket
+        FROM events
+    ),
+    d AS (
+        SELECT CAST(floor(epoch_us(e.ts) / 86400000000) AS BIGINT) AS day,
+               a.bucket, e.user_id
+        FROM events e JOIN a ON e.user_id = a.user_id
+    ),
+    g AS (
+        SELECT day,
+               CAST(COUNT(DISTINCT CASE WHEN bucket = 0 THEN user_id END)
+                    AS BIGINT) AS n0,
+               CAST(COUNT(DISTINCT CASE WHEN bucket = 1 THEN user_id END)
+                    AS BIGINT) AS n1
+        FROM d GROUP BY day
+    )
+    SELECT day, n0, n1,
+           CAST((n0 - n1) * (n0 - n1) * 1000000000 // (n0 + n1) AS BIGINT)
+               AS chi2_q9,
+           CAST(CASE WHEN (n0 - n1) * (n0 - n1) * 1000000000
+                          // (n0 + n1) > {SRM_CRIT_Q9}
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM g ORDER BY day
+    """,
+)
+def q401(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the FIRST health check any A/B
+    readout must pass (an unbalanced split means broken assignment or
+    differential logging, and every downstream stat in q206/q348-q350
+    is garbage): daily distinct users per hash-assigned bucket, and
+    the 1-df chi-square goodness-of-fit against the designed 50/50,
+    which collapses algebraically to (n0−n1)²/n — EXACT rational,
+    carried in 1e-9 integer units with the standard 3.841 (p=0.05)
+    gate as an integer constant. No libm, no approximation: the one
+    experimentation statistic that needs no float at all. Assignment
+    is the shared md5 hash (deterministic, the q109/q268 split
+    family), so the driver hash pins assignment AND verdict.
+
+    Scale: one distinct-aggregate for assignment, one keyed join back
+    to events, one (day, bucket) distinct-count aggregate — the q30
+    two-level distinct discipline; the chi-square is row-local on the
+    O(days) table."""
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    a = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(
+                h64(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                F.lit(2),
+            ).alias("bucket"),
+        )
+    )
+    d = ev.join(a, "user_id").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+        "bucket",
+        "user_id",
+    )
+    g = d.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("bucket") == 0, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n0"),
+        F.countDistinct(
+            F.when(F.col("bucket") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n1"),
+    )
+    chi2 = F.expr(
+        "CAST((n0 - n1) * (n0 - n1) * 1000000000 div (n0 + n1) AS BIGINT)"
+    )
+    return g.select(
+        "day",
+        "n0",
+        "n1",
+        chi2.alias("chi2_q9"),
+        F.when(chi2 > SRM_CRIT_Q9, 1).otherwise(0).cast("long").alias(
+            "srm_flag"
+        ),
+    ).orderBy("day")

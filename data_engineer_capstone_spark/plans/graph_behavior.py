@@ -1679,3 +1679,202 @@ def q393(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q393.__doc__ = q393.__doc__.format(h=BOM_LEVELS)
+
+
+# ----------------------- harmonic centrality (multi-source BFS) -----------
+HC_SEEDS = 10
+HC_HOPS = 3
+HC_TOP = 20
+
+
+def _harmonic_sql() -> str:
+    hops = []
+    for h in range(2, HC_HOPS + 1):
+        hops.append(f"""
+    r{h} AS MATERIALIZED (
+        SELECT DISTINCT r.seed, u.nbr AS node
+        FROM r{h - 1} r JOIN und u ON u.node = r.node)""")
+    body = ",".join(hops)
+    unions = "\n        UNION ALL ".join(
+        f"SELECT seed, node, {h} AS d FROM r{h}"
+        for h in range(1, HC_HOPS + 1)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+    und AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ),
+    seeds AS MATERIALIZED (
+        SELECT node FROM (SELECT DISTINCT node FROM und)
+        ORDER BY node LIMIT {HC_SEEDS}
+    ),
+    r1 AS MATERIALIZED (
+        SELECT DISTINCT s.node AS seed, u.nbr AS node
+        FROM seeds s JOIN und u ON u.node = s.node
+    ),{body},
+    dist AS (
+        SELECT seed, node, MIN(d) AS d
+        FROM ({unions})
+        WHERE node <> seed GROUP BY seed, node
+    ),
+    h AS (
+        SELECT node, CAST(SUM(6 // d) AS BIGINT) AS h6,
+               CAST(COUNT(*) FILTER (WHERE d = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE d = 2) AS BIGINT) AS n2,
+               CAST(COUNT(*) FILTER (WHERE d = 3) AS BIGINT) AS n3
+        FROM dist GROUP BY node
+    )
+    SELECT node, h6, n1, n2, n3
+    FROM h ORDER BY h6 DESC, node LIMIT {HC_TOP}
+    """
+
+
+@query("q399_harmonic_centrality", oracle=_harmonic_sql())
+def q399(spark: SparkSession, sf: str) -> DataFrame:
+    """Harmonic centrality from {s} pivot seeds, {h}-hop bounded
+    multi-source BFS — Σ 1/d(seed, ·), the centrality that handles
+    disconnected graphs where closeness (1/Σd) degenerates, and the
+    standard pivot-sampling estimator (Eppstein-Wang) for exact
+    all-pairs being O(V·E): q200's PageRank scores by random-surfer
+    mass, q388's HITS by bipartite endorsement; harmonic is the
+    pure DISTANCE centrality — "how quickly can this part be reached
+    from anywhere". With hop distances ∈ {{1..{h}}} the harmonic sum
+    is exact on the 1/6-LCM integer grid (6/d ∈ {{6,3,2}}) — no
+    float division, ties pinned by node id.
+
+    Scale: one multi-source frontier carries (seed, node) pairs —
+    {s}× the single-source state, ONE traversal instead of {s}
+    sequential BFS runs; each hop is a keyed frontier⋈edges equi-join
+    + distinct, eagerly checkpointed (q324/q389 loop discipline);
+    first-reach distances resolve in one MIN aggregate at the end
+    instead of per-round anti-joins (the q367 later-arrivals-lose
+    trick inverted: MIN wins). Top-{t} is a TakeOrdered."""
+    und = (
+        _edges(spark, sf)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        und.select("node").distinct().orderBy("node").limit(HC_SEEDS)
+    )
+    frontier = (
+        und.join(seeds.withColumnRenamed("node", "s"), und.node == F.col("s"))
+        .select(F.col("s").alias("seed"), F.col("nbr").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = frontier.select("seed", "node", F.lit(1).alias("d"))
+    for h in range(2, HC_HOPS + 1):
+        frontier = (
+            frontier.join(und.withColumnRenamed("node", "fn"), frontier.node == F.col("fn"))
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(
+            frontier.select("seed", "node", F.lit(h).alias("d"))
+        )
+    dist = (
+        reached.where(F.col("node") != F.col("seed"))
+        .groupBy("seed", "node")
+        .agg(F.min("d").alias("d"))
+    )
+    hc = dist.groupBy("node").agg(
+        F.sum(F.expr("6 div d")).cast("long").alias("h6"),
+        F.sum((F.col("d") == 1).cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("d") == 2).cast("int")).cast("long").alias("n2"),
+        F.sum((F.col("d") == 3).cast("int")).cast("long").alias("n3"),
+    )
+    return hc.orderBy(F.desc("h6"), "node").limit(HC_TOP)
+
+
+# --------------------- dwell-time-weighted Markov transitions --------------
+@query(
+    "q402_dwell_time_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER w AS dst,
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST(total_dwell_us // n AS BIGINT) AS mean_dwell_us,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+               AS p_ppm,
+           CAST((total_dwell_us // 1000) * 1000000
+                // SUM(total_dwell_us // 1000) OVER (PARTITION BY src)
+                AS BIGINT) AS time_share_ppm
+    FROM t ORDER BY src, dst
+    """,
+)
+def q402(spark: SparkSession, sf: str) -> DataFrame:
+    """Dwell-time-weighted Markov transitions: q204's transition matrix
+    extended with HOW LONG users sit in each state before the hop —
+    mean dwell microseconds per (src, dst) and each destination's
+    share of the source's total dwell TIME, not just its click count.
+    The two shares answer different product questions: p_ppm is
+    "where do users go next", time_share_ppm is "where does their
+    TIME go" — a rare transition that absorbs most of the dwell is
+    invisible in q204 and dominant here (the semi-Markov process
+    view). All integers: dwell sums are exact micros, shares exact
+    ppm by integer division — unlike q204's rounded double p, nothing
+    floats.
+
+    Scale: identical to q204 — one LEAD window on the user_id
+    partitioning (dwell rides the SAME window as the destination,
+    zero extra shuffle), one hash aggregate to the bounded state×state
+    table; the share windows run over ≤25 rows."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead(us).over(w) - us).alias("dwell_us"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+    )
+    ws = W.partitionBy("src")
+    return (
+        t.select(
+            "src",
+            "dst",
+            "n",
+            F.expr("CAST(total_dwell_us div n AS BIGINT)").alias(
+                "mean_dwell_us"
+            ),
+            F.expr(
+                "CAST(n * 1000000 div (SUM(n) OVER (PARTITION BY src))"
+                " AS BIGINT)"
+            ).alias("p_ppm"),
+            # share on the millisecond grid: µs totals × 1e6 overflow
+            # BIGINT at the driver SF (1.4e13 µs per source state); the
+            # ms twin keeps the product under 2^63 through 100× growth
+            F.expr(
+                "CAST((total_dwell_us div 1000) * 1000000 div"
+                " (SUM(total_dwell_us div 1000) OVER (PARTITION BY src))"
+                " AS BIGINT)"
+            ).alias("time_share_ppm"),
+        )
+        .orderBy("src", "dst")
+    )

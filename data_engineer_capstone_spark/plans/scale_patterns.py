@@ -3376,3 +3376,255 @@ def q394(spark: SparkSession, sf: str) -> DataFrame:
         nd_delta.cast("long").alias("distinct_delta_ppm"),
         status.alias("status"),
     ).orderBy("col")
+
+
+# ------------------------- consistent-hashing ring (key-movement audit) ----
+CH_NODES = 8
+CH_VNODES = 32
+CH_M = 1 << 40
+CH_REMOVED = "node5"
+
+
+def _ring(exclude: str | None = None) -> tuple[list[int], list[str]]:
+    """Host-side ring derivation with the SAME md5 formula both engines
+    use (`_H64` twin): hashlib md5 of 'ring:<node>:<v>', first 15 hex
+    chars as an integer, mod 2^40. Bounded (nodes×vnodes) and pinned —
+    the literal-array lookup keeps per-key work row-local."""
+    import hashlib
+
+    pts = []
+    for n in range(CH_NODES):
+        name = f"node{n}"
+        if exclude is not None and name == exclude:
+            continue
+        for v in range(CH_VNODES):
+            h = int(hashlib.md5(f"ring:{name}:{v}".encode()).hexdigest()[:15], 16)
+            pts.append((h % CH_M, name))
+    pts.sort()
+    return [p for p, _ in pts], [n for _, n in pts]
+
+
+def _ch_sql() -> str:
+    from .extensions import _H64
+
+    kh = _H64.format(x="'key:' || CAST(o_orderkey AS VARCHAR)") + f" % {CH_M}"
+
+    def ring_cte(tag: str, exclude: str | None) -> str:
+        pred = "" if exclude is None else f"WHERE name <> '{exclude}'"
+        h = _H64.format(
+            x="'ring:' || name || ':' || CAST(v AS VARCHAR)"
+        )
+        return f"""
+    {tag}_vn AS (
+        SELECT name, v, {h} % {CH_M} AS pt
+        FROM (SELECT 'node' || CAST(unnest(range({CH_NODES})) AS VARCHAR)
+                  AS name) n,
+             (SELECT unnest(range({CH_VNODES})) AS v) vv
+        {pred}
+    ),
+    {tag} AS (
+        SELECT list(pt ORDER BY pt) AS pts, list(name ORDER BY pt) AS owners
+        FROM {tag}_vn
+    )"""
+
+    def owner(tag: str) -> str:
+        return (
+            f"{tag}.owners[(len(list_filter({tag}.pts, x -> x < kh))"
+            f" % len({tag}.pts)) + 1]"
+        )
+
+    return f"""
+    WITH {ring_cte("r1", None)},
+    {ring_cte("r2", CH_REMOVED)},
+    k AS (SELECT {kh} AS kh FROM orders),
+    asg AS (
+        SELECT {owner("r1")} AS before_node, {owner("r2")} AS after_node
+        FROM k CROSS JOIN r1 CROSS JOIN r2
+    ),
+    mv AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE before_node <> after_node)
+                    AS BIGINT) AS moved,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM asg
+    ),
+    pern AS (
+        SELECT 'node' || CAST(unnest(range({CH_NODES})) AS VARCHAR) AS node
+    )
+    SELECT p.node,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS keys_before,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS keys_after,
+           CAST(COALESCE(a.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS delta,
+           mv.moved, CAST(mv.moved * 1000000 // mv.total AS BIGINT)
+               AS moved_ppm
+    FROM pern p
+    LEFT JOIN (SELECT before_node, COUNT(*) AS n FROM asg
+               GROUP BY before_node) b ON b.before_node = p.node
+    LEFT JOIN (SELECT after_node, COUNT(*) AS n FROM asg
+               GROUP BY after_node) a ON a.after_node = p.node
+    CROSS JOIN mv
+    ORDER BY p.node
+    """
+
+
+@query("q398_consistent_hashing", oracle=_ch_sql())
+def q398(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistent-hashing ring with {v} virtual nodes per storage node —
+    the key-placement primitive under every distributed store and
+    shuffle service — audited through a node loss: per-node key load
+    before and after removing {r}, plus the moved-key fraction. The
+    theorem under test (and pinned by the driver hash): ONLY keys
+    owned by the removed node move (moved == its keys_before; every
+    other delta ≥ 0), the property naive `hash mod N` placement
+    catastrophically lacks (it moves ~(N−1)/N of ALL keys). q318's
+    reshard plan moves whole range shards; this is the hash-ring
+    alternative with per-key granularity.
+
+    Scale: the ring is bounded ({n}×{v} points), derived host-side
+    with the engines' shared md5 formula and embedded as SORTED
+    LITERAL ARRAYS; each key's owner is then a row-local
+    size(filter(pts, p < kh)) successor lookup — O(ring) arithmetic
+    inside codegen, NO join, no row amplification (the broadcast
+    non-equi join alternative would materialize ring/2 rows per key
+    before aggregating). Per-node loads are one hash aggregate."""
+    from ..functions.text import h64
+
+    pts1, own1 = _ring(None)
+    pts2, own2 = _ring(CH_REMOVED)
+    o = load_table(spark, sf, "orders").select(
+        F.pmod(
+            h64(F.concat(F.lit("key:"), F.col("o_orderkey").cast("string"))),
+            F.lit(CH_M),
+        ).alias("kh")
+    )
+
+    def owner_col(pts: list[int], owners: list[str]):
+        pa = F.array(*[F.lit(p) for p in pts])
+        oa = F.array(*[F.lit(n) for n in owners])
+        idx = F.size(F.filter(pa, lambda x: x < F.col("kh")))
+        return F.element_at(oa, (idx % F.lit(len(pts))) + 1)
+
+    asg = o.select(
+        owner_col(pts1, own1).alias("before_node"),
+        owner_col(pts2, own2).alias("after_node"),
+    ).localCheckpoint(eager=True)
+    mv = asg.agg(
+        F.sum((F.col("before_node") != F.col("after_node")).cast("int"))
+        .cast("long")
+        .alias("moved"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    pern = spark.createDataFrame(
+        [(f"node{i}",) for i in range(CH_NODES)], "node string"
+    )
+    b = asg.groupBy(F.col("before_node").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    a = asg.groupBy(F.col("after_node").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    return (
+        pern.join(F.broadcast(b), "node", "left")
+        .join(F.broadcast(a), "node", "left")
+        .crossJoin(F.broadcast(mv))
+        .select(
+            "node",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("keys_before"),
+            F.coalesce("na", F.lit(0)).cast("long").alias("keys_after"),
+            (F.coalesce("na", F.lit(0)) - F.coalesce("nb", F.lit(0)))
+            .cast("long")
+            .alias("delta"),
+            "moved",
+            F.expr("CAST(moved * 1000000 div total AS BIGINT)").alias(
+                "moved_ppm"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+q398.__doc__ = q398.__doc__.format(v=CH_VNODES, r=CH_REMOVED, n=CH_NODES)
+
+
+# --------------------------- positional phrase search ----------------------
+PHRASES = (("table", "hash"), ("customer", "join"))
+
+
+def _phrase_sql() -> str:
+    arms = "\n        UNION ALL ".join(
+        f"SELECT '{a} {b}' AS phrase, '{a}' AS w1, '{b}' AS w2"
+        for a, b in PHRASES
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'tok': w[i]}}
+                       for i in range(1, len(w) + 1)], recursive := true)
+        FROM t
+    ),
+    ph AS ({arms})
+    SELECT ph.phrase, a.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM ph
+    JOIN tok a ON a.tok = ph.w1
+    JOIN tok b ON b.doc_id = a.doc_id AND b.tok = ph.w2
+              AND b.pos = a.pos + 1
+    GROUP BY ph.phrase, a.doc_id
+    ORDER BY phrase, a.doc_id
+    """
+
+
+@query("q400_phrase_search", oracle=_phrase_sql())
+def q400(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase search: exact adjacent-token phrase matches per
+    document from a POSITIONAL inverted index — the search-engine
+    primitive q216's document-level postings cannot answer (df tells
+    you both words occur; only positions prove they occur ADJACENT).
+    Per (phrase, doc): match count and first position — the fields a
+    snippet generator consumes. The classic postings-intersection
+    plan: each phrase word's postings list equi-joins on (doc,
+    pos+1) — never a scan of the text at query time.
+
+    Scale: tokenize+posexplode is one row-local pass building the
+    (token, doc, pos) index (persistable/bucketable by token at
+    100 TB); each phrase is a keyed self-join of two postings slices
+    — the selective word's postings bound the work, and a phrase
+    cache keyed by (w1, w2) makes repeats free. Zero Python, zero
+    regex at match time."""
+    from ..functions.text import words
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    tok = tok.localCheckpoint(eager=True)
+    ph = spark.createDataFrame(
+        [(f"{a} {b}", a, b) for a, b in PHRASES],
+        "phrase string, w1 string, w2 string",
+    )
+    a = tok.join(F.broadcast(ph), tok.tok == F.col("w1")).select(
+        "phrase", "w2", "doc_id", "pos"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos") + 1)
+            & (F.col("tok_b") == F.col("w2")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
+    )

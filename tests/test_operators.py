@@ -838,3 +838,48 @@ def test_distributed_cummax_matches_window(spark, sf_dir):
         for r in ev.withColumn("wm", F.max("t").over(w)).collect()
     }
     assert got == want
+
+
+def test_consistent_hashing_only_removed_node_moves(spark, sf_dir):
+    """q398's theorem: removing a node moves EXACTLY that node's keys —
+    its delta is -keys_before, every survivor's delta is >= 0, and the
+    global moved count equals the removed node's prior load."""
+    from data_engineer_capstone_spark.plans.scale_patterns import (
+        CH_REMOVED,
+        q398,
+    )
+
+    rows = {r["node"]: r for r in q398(spark, sf_dir).collect()}
+    gone = rows[CH_REMOVED]
+    assert gone["keys_after"] == 0
+    assert gone["delta"] == -gone["keys_before"]
+    assert gone["moved"] == gone["keys_before"]
+    for node, r in rows.items():
+        if node != CH_REMOVED:
+            assert r["delta"] >= 0, node
+
+
+def test_merkle_diff_localizes_exact_mutation_leaves(spark, sf_dir):
+    """q376 must report exactly the leaf ranges containing a mutated or
+    deleted key — no false positives, no misses."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.plans.scale_patterns import (
+        MERKLE_LEAF_W,
+        q376,
+    )
+
+    got = {r["leaf"] for r in q376(spark, sf_dir).collect()}
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    want = {
+        k // MERKLE_LEAF_W
+        for k in keys
+        if k % 997 == 0 or k % 991 == 3
+    }
+    assert got == want

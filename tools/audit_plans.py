@@ -73,6 +73,8 @@ EXPECTED = {
     "q395_isotonic_calibration": {"BroadcastNestedLoopJoin"},
     # 1-row rank total + good/bad totals + IV scalar onto the 10-bin table
     "q396_woe_information_value": {"BroadcastNestedLoopJoin"},
+    # 1-row moved/total scalar crossed onto the 8-row per-node report
+    "q398_consistent_hashing": {"BroadcastNestedLoopJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
