@@ -166,7 +166,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q396_woe_information_value", "q397_winnowing_pairs",
     "q398_consistent_hashing", "q399_harmonic_centrality",
     "q400_phrase_search", "q401_srm_check",
-    "q402_dwell_time_transitions",
+    "q402_dwell_time_transitions", "q403_lorenz_curve",
+    "q404_quantile_treatment_effects",
 )
 
 

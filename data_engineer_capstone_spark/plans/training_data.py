@@ -3895,3 +3895,195 @@ def q396(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q396.__doc__ = q396.__doc__.format(b=WOE_BINS)
+
+
+# ------------------------------ Lorenz curve (decile points) ---------------
+@query(
+    "q403_lorenz_curve",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    w AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rnk,
+               SUM(cents) OVER (ORDER BY cents, o_custkey
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM r
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS tot FROM r),
+    d AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(w.rnk AS BIGINT) AS cum_customers,
+           CAST(w.rnk * 1000000 // t.n AS BIGINT) AS pop_ppm,
+           CAST(w.cum * 1000000 // t.tot AS BIGINT) AS spend_ppm
+    FROM d CROSS JOIN t
+    JOIN w ON w.rnk = (d.decile * t.n) // 10
+    ORDER BY decile
+    """,
+)
+def q403(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve of customer spend at decile points — the CURVE whose
+    area q310's Gini collapses to one number: customers sorted by total
+    spend ascending, and at each population decile the cumulative spend
+    share in exact ppm ("the bottom 50% of customers hold X% of
+    revenue" — the concentration statement executives actually quote,
+    which a Gini of 0.43 does not convey). q379's HHI reads the TOP of
+    the distribution; the Lorenz curve reads its whole shape.
+
+    Scale: one hash aggregate to customer grain, then ONE
+    `distributed_cumsum` range exchange mints the global rank AND the
+    cumulative spend together (rank_name — two outputs, one exchange,
+    and tie placement between them cannot diverge); decile points are
+    an equi-join on 10 computed ranks. The oracle's partitionless
+    windows are exactly the shape the cumsum replaces."""
+    from ..functions.refops import distributed_cumsum
+
+    r = load_table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = distributed_cumsum(
+        r, ["cents", "o_custkey"], "cents", name="cum", rank_name="rnk"
+    )
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    d = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .join(w, F.col("rnk") == F.expr("(decile * n) div 10"))
+        .select(
+            "decile",
+            F.col("rnk").alias("cum_customers"),
+            F.expr("CAST(rnk * 1000000 div n AS BIGINT)").alias("pop_ppm"),
+            F.expr("CAST(cum * 1000000 div tot AS BIGINT)").alias(
+                "spend_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+# --------------------- quantile treatment effects (distributional) ---------
+@query(
+    "q404_quantile_treatment_effects",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 AS grp
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    ),
+    w AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                    ORDER BY cents, user_id) AS r
+        FROM u
+    ),
+    n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY grp),
+    d AS (SELECT unnest(range(1, 10)) AS decile),
+    pick AS (
+        SELECT d.decile, n.grp, w.cents
+        FROM d JOIN n ON TRUE
+        JOIN w ON w.grp = n.grp
+               AND w.r = (d.decile * n.n + 9) // 10
+    )
+    SELECT CAST(a.decile AS BIGINT) AS decile,
+           a.cents AS q_ctrl_cents, b.cents AS q_treat_cents,
+           CAST(b.cents - a.cents AS BIGINT) AS qte_cents
+    FROM pick a JOIN pick b ON a.decile = b.decile
+    WHERE a.grp = 0 AND b.grp = 1
+    ORDER BY decile
+    """,
+)
+def q404(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile treatment effects: the treated-minus-control gap at each
+    outcome decile under q401's hash assignment — the DISTRIBUTIONAL
+    readout the causal suite lacked: q206's z-score and q348's CUPED
+    measure the MEAN shift; QTE shows whether a treatment lifts the
+    tail, the median, or just the whales (a zero average with +20% at
+    d9 and −20% at d1 is a redistribution, not a null result).
+    Quantiles are exact rank selection (percentile_disc semantics,
+    rank = ceil(d·n/10) pinned as (d·n+9) div 10), ties to user_id.
+
+    Scale: per-user outcome is one hash aggregate. Per-group ranks do
+    NOT use a per-group window (2 groups = 2 hot partitions): ONE
+    global `deterministic_id` rank over (grp, cents, user) minus a
+    broadcast per-group offset gives the within-group rank from a
+    single range exchange — the hot-partition-free construction (the
+    oracle's PARTITION BY grp window is the shape it replaces).
+    Decile picks are a broadcast equi-join on 18 computed ranks."""
+    from ..functions.refops import deterministic_id
+    from ..functions.text import h64
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "user_id",
+            "cents",
+            F.pmod(
+                h64(
+                    F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("grp"),
+        )
+    )
+    ranked = deterministic_id(
+        u, ["grp", "cents", "user_id"], name="gr", fact_scale=True
+    )
+    n = u.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    # per-group offset from the bounded 2-row group table (window over 2 rows)
+    off = n.select(
+        "grp",
+        "ng",
+        F.coalesce(
+            F.sum("ng").over(
+                W.orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    w = ranked.join(F.broadcast(off), "grp").select(
+        "grp", "cents", "ng", (F.col("gr") - F.col("off")).alias("r")
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    pick = w.join(
+        F.broadcast(d),
+        F.col("r") == F.expr("(decile * ng + 9) div 10"),
+    ).select("decile", "grp", "cents")
+    a = pick.where(F.col("grp") == 0).select(
+        "decile", F.col("cents").alias("q_ctrl_cents")
+    )
+    b = pick.where(F.col("grp") == 1).select(
+        "decile", F.col("cents").alias("q_treat_cents")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            "q_ctrl_cents",
+            "q_treat_cents",
+            (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+            .cast("long")
+            .alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )

@@ -75,6 +75,10 @@ EXPECTED = {
     "q396_woe_information_value": {"BroadcastNestedLoopJoin"},
     # 1-row moved/total scalar crossed onto the 8-row per-node report
     "q398_consistent_hashing": {"BroadcastNestedLoopJoin"},
+    # 1-row (n, tot) scalar + 10-row decile table onto the cumulative axis
+    "q403_lorenz_curve": {"BroadcastNestedLoopJoin"},
+    # 9-row decile table broadcast onto the ranked outcomes (q327 class)
+    "q404_quantile_treatment_effects": {"BroadcastNestedLoopJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
@@ -288,6 +292,7 @@ GLOBAL_WINDOW_OK = {
     "q375_apportionment",  # remainder rank over 25 nations; D'Hondt rank over the bounded 25×1000 quotient table
     "q388_hits_hubs_authorities",  # rank over the TakeOrdered LIMIT-15 lists (q325 class)
     "q395_isotonic_calibration",  # prefix sums over the bounded 20-bin table (q334 class)
+    "q404_quantile_treatment_effects",  # offset window over the 2-row group table
 }
 
 
