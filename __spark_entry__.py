@@ -167,7 +167,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q398_consistent_hashing", "q399_harmonic_centrality",
     "q400_phrase_search", "q401_srm_check",
     "q402_dwell_time_transitions", "q403_lorenz_curve",
-    "q404_quantile_treatment_effects",
+    "q404_quantile_treatment_effects", "q405_bitemporal_asof",
 )
 
 

@@ -3628,3 +3628,132 @@ def q400(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("phrase", "doc_id")
     )
+
+
+# ------------------------------- bitemporal AS OF (valid + tx time) --------
+@query(
+    "q405_bitemporal_asof",
+    oracle="""
+    WITH bi AS (
+        SELECT c_custkey, DATE '2020-01-01' AS valid_from,
+               DATE '2020-01-02' AS tx_from,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, DATE '2020-01-01', DATE '2024-02-01',
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 777
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, DATE '2024-06-01', DATE '2024-06-02',
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 2
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    pick AS (
+        SELECT c_custkey, tx_cut, bal_cents,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey, tx_cut
+                    ORDER BY valid_from DESC, tx_from DESC) AS rn
+        FROM bi
+        CROSS JOIN (SELECT unnest([DATE '2024-03-01', DATE '2025-01-01'])
+                        AS tx_cut)
+        WHERE valid_from <= DATE '2024-07-01' AND tx_from <= tx_cut
+    ),
+    p AS (SELECT c_custkey, tx_cut, bal_cents FROM pick WHERE rn = 1)
+    SELECT a.c_custkey,
+           a.bal_cents AS bal_known_2024_03,
+           b.bal_cents AS bal_known_2025_01,
+           CAST(CASE WHEN a.bal_cents <> b.bal_cents THEN 1 ELSE 0 END
+                AS BIGINT) AS restated
+    FROM p a JOIN p b ON a.c_custkey = b.c_custkey
+    WHERE a.tx_cut = DATE '2024-03-01' AND b.tx_cut = DATE '2025-01-01'
+    ORDER BY a.c_custkey
+    """,
+)
+def q405(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal AS OF: "what balance was effective on valid-date V, as
+    the system KNEW it at transaction-time T" — the two-clock query
+    behind every financial restatement audit, which the registry's
+    single-clock members cannot answer (q296 replays TRANSACTION time
+    only, q301 joins VALID time only, q126 versions one axis). The
+    deterministic bitemporal dim carries an original load, a late
+    CORRECTION recorded 2024-02 for keys ≡0 mod 3 (same validity,
+    newer knowledge), and a genuine NEW VALID PERIOD for keys ≡0 mod
+    5; querying the same V under two knowledge cutoffs exposes exactly
+    the corrected keys as restated — the driver hash pins both
+    readings and the restatement set. Resolution rule pinned: max
+    valid_from ≤ V, then max tx_from ≤ T (rank, no composite arg-max).
+
+    Scale: the dim is row-local unions of the customer scan; each
+    cutoff's pick is one rank over the per-key version group
+    (partitioned window, ≤3 rows per key); the restatement compare is
+    a self-join on the key. At a billion-key dim the same plan holds —
+    versions-per-key stays bounded."""
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal0"),
+    )
+    bi = (
+        c.select(
+            "c_custkey",
+            F.lit("2020-01-01").cast("date").alias("valid_from"),
+            F.lit("2020-01-02").cast("date").alias("tx_from"),
+            F.col("bal0").alias("bal_cents"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 3 == 0).select(
+                "c_custkey",
+                F.lit("2020-01-01").cast("date").alias("valid_from"),
+                F.lit("2024-02-01").cast("date").alias("tx_from"),
+                (F.col("bal0") + 777).alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey",
+                F.lit("2024-06-01").cast("date").alias("valid_from"),
+                F.lit("2024-06-02").cast("date").alias("tx_from"),
+                (F.col("bal0") * 2).alias("bal_cents"),
+            )
+        )
+    )
+    cuts = spark.createDataFrame(
+        [("2024-03-01",), ("2025-01-01",)], "tx_cut string"
+    ).select(F.col("tx_cut").cast("date").alias("tx_cut"))
+    wp = W.partitionBy("c_custkey", "tx_cut").orderBy(
+        F.desc("valid_from"), F.desc("tx_from")
+    )
+    pick = (
+        bi.where(F.col("valid_from") <= F.lit("2024-07-01").cast("date"))
+        .crossJoin(F.broadcast(cuts))
+        .where(F.col("tx_from") <= F.col("tx_cut"))
+        .select(
+            "c_custkey",
+            "tx_cut",
+            "bal_cents",
+            F.row_number().over(wp).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .localCheckpoint(eager=True)
+    )
+    a = pick.where(F.col("tx_cut") == F.lit("2024-03-01").cast("date")).select(
+        "c_custkey", F.col("bal_cents").alias("bal_known_2024_03")
+    )
+    b = pick.where(F.col("tx_cut") == F.lit("2025-01-01").cast("date")).select(
+        "c_custkey", F.col("bal_cents").alias("bal_known_2025_01")
+    )
+    return (
+        a.join(b, "c_custkey")
+        .select(
+            "c_custkey",
+            "bal_known_2024_03",
+            "bal_known_2025_01",
+            F.when(
+                F.col("bal_known_2024_03") != F.col("bal_known_2025_01"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("restated"),
+        )
+        .orderBy("c_custkey")
+    )

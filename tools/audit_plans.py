@@ -79,6 +79,10 @@ EXPECTED = {
     "q403_lorenz_curve": {"BroadcastNestedLoopJoin"},
     # 9-row decile table broadcast onto the ranked outcomes (q327 class)
     "q404_quantile_treatment_effects": {"BroadcastNestedLoopJoin"},
+    # the restatement diff self-joins the two knowledge cutoffs' picks on
+    # the key — post-checkpoint stats unknown → static SMJ; at a
+    # billion-key dim the keyed SMJ IS the plan (q381 argument)
+    "q405_bitemporal_asof": {"SortMergeJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
