@@ -57,6 +57,12 @@ HEADLINE = [
     # heaviest new join topology of the batch (edge derivation self-join,
     # orientation joins, wedge self-join, closure join)
     "q335_triangle_count",
+    # round-4 session-3 additions: the normalized-iteration loop (HITS —
+    # 4 keyed join+agg rounds with integer renormalization broadcasts)
+    # and the prefix-max machinery (watermark audit — distributed_cummax
+    # + distributed_cumsum, two range exchanges + offset jobs)
+    "q388_hits_hubs_authorities",
+    "q392_watermark_lag_audit",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -84,6 +90,10 @@ MIN_OF_RUNS = {
     # two eager checkpoints (edge list, oriented list) + 5 joins — same
     # fixed-overhead class
     "q335_triangle_count",
+    # 8 checkpointed join+agg rounds (HITS) — same fixed-overhead class
+    "q388_hits_hubs_authorities",
+    # two range exchanges + two O(partitions) offset-collect jobs — same
+    "q392_watermark_lag_audit",
     # q21 drifted 1.45 -> 1.80 -> 2.07 s across round medians with a
     # byte-identical executed plan (AQE double-broadcast star join,
     # two-stage agg; profiled round 4: standalone 8-run median 1.27 s,
