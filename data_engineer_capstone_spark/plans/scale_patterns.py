@@ -3757,3 +3757,115 @@ def q405(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------- backfill-range planner -----------------------
+BACKFILL_MIN_EVENTS = 60  # a (type, day) partition below this needs a refill
+
+
+@query(
+    "q406_backfill_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    spine AS (
+        SELECT t.event_type, s.day
+        FROM (SELECT DISTINCT event_type FROM d) t,
+             (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) s
+    ),
+    gaps AS (
+        SELECT sp.event_type, sp.day,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        FROM spine sp LEFT JOIN d
+          ON d.event_type = sp.event_type AND d.day = sp.day
+        WHERE COALESCE(d.n, 0) < {BACKFILL_MIN_EVENTS}
+    ),
+    isl AS (
+        SELECT event_type, day, n,
+               day - ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS grp
+        FROM gaps
+    )
+    SELECT event_type,
+           CAST(MIN(day) AS BIGINT) AS range_start_day,
+           CAST(MAX(day) AS BIGINT) AS range_end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS rows_present,
+           CAST(COUNT(*) * {BACKFILL_MIN_EVENTS} - SUM(n) AS BIGINT)
+               AS rows_short
+    FROM isl GROUP BY event_type, grp
+    ORDER BY event_type, range_start_day
+    """,
+)
+def q406(spark: SparkSession, sf: str) -> DataFrame:
+    """Backfill-range planner: per event type, the CONTIGUOUS day ranges
+    whose partitions are missing or underfilled (< {k} rows) — the
+    work-order a backfill orchestrator actually consumes (one job per
+    range, not per day), with the row deficit per range for capacity
+    planning. Completes the gap family: q166 lists missing scalar IDs,
+    q112 FILLS value gaps, q134 mints the spine — none plans REPAIR
+    WORK; and the ranges come from the islands construction (day −
+    row_number is constant within a consecutive run) that q117/q354
+    apply to sessions, here applied to the calendar.
+
+    Scale: one hash aggregate to (type, day), a bounded spine
+    anti/left join (types×days), and the islands window runs
+    partitioned by type over the bounded day support — the q326
+    argument. Output is O(ranges), ready to feed a job scheduler."""
+    ev = load_table(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
+        eager=True
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    gaps = (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+        .where(F.col("n") < BACKFILL_MIN_EVENTS)
+    )
+    wi = W.partitionBy("event_type").orderBy("day")
+    isl = gaps.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("day") - F.row_number().over(wi)).alias("grp"),
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").cast("long").alias("range_start_day"),
+            F.max("day").cast("long").alias("range_end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("rows_present"),
+            (F.count(F.lit(1)) * BACKFILL_MIN_EVENTS - F.sum("n"))
+            .cast("long")
+            .alias("rows_short"),
+        )
+        .drop("grp")
+        .orderBy("event_type", "range_start_day")
+    )
+
+
+q406.__doc__ = q406.__doc__.format(k=BACKFILL_MIN_EVENTS)

@@ -83,6 +83,8 @@ EXPECTED = {
     # the key — post-checkpoint stats unknown → static SMJ; at a
     # billion-key dim the keyed SMJ IS the plan (q381 argument)
     "q405_bitemporal_asof": {"SortMergeJoin"},
+    # 1-row day-bounds scalar crossed onto the bounded type spine
+    "q406_backfill_plan": {"BroadcastNestedLoopJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
