@@ -168,7 +168,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q400_phrase_search", "q401_srm_check",
     "q402_dwell_time_transitions", "q403_lorenz_curve",
     "q404_quantile_treatment_effects", "q405_bitemporal_asof",
-    "q406_backfill_plan",
+    "q406_backfill_plan", "q407_price_volume_mix",
+    "q408_ljung_box_portmanteau",
 )
 
 

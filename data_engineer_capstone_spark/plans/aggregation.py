@@ -3475,3 +3475,327 @@ def q390(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------- price-volume-mix revenue bridge ----------------
+PVM_M0 = "2001-06-01"
+PVM_M1 = "2001-07-01"
+
+
+@query(
+    "q407_price_volume_mix",
+    oracle=f"""
+    WITH li AS (
+        SELECT p.p_brand,
+               CASE WHEN date_trunc('month', o.o_orderdate)
+                         = DATE '{PVM_M0}' THEN 0 ELSE 1 END AS per,
+               CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE date_trunc('month', o.o_orderdate)
+              IN (DATE '{PVM_M0}', DATE '{PVM_M1}')
+    ),
+    g AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN per = 0 THEN qty ELSE 0 END) AS BIGINT)
+                   AS q0,
+               CAST(SUM(CASE WHEN per = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS r0,
+               CAST(SUM(CASE WHEN per = 1 THEN qty ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(SUM(CASE WHEN per = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS r1
+        FROM li GROUP BY p_brand
+    ),
+    fx AS (
+        SELECT p_brand, q0, r0, q1, r1, r1 - r0 AS delta,
+               CASE WHEN q0 = 0 OR q1 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE r1 - (q1 * r0) // q0 END AS price_eff,
+               CASE WHEN q0 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE ((q1 - q0) * r0) // q0 END AS volume_eff
+        FROM g
+    )
+    SELECT p_brand, q0, q1, r0 AS rev0_cents, r1 AS rev1_cents,
+           CAST(delta AS BIGINT) AS delta_cents,
+           price_eff AS price_effect_cents,
+           volume_eff AS volume_effect_cents,
+           CAST(delta - price_eff - volume_eff AS BIGINT)
+               AS mix_residual_cents
+    FROM fx ORDER BY p_brand
+    """,
+)
+def q407(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between two months, per part
+    brand — the CFO-grade decomposition of ΔRevenue into "we charged
+    more" (price effect: q1·Δp̄), "we sold more" (volume effect:
+    Δq·p̄0), and the mix/new/discontinued residual — which q260's MoM
+    growth rates and q174's contribution shares do not separate. The
+    bridge CLOSES EXACTLY by construction: effects are floor-quantized
+    on the cent grid and the residual absorbs the remainder, so
+    delta = price + volume + mix holds row-for-row (the accountant's
+    requirement, pinned by the driver hash). Brands absent from a
+    month route the whole delta to the residual (new/discontinued —
+    the standard convention).
+
+    Scale: one three-way keyed join (lineitem⋈orders filtered to two
+    months — partition pruning at 100 TB — ⋈part dims), one hash
+    aggregate to the brand×period grain; all bridge arithmetic is
+    row-local integer math on the bounded brand table."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.trunc("o_orderdate", "month").alias("m")
+    ).where(F.col("m").isin(PVM_M0, PVM_M1))
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.when(F.col("m") == PVM_M0, 0).otherwise(1).alias("per"),
+            "qty",
+            "cents",
+        )
+    )
+    g = j.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("per") == 0, F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(F.col("per") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r0"),
+        F.sum(F.when(F.col("per") == 1, F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("per") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+    )
+    price_eff = F.expr(
+        "CASE WHEN q0 = 0 OR q1 = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE r1 - (q1 * r0) div q0 END"
+    )
+    volume_eff = F.expr(
+        "CASE WHEN q0 = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE ((q1 - q0) * r0) div q0 END"
+    )
+    return (
+        g.select(
+            "p_brand",
+            "q0",
+            "q1",
+            F.col("r0").alias("rev0_cents"),
+            F.col("r1").alias("rev1_cents"),
+            (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+            price_eff.cast("long").alias("price_effect_cents"),
+            volume_eff.cast("long").alias("volume_effect_cents"),
+            (
+                (F.col("r1") - F.col("r0")) - price_eff - volume_eff
+            )
+            .cast("long")
+            .alias("mix_residual_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -------------------- portmanteau autocorrelation (Ljung-Box Q) ------------
+LB_MAX_LAG = 5
+LB_CRIT_Q12 = 11_070_000_000_000  # chi2(5 df, p=0.05) = 11.070 on the 1e12 grid
+
+
+def _ljung_box_sql() -> str:
+    from ._util import sql_round_det
+
+    lag_cte = """
+    p{k} AS (
+        SELECT a.g, a.x AS x, b.x AS y
+        FROM s a JOIN s b ON a.g = b.g AND b.day = a.day + {k}
+    ),
+    m{k} AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM p{k} GROUP BY g
+    ),
+    r{k} AS (
+        SELECT g,
+               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy) <= 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(
+                        (CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * sy)
+                        / sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy))
+                        * 1e6 + 0.5) AS BIGINT) END AS rq
+        FROM m{k}
+    )"""
+    ctes = ",".join(
+        lag_cte.format(k=k) for k in range(1, LB_MAX_LAG + 1)
+    )
+    rho_cols = ", ".join(
+        f"CAST(r{k}.rq AS DOUBLE) / 1e6 AS rho{k}" for k in range(1, LB_MAX_LAG + 1)
+    )
+    q_terms = " + ".join(
+        f"r{k}.rq * r{k}.rq // (nn.n - {k})" for k in range(1, LB_MAX_LAG + 1)
+    )
+    joins = " ".join(
+        f"JOIN r{k} ON r{k}.g = nn.g" for k in range(1, LB_MAX_LAG + 1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT event_type AS g,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events WHERE value IS NOT NULL GROUP BY g, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    spine AS (
+        SELECT t.g, s.day
+        FROM (SELECT DISTINCT g FROM d) t,
+             (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) s
+    ),
+    s AS (
+        SELECT spine.g, spine.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+        FROM spine LEFT JOIN d ON d.g = spine.g AND d.day = spine.day
+    ),
+    nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g),
+    {ctes}
+    SELECT nn.g AS event_type, nn.n AS n_days, {rho_cols},
+           CAST(nn.n * (nn.n + 2) * ({q_terms}) AS BIGINT) AS q_stat_q12,
+           CAST(CASE WHEN nn.n * (nn.n + 2) * ({q_terms})
+                          > {LB_CRIT_Q12}
+                THEN 0 ELSE 1 END AS BIGINT) AS white_noise
+    FROM nn {joins}
+    ORDER BY event_type
+    """
+
+
+@query("q408_ljung_box_portmanteau", oracle=_ljung_box_sql())
+def q408(spark: SparkSession, sf: str) -> DataFrame:
+    """Portmanteau white-noise test (Ljung-Box form) on each type's
+    daily-revenue series: Pearson autocorrelations at lags 1..{K} and
+    Q = n(n+2)·Σ ρ²_k/(n−k) against the χ²({K}) 5% gate — "is there ANY
+    serial structure left", the residual-diagnostic every forecasting
+    loop (q371's backtest) runs before trusting a model, and the
+    whole-series complement of q170 (per-user lag-1 only) and q385
+    (CROSS-type lags only — its gb > ga join never pairs a series with
+    itself). Gap-filled day spine so lag alignment is calendar-true.
+
+    Cross-engine: q170's recipe per lag — integer-cent moments, one
+    pinned double formula, floor to 1e-6 — then the Q statistic is
+    PURE INTEGER arithmetic on the quantized ρ's (per-term
+    ρq²/(n−k) floor-divided, scaled n(n+2)), with the χ² critical
+    value as an integer constant on the same 1e-12 grid. Scale: one
+    hash aggregate to (type, day); the {K} lag self-joins and moment
+    aggregates all run on the bounded types×days table."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with family)
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("c")
+    ).localCheckpoint(eager=True)
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    s = (
+        d.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .join(d, ["g", "day"], "left")
+        .select("g", "day", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    nn = s.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def rho(k: int) -> DataFrame:
+        b = s.select(
+            F.col("g").alias("gb"), F.col("day").alias("db"), F.col("x").alias("y")
+        )
+        m = (
+            s.join(
+                b,
+                (F.col("gb") == F.col("g"))
+                & (F.col("db") == F.col("day") + k),
+            )
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            )
+        )
+        nd = F.col("n").cast("double")
+        vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sx").cast("double")
+        vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        rq = (
+            F.when(vx * vy <= 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(cov / F.sqrt(vx * vy) * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+        )
+        return m.select("g", rq.alias(f"rq{k}"))
+
+    out = nn
+    for k in range(1, LB_MAX_LAG + 1):
+        out = out.join(rho(k), "g")
+    q_terms = " + ".join(
+        f"rq{k} * rq{k} div (n - {k})" for k in range(1, LB_MAX_LAG + 1)
+    )
+    qs = F.expr(f"CAST(n * (n + 2) * ({q_terms}) AS BIGINT)")
+    return out.select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_days"),
+        *[
+            (F.col(f"rq{k}").cast("double") / F.lit(1e6)).alias(f"rho{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
+        qs.alias("q_stat_q12"),
+        F.when(qs > LB_CRIT_Q12, 0).otherwise(1).cast("long").alias(
+            "white_noise"
+        ),
+    ).orderBy("event_type")
+
+
+q408.__doc__ = q408.__doc__.format(K=LB_MAX_LAG)

@@ -85,6 +85,12 @@ EXPECTED = {
     "q405_bitemporal_asof": {"SortMergeJoin"},
     # 1-row day-bounds scalar crossed onto the bounded type spine
     "q406_backfill_plan": {"BroadcastNestedLoopJoin"},
+    # lineitem⋈month-filtered-orders is a fact-fact keyed join (filtered
+    # stats unknown → static SMJ; AQE broadcasts at test scale — q363)
+    "q407_price_volume_mix": {"SortMergeJoin"},
+    # 1-row day-bounds scalar for the spine; the 5 lag self-joins key on
+    # the expression day+k over the bounded types×days series (q385 class)
+    "q408_ljung_box_portmanteau": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     # declared bounded-n exact baseline (q94/q95/q372 class): full pair
     # space over the 500-vector embeddings table; at corpus scale the
     # reciprocity filter runs over q96/q106 ANN candidate lists. The
