@@ -169,7 +169,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q402_dwell_time_transitions", "q403_lorenz_curve",
     "q404_quantile_treatment_effects", "q405_bitemporal_asof",
     "q406_backfill_plan", "q407_price_volume_mix",
-    "q408_ljung_box_portmanteau",
+    "q408_ljung_box_portmanteau", "q409_covariate_shift_ess",
+    "q410_nested_percentiles",
 )
 
 

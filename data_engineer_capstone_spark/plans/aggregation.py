@@ -3799,3 +3799,244 @@ def q408(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q408.__doc__ = q408.__doc__.format(K=LB_MAX_LAG)
+
+
+# -------------------- covariate shift: density-ratio weights + ESS ---------
+@query(
+    "q409_covariate_shift_ess",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        FROM events WHERE value IS NOT NULL
+    ),
+    mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM ev),
+    c AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (WHERE day < m) AS BIGINT) AS n_old,
+               CAST(COUNT(*) FILTER (WHERE day >= m) AS BIGINT) AS n_new
+        FROM ev CROSS JOIN mid GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS so,
+                 CAST(SUM(n_new) AS BIGINT) AS sn FROM c),
+    w AS (
+        SELECT bin, n_old, n_new,
+               CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)
+                    ELSE LEAST((n_new * so * 1000000) // (n_old * sn),
+                               100000000) END AS w_ppm
+        FROM c CROSS JOIN t
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_old * w_ppm) AS BIGINT) AS sw,
+               CAST(SUM(n_old * w_ppm * w_ppm) AS BIGINT) AS sw2,
+               CAST(SUM(CASE WHEN n_old = 0 THEN n_new ELSE 0 END)
+                    AS BIGINT) AS uncovered_new
+        FROM w
+    ),
+    f AS (
+        SELECT t.so, t.sn, agg.uncovered_new, agg.sw, agg.sw2,
+               CASE WHEN agg.sw2 // 1000000 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (agg.sw // 1000) * (agg.sw // 1000)
+                         // (agg.sw2 // 1000000) END AS ess
+        FROM t CROSS JOIN agg
+    )
+    SELECT f.so AS n_old, f.sn AS n_new,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_bins,
+           f.uncovered_new,
+           CAST(f.sw // 1000000 AS BIGINT) AS sum_w,
+           CAST(f.ess AS BIGINT) AS ess,
+           CAST(CASE WHEN f.so = 0 THEN 0
+                ELSE f.ess * 1000000 // f.so END AS BIGINT) AS ess_ppm
+    FROM f
+    """,
+)
+def q409(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariate-shift audit with importance weights and effective
+    sample size: bin the metric, form the density-ratio weight
+    w(bin) = p_new/p_old on an exact ppm grid, and report
+    ESS = (Σw)²/Σw² over the OLD sample — the retraining-trigger
+    number: reweighting old data to match the new distribution is
+    viable while ESS stays near n_old and hopeless when a few bins
+    carry all the mass (Kish's formula; ESS_ppm is the fraction
+    retained). q384/q309/q359 SCORE drift; this answers the next
+    question — "can I fix it by reweighting, or must I resample?" —
+    plus uncovered_new counts mass in bins old data never saw (no
+    weight can repair those). Weights are CLIPPED at 100x (standard
+    clipped importance sampling — an unclipped rare-bin ratio would
+    both overflow the integer grid and dominate ESS). All integer:
+    ratio and ESS are div arithmetic on BIGINT counts, no float
+    anywhere.
+
+    Scale: one hash aggregate to the bounded bin support, one 1-row
+    split broadcast, one final aggregate — q384's exact plan shape
+    with a different statistic on top."""
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 5000"
+        ).alias("bin"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    mid = e.agg(
+        F.expr("CAST((MIN(day) + MAX(day) + 1) div 2 AS BIGINT)").alias("m")
+    )
+    c = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("day") >= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = c.agg(
+        F.sum("n_old").cast("long").alias("so"),
+        F.sum("n_new").cast("long").alias("sn"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    w = c.crossJoin(F.broadcast(t)).select(
+        "n_old",
+        "n_new",
+        # weights clipped at 100x (1e8 ppm): standard clipped importance
+        # sampling — an unclipped rare-bin ratio makes w² overflow BIGINT
+        # and would dominate ESS anyway
+        F.expr(
+            "CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE LEAST((n_new * so * 1000000) div (n_old * sn),"
+            " CAST(100000000 AS BIGINT)) END"
+        ).alias("w_ppm"),
+    )
+    agg = w.agg(
+        F.sum(F.col("n_old") * F.col("w_ppm")).cast("long").alias("sw"),
+        F.sum(F.col("n_old") * F.col("w_ppm") * F.col("w_ppm"))
+        .cast("long")
+        .alias("sw2"),
+        F.sum(F.when(F.col("n_old") == 0, F.col("n_new")).otherwise(0))
+        .cast("long")
+        .alias("uncovered_new"),
+    )
+    return (
+        t.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("so").alias("n_old"),
+            F.col("sn").alias("n_new"),
+            "n_bins",
+            "uncovered_new",
+            F.expr("CAST(sw div 1000000 AS BIGINT)").alias("sum_w"),
+            # ESS on reduced units: sw² overflows BIGINT directly (sw is
+            # already on the ppm grid), so the ratio runs as
+            # (sw/1e3)² / (sw2/1e6) — identical floor sequence both engines
+            F.expr(
+                "CAST(CASE WHEN sw2 div 1000000 = 0 THEN 0"
+                " ELSE (sw div 1000) * (sw div 1000) div (sw2 div 1000000)"
+                " END AS BIGINT)"
+            ).alias("ess"),
+            F.expr(
+                "CAST(CASE WHEN sw2 div 1000000 = 0 OR so = 0 THEN 0"
+                " ELSE ((sw div 1000) * (sw div 1000) div (sw2 div 1000000))"
+                " * 1000000 div so END AS BIGINT)"
+            ).alias("ess_ppm"),
+        )
+    )
+
+
+# ------------------- nested percentiles (fleet p of per-user p95) ----------
+NESTED_PCTS = (50, 90, 95, 99)
+
+
+@query(
+    "q410_nested_percentiles",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY cents, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS nu
+        FROM e
+    ),
+    up95 AS (
+        SELECT user_id, cents AS p95_cents
+        FROM r WHERE rk = (95 * nu + 99) // 100
+    ),
+    g AS (
+        SELECT p95_cents,
+               ROW_NUMBER() OVER (ORDER BY p95_cents, user_id) AS gr
+        FROM up95
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM up95),
+    p AS (SELECT unnest(ARRAY{list(NESTED_PCTS)}) AS pct)
+    SELECT CAST(p.pct AS BIGINT) AS pct,
+           g.p95_cents AS fleet_value_cents, n.n_users
+    FROM p CROSS JOIN n
+    JOIN g ON g.gr = (p.pct * n.n_users + 99) // 100
+    ORDER BY pct
+    """,
+)
+def q410(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested percentiles: the fleet p50/p90/p95/p99 of PER-USER p95
+    event values — the SLO statistic that actually matters for
+    user-perceived latency/spend ("95% of each user's events are under
+    X; what X covers 99% of USERS?"), which q137's flat percentiles
+    (pooling all events) systematically understate for heavy users:
+    pooling weights users by event count, nesting weights them
+    equally. Both levels are exact rank selection (ceil(p·n/100), ties
+    to id) — percentile_disc semantics at user grain and fleet grain.
+
+    Scale: level 1 is a window PARTITIONED BY user (millions of small
+    partitions — the good kind); level 2's global rank over the
+    per-user table rides `deterministic_id(fact_scale=True)` (the
+    oracle's partitionless ROW_NUMBER is the shape it replaces);
+    percentile picks are a 4-row broadcast join."""
+    from pyspark.sql import Window as W
+    from ..functions.refops import deterministic_id
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wu = W.partitionBy("user_id").orderBy("cents", "event_id")
+    wn = W.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        "cents",
+        F.row_number().over(wu).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nu"),
+    )
+    up95 = r.where(
+        F.col("rk") == F.expr("(95 * nu + 99) div 100")
+    ).select("user_id", F.col("cents").alias("p95_cents"))
+    g = deterministic_id(
+        up95, ["p95_cents", "user_id"], name="gr", fact_scale=True
+    )
+    n = up95.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    p = spark.createDataFrame(
+        [(x,) for x in NESTED_PCTS], "pct int"
+    )
+    return (
+        g.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(p),
+            F.col("gr") == F.expr("(pct * n_users + 99) div 100"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("p95_cents").alias("fleet_value_cents"),
+            "n_users",
+        )
+        .orderBy("pct")
+    )

@@ -88,6 +88,11 @@ EXPECTED = {
     # lineitem⋈month-filtered-orders is a fact-fact keyed join (filtered
     # stats unknown → static SMJ; AQE broadcasts at test scale — q363)
     "q407_price_volume_mix": {"SortMergeJoin"},
+    # 1-row split/total scalars onto the bounded bin table
+    "q409_covariate_shift_ess": {"BroadcastNestedLoopJoin"},
+    # 1-row n_users scalar + the 4-row percentile table joined on a
+    # computed-rank expression (q327/q404 class)
+    "q410_nested_percentiles": {"BroadcastNestedLoopJoin"},
     # 1-row day-bounds scalar for the spine; the 5 lag self-joins key on
     # the expression day+k over the bounded types×days series (q385 class)
     "q408_ljung_box_portmanteau": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
