@@ -170,7 +170,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "q404_quantile_treatment_effects", "q405_bitemporal_asof",
     "q406_backfill_plan", "q407_price_volume_mix",
     "q408_ljung_box_portmanteau", "q409_covariate_shift_ess",
-    "q410_nested_percentiles",
+    "q410_nested_percentiles", "q411_expected_calibration_error",
+    "q412_seasonal_strength",
 )
 
 

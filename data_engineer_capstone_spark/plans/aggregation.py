@@ -4040,3 +4040,154 @@ def q410(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------- day-of-week seasonal strength ----------------------
+@query(
+    "q412_seasonal_strength",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS g,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events WHERE value IS NOT NULL GROUP BY g, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    s AS (
+        SELECT sp.g, sp.day, (sp.day + 4) % 7 AS dow,
+               CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+        FROM (SELECT t.g, u.day
+              FROM (SELECT DISTINCT g FROM d) t,
+                   (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) u) sp
+        LEFT JOIN d ON d.g = sp.g AND d.day = sp.day
+    ),
+    tot AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sq
+        FROM s GROUP BY g
+    ),
+    dw AS (
+        SELECT g, dow, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sd
+        FROM s GROUP BY g, dow
+    ),
+    bt AS (
+        SELECT g,
+               CAST(SUM((sd * sd) // nd) AS BIGINT) AS between_q,
+               MIN(CASE WHEN rn = 1 THEN dow END) AS peak_dow
+        FROM (SELECT g, dow, nd, sd,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                          ORDER BY sd * 1000 // nd DESC, dow) AS rn
+              FROM dw)
+        GROUP BY g
+    )
+    SELECT t.g AS event_type, t.n AS n_days,
+           CAST(bt.peak_dow AS BIGINT) AS peak_dow,
+           CAST(CASE WHEN CAST(t.sq AS DOUBLE)
+                          - CAST(t.sx AS DOUBLE) * t.sx / t.n <= 0 THEN 0
+                ELSE floor(greatest(0.0,
+                     (CAST(bt.between_q AS DOUBLE)
+                      - CAST(t.sx AS DOUBLE) * t.sx / t.n)
+                     / (CAST(t.sq AS DOUBLE)
+                        - CAST(t.sx AS DOUBLE) * t.sx / t.n))
+                     * 1000000 + 0.5) END AS BIGINT) AS strength_ppm
+    FROM tot t JOIN bt ON bt.g = t.g
+    ORDER BY event_type
+    """,
+)
+def q412(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonal STRENGTH per event type — the fraction of
+    daily-revenue variance explained by the weekly pattern (Hyndman's
+    seasonal-strength statistic, the between/total variance ratio of
+    the dow-means model) plus the peak day: the one number that says
+    whether q314's seasonal indices are signal or noise, whether
+    q371's seasonal-naive baseline is even the right baseline, and
+    whether q390's changepoint should be sought in the deseasonalized
+    series. Gap-filled spine so every week contributes 7 days.
+
+    Cross-engine: integer moment sums (n, Σx, Σx², per-dow Σx) feed
+    ONE pinned double formula floored to ppm (the q326 recipe); the
+    peak day ranks on the exact millicent mean grid with dow
+    tie-break. Scale: one hash aggregate to (type, day), two bounded
+    aggregates over it, windows over ≤7 rows per type."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("c")
+    ).localCheckpoint(eager=True)
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    s = (
+        d.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .join(d, ["g", "day"], "left")
+        .select(
+            "g",
+            ((F.col("day") + 4) % 7).alias("dow"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    tot = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+    )
+    dw = s.groupBy("g", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("sd"),
+    )
+    wr = W.partitionBy("g").orderBy(
+        F.desc(F.expr("sd * 1000 div nd")), "dow"
+    )
+    bt = (
+        dw.select(
+            "g",
+            "dow",
+            # per-term INTEGER quantization before the sum: a float SUM
+            # over the dow terms would be partial-order-dependent (the
+            # q328 discipline); (sd² div nd) loses <1 unit per term
+            F.expr("(sd * sd) div nd").alias("braw_q"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum("braw_q").cast("long").alias("between_q"),
+            F.min(F.when(F.col("rn") == 1, F.col("dow"))).alias("peak_dow"),
+        )
+    )
+    sst = F.col("sq").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    ssb = F.col("between_q").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx") / F.col("n")
+    strength = F.when(sst <= 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.greatest(F.lit(0.0), ssb / sst) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        tot.join(bt, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_days"),
+            F.col("peak_dow").cast("long").alias("peak_dow"),
+            strength.alias("strength_ppm"),
+        )
+        .orderBy("event_type")
+    )

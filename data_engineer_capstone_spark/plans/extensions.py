@@ -4703,3 +4703,115 @@ def q401(spark: SparkSession, sf: str) -> DataFrame:
             "srm_flag"
         ),
     ).orderBy("day")
+
+
+# ------------------- expected calibration error (ECE) ----------------------
+ECE_TEMP = 300  # temperature: logit/T before the sigmoid (pinned constant)
+
+
+@query(
+    "q411_expected_calibration_error",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(1.0 / (1.0 + exp(-(CAST({{logit}} AS DOUBLE)
+                    / {ECE_TEMP}))) * 1000000000 + 0.5) AS BIGINT)
+                   AS conf_q9
+        FROM documents
+    ),
+    b AS (
+        SELECT LEAST(conf_q9 // 100000000, 9) AS bin, pos, conf_q9
+        FROM scored
+    ),
+    g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(conf_q9) AS BIGINT) AS sum_conf
+        FROM b GROUP BY bin
+    ),
+    w AS (
+        SELECT bin, n, n_pos,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+               CAST(sum_conf // (n * 1000) AS BIGINT) AS conf_ppm
+        FROM g
+    ),
+    e AS (
+        SELECT CAST(SUM(n * ABS(acc_ppm - conf_ppm)) // SUM(n) AS BIGINT)
+            AS ece_ppm
+        FROM w
+    )
+    SELECT w.bin, w.n, w.n_pos, w.acc_ppm, w.conf_ppm,
+           CAST(ABS(w.acc_ppm - w.conf_ppm) AS BIGINT) AS gap_ppm,
+           e.ece_ppm
+    FROM w CROSS JOIN e
+    ORDER BY w.bin
+    """.format(logit="{logit}").format(logit=_LOGIT_SQL),
+)
+def q411(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected calibration error of the q231 hashed classifier (label:
+    lang = 'en'), temperature-scaled (logit/{t}) to a sigmoid
+    confidence: per confidence decile the observed accuracy vs mean
+    stated confidence, and ECE = Σ (n_b/N)·|acc_b − conf_b| — THE
+    one-number calibration metric modern eval suites report. q287
+    tables raw-logit reliability; this converts to the probability
+    scale where the gap is actionable, and q395's isotonic fit is the
+    REPAIR once ECE is too high — gate → table → score → fix, the
+    full calibration workflow. The per-document sigmoid is the only
+    libm op and is floor-quantized to 1e-9 BEFORE any aggregation
+    (q328's per-term discipline); everything after is integer ppm
+    arithmetic, ECE included.
+
+    Scale: one row-local scoring pass (the logit is q231's exact
+    integer HOF fold — zero Python), one hash aggregate to ≤10
+    confidence bins, one 1-row ECE broadcast."""
+    docs = load_table(spark, sf, "documents")
+    logit = _hashed_logit()
+    conf = F.floor(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(logit.cast("double") / F.lit(ECE_TEMP))))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    b = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        conf.alias("conf_q9"),
+    ).select(
+        F.least(F.expr("conf_q9 div 100000000"), F.lit(9)).alias("bin"),
+        "pos",
+        "conf_q9",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf_q9").cast("long").alias("sum_conf"),
+    )
+    w = g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("acc_ppm"),
+        F.expr("CAST(sum_conf div (n * 1000) AS BIGINT)").alias("conf_ppm"),
+    ).localCheckpoint(eager=True)
+    e = w.agg(
+        F.expr(
+            "CAST(SUM(n * ABS(acc_ppm - conf_ppm)) div SUM(n) AS BIGINT)"
+        ).alias("ece_ppm")
+    )
+    return (
+        w.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "acc_ppm",
+            "conf_ppm",
+            F.abs(F.col("acc_ppm") - F.col("conf_ppm"))
+            .cast("long")
+            .alias("gap_ppm"),
+            "ece_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+q411.__doc__ = q411.__doc__.format(t=ECE_TEMP)

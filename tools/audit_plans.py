@@ -90,6 +90,13 @@ EXPECTED = {
     "q407_price_volume_mix": {"SortMergeJoin"},
     # 1-row split/total scalars onto the bounded bin table
     "q409_covariate_shift_ess": {"BroadcastNestedLoopJoin"},
+    # 1-row ECE scalar crossed onto the ≤10-bin reliability table
+    "q411_expected_calibration_error": {"BroadcastNestedLoopJoin"},
+    # 1-row day-bounds scalar for the spine (q384/q409 class); the spine
+    # left join and the 5-row tot⋈bt join key on the checkpointed bounded
+    # types×days tables (post-checkpoint stats unknown → static SMJ —
+    # q385 class, O(types·days) rows at any SF)
+    "q412_seasonal_strength": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     # 1-row n_users scalar + the 4-row percentile table joined on a
     # computed-rank expression (q327/q404 class)
     "q410_nested_percentiles": {"BroadcastNestedLoopJoin"},
