@@ -76,120 +76,87 @@ _DRIVER_VERIFIED_R3 = (
 )
 
 
-# Queries the driver actually flagged red in r3 (HUGEINT oracle typing,
-# fixed by CAST AS BIGINT) — fronted so the fixes get driver rows
-# immediately. The 8 latent-fixed oracles from the DESCRIBE sweep (q110,
-# q116, q140, q153, q154, q177, q192, q217) were never driver-red; they
-# are covered by the no-HUGEINT guard test + local hash gate and stay in
-# the regular never-checked rotation, keeping sample slots free so every
-# NEW query gets a first-time driver row this round (the ~50-row sample
-# cannot hold rechecks + 45 new + latents at once).
-_RECHECK_THIS_ROUND = (
+# Round-4 driver-green sample (CORRECTNESS_r04.json: 50/50 green — the
+# three HUGEINT rechecks + 47 first-time q253-q301 rows).
+_DRIVER_VERIFIED_R4 = (
     "q160_boolean_aggregates", "q175_new_vs_returning",
-    "q231_hashed_linear_classifier",
+    "q231_hashed_linear_classifier", "q253_ann_ivf_exhaustive",
+    "q254_ann_ivf_pq_exhaustive", "q255_winsorize_sketch_exhaustive",
+    "q256_ngram_containment", "q257_vocab_oov_rate",
+    "q258_pmi_collocations", "q259_shard_manifest",
+    "q260_mom_revenue_growth", "q261_kcore_peel",
+    "q262_ewma_sequential_state", "q263_stream_rollup_maintenance",
+    "q264_merge_matrix", "q265_conversion_attribution",
+    "q266_langid_confusion", "q267_table_checksum",
+    "q268_leakage_safe_split", "q269_session_depth_bounce",
+    "q270_arrival_log2_histogram", "q271_weighted_median",
+    "q272_linear_interpolation", "q273_benford_check",
+    "q274_percentile_normalize", "q275_cohort_ltv_curve",
+    "q276_interval_overlap_join", "q277_ohlc_bars",
+    "q278_domain_token_overlap", "q279_embedding_gram_matrix",
+    "q280_boilerplate_strip", "q281_negative_sampling",
+    "q282_power_iteration", "q283_tfidf_topk",
+    "q285_referential_integrity", "q287_calibration_table",
+    "q288_stream_ohlc", "q289_key_skew_report",
+    "q290_domain_minhash_overlap", "q291_grouped_ols",
+    "q292_grouped_auc", "q293_minhash_merge_invariance",
+    "q294_sampled_estimate", "q295_cascade_purge_audit",
+    "q296_time_travel_consistency", "q297_pandas_api_tier",
+    "q298_cusum_changepoint", "q299_ann_lsh_exhaustive",
+    "q300_clamped_balance", "q301_point_in_time_features",
 )
 
+# SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
+# reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
+# dedup/curation north star (q90-q116). These front the rotation ahead of
+# everything else until driver-green.
+_CORE_LO, _CORE_HI = 63, 116
 
-# Queries registered this round: right after the rechecks so brand-new
-# operators get driver rows in their first round out.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "q253_ann_ivf_exhaustive", "q254_ann_ivf_pq_exhaustive",
-    "q255_winsorize_sketch_exhaustive", "q256_ngram_containment",
-    "q257_vocab_oov_rate", "q258_pmi_collocations",
-    "q259_shard_manifest", "q260_mom_revenue_growth",
-    "q261_kcore_peel", "q262_ewma_sequential_state",
-    "q263_stream_rollup_maintenance", "q264_merge_matrix",
-    "q265_conversion_attribution", "q266_langid_confusion",
-    "q267_table_checksum", "q268_leakage_safe_split",
-    "q269_session_depth_bounce", "q270_arrival_log2_histogram",
-    "q271_weighted_median", "q272_linear_interpolation",
-    "q273_benford_check", "q274_percentile_normalize",
-    "q275_cohort_ltv_curve", "q276_interval_overlap_join",
-    "q277_ohlc_bars", "q278_domain_token_overlap",
-    "q279_embedding_gram_matrix", "q280_boilerplate_strip",
-    "q281_negative_sampling", "q282_power_iteration",
-    "q283_tfidf_topk", "q285_referential_integrity",
-    "q287_calibration_table", "q288_stream_ohlc",
-    "q289_key_skew_report", "q290_domain_minhash_overlap",
-    "q291_grouped_ols", "q292_grouped_auc",
-    "q293_minhash_merge_invariance", "q294_sampled_estimate",
-    "q295_cascade_purge_audit", "q296_time_travel_consistency",
-    "q297_pandas_api_tier", "q298_cusum_changepoint",
-    "q299_ann_lsh_exhaustive", "q300_clamped_balance",
-    "q301_point_in_time_features", "q302_late_dimension_replay",
-    "q303_target_encoding_loo", "q304_subtree_rollup",
-    "q305_matryoshka_overlap", "q306_slo_burn_rate",
-    "q307_abc_classification", "q308_neyman_allocation",
-    "q309_ks_two_sample", "q310_gini_coefficient",
-    "q311_sequence_pattern", "q312_position_attribution",
-    "q313_halfsample_ci", "q314_seasonal_index",
-    "q315_decayed_popularity", "q316_sorted_neighborhood_pairs",
-    "q317_silhouette_score", "q318_reshard_plan",
-    "q319_bloom_segment_index", "q320_trailing_leaderboard",
-    "q321_blocking_recall_report", "q322_count_min_sketch",
-    "q323_fd_discovery", "q324_bfs_shortest_path", "q325_rrf_fusion",
-    "q326_spearman_drift", "q327_expanding_cv_splits",
-    "q328_mutual_information", "q329_stream_incremental_dedup",
-    "q330_cogroup_pandas", "q331_hll_registers_deterministic",
-    "q332_frequent_itemset_pairs", "q333_stream_stream_left_outer",
-    "q334_skyline_pareto", "q335_triangle_count",
-    "q336_clustering_coefficient", "q337_mad_outliers",
-    "q338_nearest_centroid_confusion", "q339_dbscan_grid",
-    "q340_hll_by_group", "q341_zipf_slope",
-    "q342_personalized_pagerank", "q343_golden_record_survivorship",
-    "q344_dedup_signal_agreement", "q345_ktruss_peel",
-    "q346_kaplan_meier", "q347_readability",
-    "q348_cuped_variance_reduction", "q349_caliper_matching",
-    "q350_difference_in_differences", "q351_dedup_savings_report",
-    "q352_apply_in_arrow", "q353_uplift_deciles",
-    "q354_dynamic_gap_sessions", "q355_stream_dynamic_sessions",
-    "q356_windowed_stream_join", "q357_inclusion_dependencies",
-    "q358_set_overlap_upset", "q359_wasserstein_drift",
-    "q360_cohens_kappa", "q361_theil_sen_slope",
-    "q362_average_precision", "q363_ndcg_popularity",
-    "q364_fifo_allocation", "q365_systematic_pps_sample",
-    "q366_k_anonymity_audit", "q367_dag_longest_path",
-    "q368_event_runs_rle", "q369_raking_ipf",
-    "q370_rank_biased_overlap", "q371_forecast_backtest",
-    "q372_label_noise_knn", "q373_peak_concurrency",
-    "q374_boruvka_round", "q375_apportionment",
-    "q376_merkle_range_diff", "q377_constrained_funnel",
-    "q378_kendall_tau", "q379_market_concentration",
-    "q380_kmv_theta_anotb", "q381_mutual_nn_pairs",
-    "q382_cm_join_size", "q383_zorder_locality_audit",
-    "q384_hellinger_drift", "q385_lead_lag_xcorr",
-    "q386_cell_suppression", "q387_sql_udf_kit",
-    "q388_hits_hubs_authorities", "q389_bellman_ford_sssp",
-    "q390_binary_segmentation", "q391_shapley_attribution",
-    "q392_watermark_lag_audit", "q393_bom_explosion",
-    "q394_profile_diff_contract", "q395_isotonic_calibration",
-    "q396_woe_information_value", "q397_winnowing_pairs",
-    "q398_consistent_hashing", "q399_harmonic_centrality",
-    "q400_phrase_search", "q401_srm_check",
-    "q402_dwell_time_transitions", "q403_lorenz_curve",
-    "q404_quantile_treatment_effects", "q405_bitemporal_asof",
-    "q406_backfill_plan", "q407_price_volume_mix",
-    "q408_ljung_box_portmanteau", "q409_covariate_shift_ess",
-    "q410_nested_percentiles", "q411_expected_calibration_error",
-    "q412_seasonal_strength",
-)
+
+def _qnum(name: str) -> int:
+    return int(name.split("_", 1)[0][1:])
 
 
 def _rotate(reg: dict) -> dict:
-    """Changed-oracle rechecks first, then this round's new queries, then
-    never-driver-checked queries (registration order — scalar kits,
-    reference pipeline, streaming, and the dedup/curation core lead), the
-    already-verified 97 last; optional SPARK_GRAFT_QUERY_SUBSET
-    (comma-separated names) narrows to an explicit subset."""
+    """Never-driver-checked queries first, already-verified last.
+
+    BURN-DOWN SCHEDULE (committed round 5; the driver samples ~50/round —
+    do NOT re-prioritize new work past this; registry growth is FROZEN
+    until the whole board is driver-green):
+
+    - round 5: SURVEY §2.9 declared core q63-q116 (45 never-checked names:
+      q63-q69 scalar kits, q70-q73 reference pipeline, q80-q87 streaming,
+      q90-q116 dedup/curation) + q123_window_distinct_count,
+      q124_token_topk, q126_scd2_merge, q135_hof_array_kit,
+      q136_regexp_kit = 50.
+    - round 6: next 50 numerically (q138_zorder_key .. q205_rfm_segments).
+    - round 7: next 50 (q206_ab_test_zscore .. q333_stream_stream_left_outer).
+    - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit).
+    - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength).
+
+    The ordering is computed, not hand-listed: front = registry minus the
+    driver-verified union, sorted numerically with the q63-q116 declared
+    core ahead of everything else — so the schedule above holds as each
+    round's sample moves into a ``_DRIVER_VERIFIED_R{N}`` tuple, with no
+    manual re-listing. Optional SPARK_GRAFT_QUERY_SUBSET (comma-separated
+    names) narrows to an explicit subset."""
     subset = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
     if subset:
         want = [s.strip() for s in subset.split(",") if s.strip()]
         return {k: reg[k] for k in want if k in reg}
-    verified = _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3
-    front = _RECHECK_THIS_ROUND + _NEW_THIS_ROUND
-    seen = set(verified) | set(front)
-    out = {k: reg[k] for k in front if k in reg}
-    out.update({k: v for k, v in reg.items() if k not in seen})
+    verified = (
+        _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
+    )
+    seen = set(verified)
+    never = [k for k in reg if k not in seen]
+    core = sorted(
+        (k for k in never if _CORE_LO <= _qnum(k) <= _CORE_HI), key=_qnum
+    )
+    rest = sorted(
+        (k for k in never if not (_CORE_LO <= _qnum(k) <= _CORE_HI)),
+        key=_qnum,
+    )
+    out = {k: reg[k] for k in core + rest}
     out.update({k: reg[k] for k in verified if k in reg})
     return out
 

@@ -63,6 +63,12 @@ HEADLINE = [
     # + distributed_cumsum, two range exchanges + offset jobs)
     "q388_hits_hubs_authorities",
     "q392_watermark_lag_audit",
+    # round-5 additions (VERDICT r4 ask #7): the heaviest new curation op
+    # (leakage-safe split: LSH pairs -> connected components -> canonical
+    # split) and the third blocking family (sorted-neighborhood: global
+    # rank via range exchange + width-w rank-bucket equi-join)
+    "q268_leakage_safe_split",
+    "q316_sorted_neighborhood_pairs",
 ]
 # BASELINE.md protocol also times the reference star-schema rebuild as one
 # composite (Q70-Q72 share parse pipelines; timing them together matches how
@@ -101,6 +107,17 @@ MIN_OF_RUNS = {
     # over a 1-row-group scan, so the floor is the plan-cost signal —
     # same rationale as the entries above.
     "q21_star_join_revenue",
+    # iterative checkpointed connected-components rounds (q268) and the
+    # zipWithIndex-machinery range exchange + offset-collect jobs (q316)
+    # — both fixed-overhead classes at bench SF
+    "q268_leakage_safe_split",
+    "q316_sorted_neighborhood_pairs",
+    # q276 drifted 0.46 -> 0.51 -> 0.58 s round medians with a stable
+    # executed plan; a standalone 9-run profile descends monotonically
+    # onto a 0.63 s cold-process floor (JIT/codegen warm-up dominated —
+    # evidence in BASELINE.md round-5 note). Same class as q21: the floor
+    # is the plan-cost signal.
+    "q276_interval_overlap_join",
 }
 
 

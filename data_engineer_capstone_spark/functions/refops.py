@@ -346,7 +346,9 @@ def distributed_cummax(
     acc = None
     for pid in sorted(maxes):
         off[pid] = acc
-        acc = maxes[pid] if acc is None else max(acc, maxes[pid])
+        m = maxes[pid]
+        if m is not None:  # an all-null partition must not poison the max
+            acc = m if acc is None else max(acc, m)
     pairs = [(pid, v) for pid, v in off.items() if v is not None]
     if pairs:
         lookup = F.create_map(

@@ -36,9 +36,20 @@ def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
     call — q113 composes two operators that both call this), and AQE
     coalesces the exchange's output anyway when the input is small, so the
     conditional saved nothing the optimizer doesn't already handle.
+
+    Target = max(defaultParallelism, spark.sql.shuffle.partitions): an
+    explicit repartition(n) is an exact target AQE will never widen, so
+    taking defaultParallelism alone could REDUCE parallelism below the
+    session's configured shuffle width on an input that already had many
+    well-balanced splits; the max keeps the signature pass at least as
+    wide as every other exchange in the job.
     """
-    slim = df.select(*cols)
-    return slim.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.select(*cols).repartition(n)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

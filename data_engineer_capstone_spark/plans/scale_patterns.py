@@ -3162,8 +3162,8 @@ WM_PCTS = (50, 95, 99, 100)
     ),
     w AS (
         SELECT event_id, t,
-               MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
-                   - t AS lateness
+               (MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                   - t) // 1000 AS lateness
         FROM e
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
@@ -3177,16 +3177,16 @@ WM_PCTS = (50, 95, 99, 100)
     ),
     thr AS (SELECT unnest(ARRAY{list(WM_PCTS)}) AS pct),
     pick AS (
-        SELECT t.pct, MIN(c.lateness) AS delay_us
+        SELECT t.pct, MIN(c.lateness) AS delay_ms
         FROM thr t CROSS JOIN n
         JOIN cum c ON c.cum * 100 >= t.pct * n.n
         GROUP BY t.pct
     )
     SELECT CAST(p.pct AS BIGINT) AS pct,
-           CAST(p.delay_us AS BIGINT) AS delay_us,
+           CAST(p.delay_ms AS BIGINT) AS delay_ms,
            CAST(c.cum * 1000000 // n.n AS BIGINT) AS captured_ppm
     FROM pick p
-    JOIN cum c ON c.lateness = p.delay_us
+    JOIN cum c ON c.lateness = p.delay_ms
     CROSS JOIN n
     ORDER BY pct
     """,
@@ -3206,15 +3206,17 @@ def q392(spark: SparkSession, sf: str) -> DataFrame:
     with the literal prefix-of-partition-maxes — max is associative,
     so the cross-partition combine is exact like cumsum's), never a
     partitionless window; the lateness CDF is a hash aggregate +
-    `distributed_cumsum` over the bounded lateness support; threshold
-    picks are a 4-row broadcast."""
+    `distributed_cumsum` over the lateness support, which is quantized
+    to a 1 ms grid (`(wm − t) div 1000` on both engines) so the support
+    is genuinely bounded — distinct grid cells ≤ max-skew-in-ms, not
+    O(rows), at any data scale; threshold picks are a 4-row broadcast."""
     from ..functions.refops import distributed_cummax, distributed_cumsum
 
     ev = load_table(spark, sf, "events").select(
         "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
     w = distributed_cummax(ev, ["event_id"], "t", name="wm").select(
-        (F.col("wm") - F.col("t")).alias("lateness")
+        F.expr("(wm - t) div 1000").alias("lateness")
     )
     n = w.agg(F.count(F.lit(1)).cast("long").alias("n"))
     g = w.groupBy("lateness").agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -3232,7 +3234,7 @@ def q392(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             F.col("pct").cast("long").alias("pct"),
-            F.col("s.lateness").cast("long").alias("delay_us"),
+            F.col("s.lateness").cast("long").alias("delay_ms"),
             F.expr("CAST(s.cum * 1000000 div s.n AS BIGINT)").alias(
                 "captured_ppm"
             ),

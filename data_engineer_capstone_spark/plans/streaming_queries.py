@@ -384,11 +384,19 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v + 1}"))
         state["version"] = v + 1
 
-    stream = read_stream(spark, sf, 4)
-    run_foreach_batch(
-        stream, merge_batch, checkpoint=os.path.join(root, "_ckpt")
-    )
-    final = spark.read.parquet(os.path.join(root, f"v{state['version']}"))
+    try:
+        stream = read_stream(spark, sf, 4)
+        run_foreach_batch(
+            stream, merge_batch, checkpoint=os.path.join(root, "_ckpt")
+        )
+        # Pin the (tiny, O(groups)) standing table in executor storage so
+        # the run's /tmp directory can be removed before returning —
+        # without this, every run leaked a /tmp/spark_graft_rollup/<uuid>.
+        final = spark.read.parquet(
+            os.path.join(root, f"v{state['version']}")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return final.select(
         "event_type",
         "n",

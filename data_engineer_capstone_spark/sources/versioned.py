@@ -117,6 +117,11 @@ def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     """Delete data dirs unreferenced by the ``retain_versions`` newest
     manifests (and drop the older manifests) — the storage-reclaim half
     of the contract: time travel works until you vacuum, never after."""
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions} "
+            "(a Python slice [-0:] would silently retain everything)"
+        )
     vs = versions(table_dir)
     if not vs:
         return {"removed_dirs": 0, "removed_manifests": 0}

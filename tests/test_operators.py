@@ -840,6 +840,38 @@ def test_distributed_cummax_matches_window(spark, sf_dir):
     assert got == want
 
 
+def test_distributed_cummax_all_null_partition(spark):
+    """An all-null value range partition must not poison the driver-side
+    prefix-max fold (ADVICE r4: max(int, None) raised TypeError), and the
+    nulls must stay null-transparent like the window twin."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.functions.refops import distributed_cummax
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # keys 0..99 ordered; values null for the middle half so at least
+        # one of the 4 range partitions is entirely null
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when((F.col("id") < 25) | (F.col("id") >= 75), F.col("id"))
+            .alias("v"),
+        )
+        got = {
+            r["k"]: r["m"]
+            for r in distributed_cummax(df, ["k"], "v", name="m").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_consistent_hashing_only_removed_node_moves(spark, sf_dir):
     """q398's theorem: removing a node moves EXACTLY that node's keys —
     its delta is -keys_before, every survivor's delta is >= 0, and the

@@ -1,0 +1,59 @@
+"""Guards against doc/registry drift (VERDICT r4 ask #5: the README's
+query counts drifted twice during round 4) and against rotation-table
+mistakes in ``__spark_entry__.py`` (names that fell out of the registry,
+duplicates across the verified tuples, or a rotation that drops queries).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from data_engineer_capstone_spark.plans import get_oracles, get_queries
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_readme_counts_match_registry():
+    with open(os.path.join(_ROOT, "README.md")) as f:
+        text = f.read()
+    m = re.search(
+        r"(\d+) of the (\d+) registered queries carry a DuckDB oracle", text
+    )
+    assert m, "README count sentence not found — keep it or update this test"
+    assert int(m.group(2)) == len(get_queries()), (
+        f"README says {m.group(2)} registered queries, "
+        f"registry has {len(get_queries())}"
+    )
+    assert int(m.group(1)) == len(get_oracles()), (
+        f"README says {m.group(1)} oracle-backed queries, "
+        f"registry has {len(get_oracles())}"
+    )
+
+
+def test_rotation_tables_consistent():
+    import __spark_entry__ as entry
+
+    reg = get_queries()
+    verified = (
+        entry._DRIVER_VERIFIED_R1_R2
+        + entry._DRIVER_VERIFIED_R3
+        + entry._DRIVER_VERIFIED_R4
+    )
+    # every verified name must still exist in the registry
+    missing = [n for n in verified if n not in reg]
+    assert not missing, f"verified names missing from registry: {missing}"
+    # no duplicates across the verified tuples
+    assert len(verified) == len(set(verified))
+    # the rotation is a permutation of the registry (nothing dropped/added)
+    rotated = entry.queries()
+    assert set(rotated) == set(reg)
+    assert len(rotated) == len(reg)
+    # the never-driver-checked SURVEY §2.9 declared core leads the rotation
+    head = list(rotated)[: len(reg) - len(verified)]
+    core_in_head = [
+        n for n in head if entry._CORE_LO <= entry._qnum(n) <= entry._CORE_HI
+    ]
+    assert head[: len(core_in_head)] == core_in_head, (
+        "declared-core q63-q116 names must front the rotation"
+    )

@@ -77,6 +77,21 @@ def test_foreach_batch_fanout_and_batch_ids(spark, tmp_path):
     assert {r.batch_id for r in per_batch.select("batch_id").distinct().collect()} == {0, 1}
 
 
+def test_q263_cleans_its_tmp_state(spark):
+    """ADVICE r4: q263 leaked a /tmp/spark_graft_rollup/<uuid> per run;
+    after the query returns (result pinned via localCheckpoint) the run
+    directory must be gone and the result must still be collectable."""
+    import glob
+
+    from data_engineer_capstone_spark.plans import get_queries
+
+    before = set(glob.glob("/tmp/spark_graft_rollup/*"))
+    df = get_queries()["q263_stream_rollup_maintenance"](spark, SF)
+    after = set(glob.glob("/tmp/spark_graft_rollup/*"))
+    assert after - before == set(), f"leaked run dirs: {after - before}"
+    assert df.count() > 0  # still readable after the rmtree
+
+
 def test_rocksdb_state_store_engages_and_agrees(spark):
     """The same stateful dedup under RocksDB: provider conf in force while
     the query runs, results identical to the default provider, conf

@@ -70,3 +70,15 @@ def test_append_after_vacuum_continues_version_chain(spark, tmp_path):
     v = commit(_df(spark, 8, 12), t)
     assert v == 2
     assert read_version(spark, t).count() == 12
+
+
+def test_vacuum_rejects_nonpositive_retain(spark, tmp_path):
+    """ADVICE r4: retain_versions=0 silently retained everything
+    (vs[-0:] is the whole list); 0 and negatives must raise."""
+    t = str(tmp_path / "tbl")
+    commit(_df(spark, 0, 4), t)
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            vacuum(t, retain_versions=bad)
+    # the table is untouched by the rejected calls
+    assert read_version(spark, t).count() == 4
