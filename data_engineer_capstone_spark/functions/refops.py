@@ -296,18 +296,47 @@ def distributed_cumsum(
         sum_off[pid], cnt_off[pid] = list(s_acc), c_acc
         s_acc = [a + (t or 0) for a, t in zip(s_acc, totals[pid])]
         c_acc += counts[pid]
+    # per-column "any non-null value in an EARLIER partition" flags: needed
+    # to reproduce SQL window-SUM null semantics exactly (sum over a frame
+    # with zero non-null values is NULL, not 0) when a partition-local
+    # prefix is all-null but earlier partitions carried values
+    seen: dict[int, list[bool]] = {}
+    seen_acc = [False] * len(value_cols)
+    for pid in sorted(counts):
+        seen[pid] = list(seen_acc)
+        seen_acc = [
+            s or (totals[pid][i] is not None)
+            for i, s in enumerate(seen_acc)
+        ]
     def _lookup(d: dict):
         if not d:
             return F.lit(0)
         return F.create_map(
             *[F.lit(x) for pid in sorted(d) for x in (pid, d[pid])]
         )[F.col("_pid")]
+    def _lookup_bool(d: dict):
+        if not d or not any(d.values()):
+            return F.lit(False)
+        return F.coalesce(
+            F.create_map(
+                *[F.lit(x) for pid in sorted(d) for x in (pid, d[pid])]
+            )[F.col("_pid")],
+            F.lit(False),
+        )
     w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
     out = ranged
     for i, (vc, nm) in enumerate(zip(value_cols, names)):
         off_i = {pid: offs[i] for pid, offs in sum_off.items()}
+        seen_i = {pid: flags[i] for pid, flags in seen.items()}
+        local = F.sum(vc).over(w).cast("long")
         out = out.withColumn(
-            nm, (F.sum(vc).over(w).cast("long") + _lookup(off_i))
+            nm,
+            # NULL only when no non-null value exists anywhere in the
+            # global prefix — identical to the partitionless window twin
+            F.when(
+                local.isNotNull() | _lookup_bool(seen_i),
+                F.coalesce(local, F.lit(0).cast("long")) + _lookup(off_i),
+            ),
         )
     if rank_name is not None:
         wr = W.partitionBy("_pid").orderBy(*cols)

@@ -310,3 +310,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol, 
     ).collect()
     got = {(r["key"], r["ts"]): r["v_asof"] for r in got_rows}
     assert got == exp
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.none() | st.integers(-1_000_000, 1_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_distributed_prefix_ops_match_window_twins_with_nulls(spark, vals):
+    """distributed_cumsum and distributed_cummax must equal their
+    partitionless-window twins row for row on null-bearing inputs —
+    including the all-null-range-partition edge (leading nulls stay NULL
+    until the first non-null value appears anywhere in the global prefix;
+    after that, SUM ignores nulls and MAX carries the running value)."""
+    from pyspark.sql import Window as W
+
+    from data_engineer_capstone_spark.functions.refops import (
+        distributed_cummax,
+        distributed_cumsum,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k int, v long"
+        )
+        got_sum = {
+            r["k"]: r["c"]
+            for r in distributed_cumsum(df, ["k"], "v", name="c").collect()
+        }
+        got_max = {
+            r["k"]: r["m"]
+            for r in distributed_cummax(df, ["k"], "v", name="m").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    twin = df.select(
+        "k", F.sum("v").over(w).alias("c"), F.max("v").over(w).alias("m")
+    ).collect()
+    assert got_sum == {r["k"]: r["c"] for r in twin}
+    assert got_max == {r["k"]: r["m"] for r in twin}
