@@ -2,10 +2,15 @@
 
 Smoke-runs ``entry()`` at sf0.001, then for every ``queries()`` entry at the
 driver's t2 SF: runs the Spark side and (when an oracle exists) checks column
-set + row count against DuckDB. Full value-hash checks live in
-tests/oracle.py:compare (used by tests/test_queries.py).
+set + row count against DuckDB. With ``--hash`` it applies the FULL
+driver-strict comparison instead (columns sorted by name, rows sorted,
+floats canonicalized — ``tests/oracle.py:compare``, the same contract
+``tests/test_queries.py`` enforces at the pytest smoke SF): slower
+(~8 min vs ~5 min at sf0.01 on local[32]) but it catches value-level
+divergence that only appears at the larger SF, e.g. BIGINT overflow in an
+oracle expression (the q402 class).
 
-    python tools/driver_sim.py [sf_dir]
+    python tools/driver_sim.py [sf_dir] [--hash]
 """
 
 from __future__ import annotations
@@ -27,16 +32,39 @@ TABLES = [
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--hash"]
+    full_hash = "--hash" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
     print("entry rows:", len(E.entry(spark).collect()), flush=True)
+    qs, osql = E.queries(), E.oracle_sql()
+    failed = []
+    if full_hash:
+        from tests.oracle import compare
+
+        for name in sorted(qs):
+            try:
+                if name not in osql:
+                    qs[name](spark, sf).count()  # rows-only by design
+                    continue
+                r = compare(spark, name, qs[name], osql[name], sf)
+                ok = r["cols_match"] and r["rows_match"] and r["hash_match"]
+                if not ok:
+                    raise AssertionError(str(r.get("first_diff"))[:200])
+            except Exception as ex:
+                failed.append((name, str(ex)[:200]))
+                print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+        print(
+            f"driver-sim[--hash] {'OK' if not failed else 'FAILED'} "
+            f"{len(qs)} queries, {len(failed)} failures",
+            flush=True,
+        )
+        return 1 if failed else 0
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    qs, osql = E.queries(), E.oracle_sql()
-    failed = []
     for name in sorted(qs):
         try:
             sdf = qs[name](spark, sf)
