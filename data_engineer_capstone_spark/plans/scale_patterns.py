@@ -988,14 +988,13 @@ def q296(spark: SparkSession, sf: str) -> DataFrame:
     pipelines key on ("train on the corpus AS OF v0"); at 100 TB the
     only extra cost of versioning is manifest bookkeeping, since data
     files are written once either way."""
+    import shutil
     import tempfile
 
     from ..sources.versioned import commit, read_version
 
     ev = load_table(spark, sf, "events")
     tdir = tempfile.mkdtemp(prefix="spark_graft_tt_")
-    commit(ev.where(F.dayofmonth("ts") <= 15), tdir)
-    commit(ev.where(F.dayofmonth("ts") > 15), tdir)  # append -> v1
 
     def agg(df: DataFrame, tag: str) -> DataFrame:
         return (
@@ -1009,9 +1008,18 @@ def q296(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.lit(tag).alias("snapshot"), "event_type", "n", "cents")
         )
 
-    v0 = agg(read_version(spark, tdir, 0), "v0")
-    latest = agg(read_version(spark, tdir), "latest")
-    return v0.unionByName(latest).orderBy("snapshot", "event_type")
+    try:
+        commit(ev.where(F.dayofmonth("ts") <= 15), tdir)
+        commit(ev.where(F.dayofmonth("ts") > 15), tdir)  # append -> v1
+        v0 = agg(read_version(spark, tdir, 0), "v0")
+        latest = agg(read_version(spark, tdir), "latest")
+        # pin the tiny (2 × event_type) result so the temp table can be
+        # removed before returning (was leaking one spark_graft_tt_* copy
+        # of events per run — the q263 leak class)
+        out = v0.unionByName(latest).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out.orderBy("snapshot", "event_type")
 
 
 # ------------------------------------------------- reshard move audit ----

@@ -122,4 +122,10 @@ def run_to_table(
         q.awaitTermination()
     finally:
         spark.conf.set(key, old)
-    return spark.table(name)
+    # Pin the (small — windowed/keyed aggregate) result and release the
+    # memory sink's table: without this every call leaves a stream_<uuid>
+    # temp view holding its rows in driver memory for the session's life
+    # (the q263 leak class, in-memory flavor).
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
