@@ -57,3 +57,24 @@ def test_rotation_tables_consistent():
     assert head[: len(core_in_head)] == core_in_head, (
         "declared-core q63-q116 names must front the rotation"
     )
+
+
+def test_bench_names_exist_in_registry():
+    """A renamed/retired query must not silently break the driver's bench
+    run — every name bench.py references has to resolve in the registry."""
+    prev = os.environ.get("SPARK_GRAFT_TABLE_CACHE")
+    import bench  # sets SPARK_GRAFT_TABLE_CACHE=off as an import side effect
+
+    if prev is None:
+        os.environ.pop("SPARK_GRAFT_TABLE_CACHE", None)
+    else:
+        os.environ["SPARK_GRAFT_TABLE_CACHE"] = prev
+
+    reg = get_queries()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    missing += [n for n in bench.PIPELINE_COMPOSITE if n not in reg]
+    assert not missing, f"bench names missing from registry: {missing}"
+    known = set(bench.HEADLINE) | set(bench.PIPELINE_COMPOSITE)
+    stray = [n for n in bench.MIN_OF_RUNS if n not in known]
+    stray += [n for n in bench.COUNT_ONLY if n not in known]
+    assert not stray, f"bench option sets reference untimed names: {stray}"
