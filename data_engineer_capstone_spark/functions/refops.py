@@ -284,8 +284,15 @@ def distributed_cumsum(
     )
     part_rows = ranged.groupBy("_pid").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
+        *[F.count(c).alias(f"nn{i}") for i, c in enumerate(value_cols)],
         F.count(F.lit(1)).alias("n"),
     ).collect()
+    # columns with zero nulls anywhere skip the null-transparency guard
+    # below entirely (it costs a per-row when + a second map lookup)
+    has_nulls = [
+        any(r[f"nn{i}"] < r["n"] for r in part_rows)
+        for i in range(len(value_cols))
+    ]
     totals = {r["_pid"]: [r[f"s{i}"] for i in range(len(value_cols))]
               for r in part_rows}
     counts = {r["_pid"]: r["n"] for r in part_rows}
@@ -327,8 +334,13 @@ def distributed_cumsum(
     out = ranged
     for i, (vc, nm) in enumerate(zip(value_cols, names)):
         off_i = {pid: offs[i] for pid, offs in sum_off.items()}
-        seen_i = {pid: flags[i] for pid, flags in seen.items()}
         local = F.sum(vc).over(w).cast("long")
+        if not has_nulls[i]:
+            # no nulls anywhere: local is never NULL past row 1 of a
+            # partition, so the plain sum+offset is already exact
+            out = out.withColumn(nm, local + _lookup(off_i))
+            continue
+        seen_i = {pid: flags[i] for pid, flags in seen.items()}
         out = out.withColumn(
             nm,
             # NULL only when no non-null value exists anywhere in the
