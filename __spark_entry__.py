@@ -106,6 +106,31 @@ _DRIVER_VERIFIED_R4 = (
     "q300_clamped_balance", "q301_point_in_time_features",
 )
 
+# Round-5 driver sample (CORRECTNESS_r05.json: 48 green + q96/q106
+# rows-only-by-design `no_oracle` — both ANN paths with exhaustive
+# hash-verified twins q299/q253 driver-green in r4).
+_DRIVER_VERIFIED_R5 = (
+    "q63_date_kit", "q64_math_kit", "q65_conditional_kit", "q66_array_kit",
+    "q67_map_struct_kit", "q68_json_kit", "q69_from_json_typed",
+    "q70_visitor_pipeline", "q71_worker_pipeline",
+    "q72_time_fact_accumulation", "q73_dq_checks", "q80_stream_tumbling",
+    "q81_stream_sliding", "q82_stream_session",
+    "q83_stream_watermark_latedrop", "q84_stream_dedup",
+    "q85_stream_stateful_running_count", "q86_stream_stream_join",
+    "q87_stream_static_join", "q90_exact_dedup", "q91_ngram_jaccard_dedup",
+    "q92_minhash_lsh_dedup", "q93_simhash", "q94_cosine_topk",
+    "q95_embedding_near_dup", "q96_ann_lsh", "q97_langid", "q98_text_stats",
+    "q99_quality_score", "q100_fingerprint", "q101_asof_join",
+    "q102_multimodal_meta", "q103_udf_scalar_pandas",
+    "q104_udaf_grouped_agg", "q105_udtf_lateral", "q106_ann_ivf",
+    "q108_near_dup_clusters", "q109_train_eval_split",
+    "q110_sequence_packing", "q111_grouped_map_zscore", "q112_gap_fill",
+    "q113_curation_pipeline", "q114_incremental_dedup",
+    "q115_stratified_sample", "q116_corpus_report",
+    "q123_window_distinct_count", "q124_token_topk", "q126_scd2_merge",
+    "q135_hof_array_kit", "q136_regexp_kit",
+)
+
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
 # reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
 # dedup/curation north star (q90-q116). These front the rotation ahead of
@@ -124,12 +149,10 @@ def _rotate(reg: dict) -> dict:
     do NOT re-prioritize new work past this; registry growth is FROZEN
     until the whole board is driver-green):
 
-    - round 5: SURVEY §2.9 declared core q63-q116 (45 never-checked names:
-      q63-q69 scalar kits, q70-q73 reference pipeline, q80-q87 streaming,
-      q90-q116 dedup/curation) + q123_window_distinct_count,
-      q124_token_topk, q126_scd2_merge, q135_hof_array_kit,
-      q136_regexp_kit = 50.
-    - round 6: next 50 numerically (q138_zorder_key .. q205_rfm_segments).
+    - round 5: DONE (CORRECTNESS_r05: 48 green + 2 rows-only-by-design;
+      names folded into _DRIVER_VERIFIED_R5).
+    - round 6: next 51 numerically (q138_zorder_key .. q205_rfm_segments);
+      the driver samples ~50, any remainder rolls into round 7's front.
     - round 7: next 50 (q206_ab_test_zscore .. q333_stream_stream_left_outer).
     - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit).
     - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength).
@@ -139,13 +162,26 @@ def _rotate(reg: dict) -> dict:
     core ahead of everything else — so the schedule above holds as each
     round's sample moves into a ``_DRIVER_VERIFIED_R{N}`` tuple, with no
     manual re-listing. Optional SPARK_GRAFT_QUERY_SUBSET (comma-separated
-    names) narrows to an explicit subset."""
+    names) narrows to an explicit subset.
+
+    RECHECK POLICY for already-driver-verified queries whose plans later
+    change (e.g. q263/q296 in round 5): they are NOT re-fronted while the
+    never-checked backlog exists — re-fronting would displace first-time
+    rows from the committed block above. Instead every such change must
+    pass the local tri-SF value-hash gate (``tools/driver_sim.py --hash``
+    at sf0.001/0.01/0.1 — the same row-count+schema+hash contract the
+    driver runs) before commit; the sweep logs are committed under
+    ``artifacts/``. Once the backlog is retired (~r9), changed-verified
+    queries re-front ahead of periodic re-samples."""
     subset = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
     if subset:
         want = [s.strip() for s in subset.split(",") if s.strip()]
         return {k: reg[k] for k in want if k in reg}
     verified = (
-        _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
+        _DRIVER_VERIFIED_R1_R2
+        + _DRIVER_VERIFIED_R3
+        + _DRIVER_VERIFIED_R4
+        + _DRIVER_VERIFIED_R5
     )
     seen = set(verified)
     never = [k for k in reg if k not in seen]

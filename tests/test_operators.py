@@ -849,6 +849,7 @@ def test_distributed_cummax_all_null_partition(spark):
 
     from data_engineer_capstone_spark.functions.refops import distributed_cummax
 
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # keys 0..99 ordered; values null for the middle half so at least
@@ -863,7 +864,7 @@ def test_distributed_cummax_all_null_partition(spark):
             for r in distributed_cummax(df, ["k"], "v", name="m").collect()
         }
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
     want = {
         r["k"]: r["m"]

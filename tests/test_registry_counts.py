@@ -39,6 +39,7 @@ def test_rotation_tables_consistent():
         entry._DRIVER_VERIFIED_R1_R2
         + entry._DRIVER_VERIFIED_R3
         + entry._DRIVER_VERIFIED_R4
+        + entry._DRIVER_VERIFIED_R5
     )
     # every verified name must still exist in the registry
     missing = [n for n in verified if n not in reg]
@@ -57,6 +58,19 @@ def test_rotation_tables_consistent():
     assert head[: len(core_in_head)] == core_in_head, (
         "declared-core q63-q116 names must front the rotation"
     )
+
+
+def test_verified_r5_matches_driver_record():
+    """_DRIVER_VERIFIED_R5 must be exactly the CORRECTNESS_r05.json sample
+    (folding in a name the driver never checked would skip its turn)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(_ROOT, "CORRECTNESS_r05.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert set(entry._DRIVER_VERIFIED_R5) == set(record)
 
 
 def test_bench_names_exist_in_registry():
