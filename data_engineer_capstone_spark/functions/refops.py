@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..materialize import materialize
+
 # 50 two-letter state codes used by the reference's row-alignment gate
 # (ref pyspark.py:277-286). Note: DC deliberately absent, as in the reference.
 VALID_STATES = (
@@ -180,7 +182,7 @@ def deterministic_id(
       partition. No window ever sees more than one partition's rows; the
       offset lookup is a literal map, not a join.
 
-      The ranged frame is eagerly ``localCheckpoint``-ed: the range
+      The ranged frame is eagerly ``materialize()``-d: the range
       exchange samples its partition boundaries independently per
       materialization (ReuseExchange does not apply across the two
       separate jobs — verified empirically: unpersisted twin exchanges
@@ -206,18 +208,19 @@ def deterministic_id(
 
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # Eager localCheckpoint (NOT persist): one materialization that freezes
+    # Eager materialize() (NOT persist): one materialization that freezes
     # the sampled range boundaries, so the counts job and the final
     # projection read the same partitioning; its blocks are released by
     # Spark's ContextCleaner when the returned DataFrame is GC'd — nothing
     # for the caller to unpersist (the round-2 ADVICE leak, fixed without
     # the extra full-output materialization the first fix paid: the output
     # below stays LAZY, computed per downstream consumer from the slim
-    # checkpointed source). Production: reliable checkpoint, same contract.
+    # checkpointed source). SPARK_GRAFT_CHECKPOINT=reliable gives the
+    # cluster-fault-tolerant form, same contract (materialize.py).
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = {r["_pid"]: r["n"] for r in
               ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -251,7 +254,7 @@ def distributed_cumsum(
     """Global running total of ``value_col`` in ``order_by`` order, with NO
     partitionless window — `deterministic_id(fact_scale=True)`'s sibling
     for prefix SUMS instead of ranks (same zipWithIndex shape, same
-    eager-localCheckpoint rationale: the counts job and the projection must
+    eager-materialize rationale: the counts job and the projection must
     read one frozen range partitioning).
 
     Plan: range-repartition on the key, per-partition running sum via a
@@ -280,7 +283,7 @@ def distributed_cumsum(
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     part_rows = ranged.groupBy("_pid").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
@@ -379,7 +382,7 @@ def distributed_cummax(
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     part_rows = ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
     maxes = {r["_pid"]: r["m"] for r in part_rows}

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..functions.text import detect_language, h64, quality_score, word_count
 from .dedup import connected_components, exact_dedup_groups, minhash_lsh_pairs
 
@@ -49,12 +50,13 @@ def curate(
     # candidate pipeline, the components' vertex set, and the final
     # canonical join — without the checkpoint the langid/quality/window
     # lineage re-executes per consumer (and per label-prop round).
-    # Production at 100 TB: reliable checkpoint / intermediate table.
+    # At 100 TB: SPARK_GRAFT_CHECKPOINT=reliable (materialize.py) or an
+    # intermediate table.
     exact = exact_dedup_groups(gated, text_col=text_col, id_col=id_col).filter(
         F.col(id_col) == F.col("canonical_id")
     ).select(
         id_col, text_col, "pred_lang", "quality", "n_tokens"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     pairs = minhash_lsh_pairs(exact, threshold=jaccard_threshold)
     labels = connected_components(pairs, exact, id_col=id_col)

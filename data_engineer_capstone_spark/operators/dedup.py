@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..functions.text import h64, shingles, words
 
 
@@ -96,7 +97,7 @@ def ngram_containment_pairs(
     # materialize the slim (did, shingle, n_sh) rows once
     inv = ex.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("did"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
@@ -187,7 +188,7 @@ def ngram_jaccard_pairs(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         ).where(F.col("_df") <= df_cap).drop("_df")
     # one-pass rule: both self-join sides read the materialized index
-    inv = inv.localCheckpoint(eager=True)
+    inv = inv.transform(materialize)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
@@ -262,20 +263,20 @@ def jaccard_prefix_filter_pairs(
     prefix = (
         ranked.where(F.col("pos") <= prefix_len)
         .select("did", "shingle")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
         .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     need = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("did")).distinct()
     )
     sh_small = (
-        sets.join(need, "did", "left_semi").localCheckpoint(eager=True)
+        sets.join(need, "did", "left_semi").transform(materialize)
     )
     sa = sh_small.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_small.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -395,10 +396,10 @@ def minhash_lsh_pairs(
     # Eagerly materializing the slim (did, band, key) rows — n_bands rows
     # per doc, no text — makes each downstream read O(bands), cuts the
     # measured sf0.1 wall time ~25%, and is the right 100 TB shape: one
-    # signature pass over the corpus, ever. localCheckpoint is the
-    # local-mode form; production swaps in reliable checkpoint / a staged
-    # parquet write (same one-pass contract).
-    bands = bands.localCheckpoint(eager=True)
+    # signature pass over the corpus, ever. materialize() picks
+    # localCheckpoint locally or reliable checkpoint under
+    # SPARK_GRAFT_CHECKPOINT=reliable (same one-pass contract).
+    bands = bands.transform(materialize)
     a, b = bands.alias("a"), bands.alias("b")
     cand_ids = (
         a.join(
@@ -410,7 +411,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         # three consumers (need + both verify joins) — same one-pass rule
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     need = (
         cand_ids.select(F.col("doc_a").alias("did"))
@@ -422,7 +423,7 @@ def minhash_lsh_pairs(
         .join(need, "did", "left_semi")
         .select("did", shingles(F.col("_t"), k, distinct=True).alias("sh"))
         # consumed twice (sha / shb sides of the verify join)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cand = (
         cand_ids.join(
@@ -564,9 +565,10 @@ def connected_components(
     rounds (near-dup clusters are small and dense, so a handful).
 
     Scale notes: each round is one shuffle (join on dst + groupBy src);
-    ``localCheckpoint(eager)`` materializes the round and cuts lineage so
-    the plan doesn't grow with iterations (production: reliable
-    ``checkpoint`` to cluster storage instead). Driver-side cost per round
+    ``materialize()`` eagerly checkpoints the round and cuts lineage so
+    the plan doesn't grow with iterations (local blocks by default;
+    ``SPARK_GRAFT_CHECKPOINT=reliable`` routes the same call through
+    ``df.checkpoint()`` to cluster storage). Driver-side cost per round
     is two actions: the eager checkpoint and a convergence probe. The
     probe carries a did-any-label-shrink flag computed INSIDE the round's
     projection (min-propagation only ever lowers a label, so "changed" ≡
@@ -595,11 +597,11 @@ def connected_components(
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     def _hop(lab: DataFrame, with_chg: bool) -> DataFrame:
         nmin = (
@@ -619,9 +621,7 @@ def connected_components(
     # output) was already a fixed point, and then hop 2's output equals
     # hop 1's, so returning it is exact.
     for _ in range(max_iter):
-        new = _hop(_hop(labels, with_chg=False), with_chg=True).localCheckpoint(
-            eager=True
-        )
+        new = materialize(_hop(_hop(labels, with_chg=False), with_chg=True))
         converged = new.filter(F.col("_chg")).isEmpty()
         labels = new.drop("_chg")
         if converged:
@@ -667,7 +667,7 @@ def incremental_dedup(
     # near-dup pairs are consumed by three branches (cross-corpus drop,
     # within-batch pairs, and the components loop) — materialize ONCE; the
     # pair list is O(near-dups), tiny next to the pipeline that made it
-    pairs = minhash_lsh_pairs(un, threshold=threshold).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(un, threshold=threshold).transform(materialize)
     ca = corpus.select(F.col(id_col).alias("doc_a"), F.lit(True).alias("a_corp"))
     cb = corpus.select(F.col(id_col).alias("doc_b"), F.lit(True).alias("b_corp"))
     fl = (
@@ -682,7 +682,7 @@ def incremental_dedup(
         )
         .distinct()
     )
-    kept = bexact.join(cross_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    kept = bexact.join(cross_ids, id_col, "left_anti").transform(materialize)
     bpairs = (
         fl.filter(~F.col("a_corp") & ~F.col("b_corp"))
         .join(kept.select(F.col(id_col).alias("doc_a")), "doc_a", "left_semi")
@@ -724,7 +724,8 @@ def connected_components_star(
     Fixed point = a star per component (every vertex directly attached to
     its component min). Per round: two groupBy shuffles + two joins + one
     full-outer convergence probe (a single ``isEmpty`` action);
-    ``localCheckpoint`` cuts lineage (production: reliable ``checkpoint``).
+    ``materialize()`` cuts lineage (reliable ``checkpoint`` under the
+    ``SPARK_GRAFT_CHECKPOINT=reliable`` knob — see ``materialize.py``).
     """
     canon = (
         edges.select(
@@ -733,7 +734,7 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ids = vertices.select(F.col(id_col).alias("id"))
     if canon.isEmpty():
@@ -766,7 +767,7 @@ def connected_components_star(
             .unionAll(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # e is already distinct and every row has a > b (small-star attaches
         # strictly-larger vertices to the minimum), so the least/greatest
@@ -791,5 +792,5 @@ def connected_components_star(
             return ids.join(stars, "id", "left").select(
                 "id", F.coalesce("label", F.col("id")).alias("label")
             )
-        canon = new_canon.localCheckpoint(eager=True)
+        canon = new_canon.transform(materialize)
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")

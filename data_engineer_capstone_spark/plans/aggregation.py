@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ._util import money_avg, money_sum, round_det, sql_money_avg, sql_money_sum
 from .registry import query
@@ -1719,7 +1720,7 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     joint = ev.groupBy("g", "vb", "dow").agg(F.count(F.lit(1)).alias("n"))
-    joint = joint.localCheckpoint(eager=True)  # reused by 3 re-aggregates
+    joint = joint.transform(materialize)  # reused by 3 re-aggregates
     mx = joint.groupBy("g", "vb").agg(F.sum("n").alias("nx"))
     my = joint.groupBy("g", "dow").agg(F.sum("n").alias("ny"))
     mt = joint.groupBy("g").agg(F.sum("n").alias("nt"))
@@ -1950,7 +1951,7 @@ def q349(spark: SparkSession, sf: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("treated"),
         )
-        .localCheckpoint(eager=True)  # feeds both arms
+        .transform(materialize)  # feeds both arms
     )
     t = per_user.where(F.col("treated") == 1).select(
         F.col("user_id").alias("tid"),
@@ -2521,7 +2522,7 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = cells.agg(F.sum("n").cast("long").alias("nn"))
     rs = cells.groupBy("segment").agg(F.sum("n").cast("long").alias("s_r"))
@@ -3290,7 +3291,7 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
         d.select("g")
@@ -3303,7 +3304,7 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
     s = (
         spine.join(d, ["g", "day"], "left")
         .select("g", "day", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -3722,7 +3723,7 @@ def q408(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     s = (
         d.select("g")
@@ -3733,7 +3734,7 @@ def q408(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(d, ["g", "day"], "left")
         .select("g", "day", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nn = s.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
 
@@ -3895,7 +3896,7 @@ def q409(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("n_new"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     t = c.agg(
         F.sum("n_old").cast("long").alias("so"),
@@ -4126,7 +4127,7 @@ def q412(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     s = (
         d.select("g")

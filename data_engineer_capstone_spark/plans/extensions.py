@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ..functions.text import (
     LANG_STOPWORDS,
@@ -2690,7 +2691,7 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("eid") + 2000000).alias("eid"),
         F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("#")).alias("s"),
     )
-    ents = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
+    ents = base.unionByName(v1).unionByName(v2).transform(materialize)
     blocked = ents.withColumn("blk", F.substring("s", 1, 20))
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
@@ -2956,7 +2957,7 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
         base.where(F.col("n") >= BP_K)
         .select("doc_id", F.posexplode(sh_arr).alias("p0", "s"))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "s")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bp = (
         sh.select("doc_id", "s")
@@ -3375,7 +3376,7 @@ def q321(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("eid") + 2000000).alias("eid"),
         F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("#")).alias("s"),
     )
-    ents = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
+    ents = base.unionByName(v1).unionByName(v2).transform(materialize)
     truth = base.agg((F.count(F.lit(1)) * 3).alias("n_true"))
 
     blocked = ents.withColumn("blk", F.substring("s", 1, 20))
@@ -3547,7 +3548,7 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cents"),
         F.col("c_mktsegment").alias("seg"),
     )
-    recs = r0.unionByName(r1).unionByName(r2).localCheckpoint(eager=True)
+    recs = r0.unionByName(r1).unionByName(r2).transform(materialize)
     wn = W.partitionBy("cluster").orderBy(
         F.length("name").desc(), "name", "eid"
     )
@@ -3845,7 +3846,7 @@ def q360(spark: SparkSession, sf: str) -> DataFrame:
     )
     cells = preds.groupBy("labeled", "pred").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=True)  # feeds totals, diagonal, both marginals
+    ).transform(materialize)  # feeds totals, diagonal, both marginals
     rm = cells.groupBy(F.col("labeled").alias("k")).agg(
         F.sum("c").cast("long").alias("r")
     )
@@ -4182,7 +4183,7 @@ def q383(spark: SparkSession, sf: str) -> DataFrame:
         zkey = zkey + F.shiftleft(
             F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
         )
-    keyed = p.withColumn("zkey", zkey).localCheckpoint(eager=True)
+    keyed = p.withColumn("zkey", zkey).transform(materialize)
 
     def layout(df: DataFrame, order: list[str], tag: str) -> DataFrame:
         ranked = deterministic_id(df, order, name="rid", fact_scale=True)
@@ -4791,7 +4792,7 @@ def q411(spark: SparkSession, sf: str) -> DataFrame:
         "n_pos",
         F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("acc_ppm"),
         F.expr("CAST(sum_conf div (n * 1000) AS BIGINT)").alias("conf_ppm"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     e = w.agg(
         F.expr(
             "CAST(SUM(n * ABS(acc_ppm - conf_ppm)) div SUM(n) AS BIGINT)"

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ._util import ntile_from_rank, round_det, sql_round_det
 from .registry import query
@@ -653,13 +654,13 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)  # probed once per round
+        .transform(materialize)  # probed once per round
     )
     frontier = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .where(F.col("node") % BFS_SEED_MOD == 0)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     visited = frontier
     out = frontier.select("node", F.lit(0).cast("long").alias("dist"))
@@ -669,7 +670,7 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         out = out.unionByName(
             nxt.select("node", F.lit(h).cast("long").alias("dist"))
@@ -730,7 +731,7 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     n_triangles — the wedge count is the quadratic cost the ordering
     bounds, so the certification is in the output itself (and the
     triangle total cross-checks q201's)."""
-    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    edges = _edges(spark, sf).transform(materialize)
     und = edges.select(
         F.explode(
             F.array(
@@ -755,7 +756,7 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
-        .localCheckpoint(eager=True)  # probed 3×: two wedge arms + close
+        .transform(materialize)  # probed 3×: two wedge arms + close
     )
     o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
@@ -829,7 +830,7 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
     coefficient is reported in exact integer ppm so it hash-matches.
     Nodes of degree < 2 (coefficient undefined) are excluded by
     contract."""
-    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    edges = _edges(spark, sf).transform(materialize)
     und = edges.select(
         F.explode(
             F.array(
@@ -841,7 +842,7 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
     deg = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=True)  # orientation + final report
+        .transform(materialize)  # orientation + final report
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
@@ -856,7 +857,7 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
@@ -1050,7 +1051,7 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
     aggregate, one keyed semi-join filter. Rounds read an eagerly
     checkpointed edge list so lineage stays flat. Output = surviving
     edges with the support that justified survival."""
-    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    edges = _edges(spark, sf).transform(materialize)
     for _ in range(KTRUSS_ROUNDS):
         edges = edges.select("a", "b")  # drop prior round's support
         e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -1078,7 +1079,7 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
                 (edges.a == sup.x) & (edges.b == sup.y),
             )
             .select("a", "b", "s")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return edges.select("a", "b", F.col("s").alias("support")).orderBy(
         "a", "b"
@@ -1141,12 +1142,12 @@ def q367(spark: SparkSession, sf: str) -> DataFrame:
     node and one to the O(H) layer histogram. At 100 TB the edge list
     is pre-partitioned by src so the loop's per-round exchange is the
     probe side only."""
-    edges = _edges(spark, sf).localCheckpoint(eager=True)
+    edges = _edges(spark, sf).transform(materialize)
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     walks = nodes.select("node", F.lit(0).alias("d"))
     frontier = nodes
@@ -1155,7 +1156,7 @@ def q367(spark: SparkSession, sf: str) -> DataFrame:
             edges.join(frontier, edges.a == frontier.node)
             .select(F.col("b").alias("node"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         walks = walks.unionByName(frontier.select("node", F.lit(h).alias("d")))
     lv = walks.groupBy("node").agg(F.max("d").cast("long").alias("level"))
@@ -1272,16 +1273,16 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
             "w",
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     fund = (
         forest.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(forest.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     lbl = (
         fund.select("node").distinct().select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(BORUVKA_LABEL_HOPS):
         nbr_lbl = (
@@ -1296,7 +1297,7 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     comp = lbl.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     nn = lbl.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -1408,7 +1409,7 @@ def q388(spark: SparkSession, sf: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = e.select("p").distinct().select(
         F.col("p").alias("node"), F.lit(1).cast("long").alias("q")
@@ -1427,7 +1428,7 @@ def q388(spark: SparkSession, sf: str) -> DataFrame:
                 "node",
                 F.expr(f"CAST(s * {_HITS_Q} div t AS BIGINT)").alias("q"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         araw = (
             e.join(h.withColumnRenamed("node", "c"), "c")
@@ -1441,7 +1442,7 @@ def q388(spark: SparkSession, sf: str) -> DataFrame:
                 "node",
                 F.expr(f"CAST(s * {_HITS_Q} div t AS BIGINT)").alias("q"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     wk = W.orderBy(F.desc("q"), "node")
 
@@ -1547,12 +1548,12 @@ def q389(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(
             we.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     d = (
         und.agg(F.min("node").alias("node"))
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(BF_ROUNDS):
         relaxed = (
@@ -1563,7 +1564,7 @@ def q389(spark: SparkSession, sf: str) -> DataFrame:
             d.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     reach = d.agg(
         F.count(F.lit(1)).cast("long").alias("reached"),
@@ -1649,7 +1650,7 @@ def q393(spark: SparkSession, sf: str) -> DataFrame:
             F.col("p_partkey").alias("child"),
             (F.col("p_partkey") % 7 + 1).cast("long").alias("qty"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     frontier = p.where(F.col("p_partkey") < 10).select(
         F.col("p_partkey").alias("root"),
@@ -1663,7 +1664,7 @@ def q393(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("root", F.col("child").alias("node2"))
             .agg(F.sum(F.col("eff") * F.col("qty")).cast("long").alias("eff"))
             .withColumnRenamed("node2", "node")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         lv = frontier.select("root", F.lit(r).cast("long").alias("lvl"), "eff")
         levels = lv if levels is None else levels.unionByName(lv)
@@ -1761,7 +1762,7 @@ def q399(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.node", "e.nbr")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     seeds = (
         und.select("node").distinct().orderBy("node").limit(HC_SEEDS)
@@ -1770,7 +1771,7 @@ def q399(spark: SparkSession, sf: str) -> DataFrame:
         und.join(seeds.withColumnRenamed("node", "s"), und.node == F.col("s"))
         .select(F.col("s").alias("seed"), F.col("nbr").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     reached = frontier.select("seed", "node", F.lit(1).alias("d"))
     for h in range(2, HC_HOPS + 1):
@@ -1778,7 +1779,7 @@ def q399(spark: SparkSession, sf: str) -> DataFrame:
             frontier.join(und.withColumnRenamed("node", "fn"), frontier.node == F.col("fn"))
             .select("seed", F.col("nbr").alias("node"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         reached = reached.unionByName(
             frontier.select("seed", "node", F.lit(h).alias("d"))

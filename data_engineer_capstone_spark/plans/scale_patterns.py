@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ._util import DEC, _dec4, _sql_dec4, money_sum, ntile_from_rank, sql_money_sum
 from .registry import query
@@ -1016,7 +1017,7 @@ def q296(spark: SparkSession, sf: str) -> DataFrame:
         # pin the tiny (2 × event_type) result so the temp table can be
         # removed before returning (was leaking one spark_graft_tt_* copy
         # of events per run — the q263 leak class)
-        out = v0.unionByName(latest).localCheckpoint(eager=True)
+        out = v0.unionByName(latest).transform(materialize)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
     return out.orderBy("snapshot", "event_type")
@@ -1625,7 +1626,7 @@ def q326(spark: SparkSession, sf: str) -> DataFrame:
                 f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}"
             ).alias("d"),
         )
-        .localCheckpoint(eager=True)  # reused: two rank builds + join base
+        .transform(materialize)  # reused: two rank builds + join base
     )
 
     def ranks(key: str, out: str) -> DataFrame:
@@ -1751,7 +1752,7 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
             "bucket",
             F.coalesce(F.col("mrho"), F.lit(0)).cast("long").alias("reg"),
         )
-        .localCheckpoint(eager=True)  # read twice: estimate + output
+        .transform(materialize)  # read twice: estimate + output
     )
     est = regs.agg(
         F.expr(
@@ -1837,11 +1838,11 @@ def q332(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("i"))
         .distinct()
-        .localCheckpoint(eager=True)  # read for supports AND pair join
+        .transform(materialize)  # read for supports AND pair join
     )
     nb = b.agg(F.countDistinct("k").cast("long").alias("n_baskets"))
     sup = b.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("s"))
-    fi = sup.where(F.col("s") >= MINSUP_ITEM).localCheckpoint(eager=True)
+    fi = sup.where(F.col("s") >= MINSUP_ITEM).transform(materialize)
     fb = b.join(F.broadcast(fi.select("i")), "i")
     fa = fb.select(F.col("k"), F.col("i").alias("item_a"))
     fc = fb.select(F.col("k"), F.col("i").alias("item_b"))
@@ -2018,7 +2019,7 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
     sup = (
         base.groupBy("t", "cents")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds totals, median, deviations
+        .transform(materialize)  # feeds totals, median, deviations
     )
     tot = sup.groupBy("t").agg(F.sum("cnt").cast("long").alias("n"))
     wt = W.partitionBy("t").orderBy("cents")
@@ -2033,7 +2034,7 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
         sup.join(F.broadcast(med), "t")
         .groupBy("t", F.abs(F.col("cents") - F.col("med_cents")).alias("dev"))
         .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds the MAD pass and the fence
+        .transform(materialize)  # feeds the MAD pass and the fence
     )
     wd = W.partitionBy("t").orderBy("dev")
     mad = (
@@ -2587,7 +2588,7 @@ def q376(spark: SparkSession, sf: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.bit_xor(h64(row)).cast("long").alias("dig"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
 
     l1, l2 = leaf_digest(v1), leaf_digest(v2)
@@ -2609,7 +2610,7 @@ def q376(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.coalesce(F.col("a.mid"), F.col("b.mid")).alias("mid"))
     all_leaves = (
         l1.select("leaf").union(l2.select("leaf")).distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = (
         all_leaves.agg(F.count(F.lit(1)).cast("long").alias("total_leaves"))
@@ -2931,7 +2932,7 @@ def q380(spark: SparkSession, sf: str) -> DataFrame:
             )
             .distinct()
         )
-        sk = hs.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
+        sk = hs.orderBy("h").limit(KMV_K).transform(materialize)
         st = sk.agg(
             F.when(F.count(F.lit(1)) < KMV_K, F.lit(KMV_M))
             .otherwise(F.max("h"))
@@ -3516,7 +3517,7 @@ def q398(spark: SparkSession, sf: str) -> DataFrame:
     asg = o.select(
         owner_col(pts1, own1).alias("before_node"),
         owner_col(pts2, own2).alias("after_node"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     mv = asg.agg(
         F.sum((F.col("before_node") != F.col("after_node")).cast("int"))
         .cast("long")
@@ -3611,7 +3612,7 @@ def q400(spark: SparkSession, sf: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    tok = tok.localCheckpoint(eager=True)
+    tok = tok.transform(materialize)
     ph = spark.createDataFrame(
         [(f"{a} {b}", a, b) for a, b in PHRASES],
         "phrase string, w1 string, w2 string",
@@ -3744,7 +3745,7 @@ def q405(spark: SparkSession, sf: str) -> DataFrame:
             F.row_number().over(wp).alias("rn"),
         )
         .where(F.col("rn") == 1)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = pick.where(F.col("tx_cut") == F.lit("2024-03-01").cast("date")).select(
         "c_custkey", F.col("bal_cents").alias("bal_known_2024_03")
@@ -3835,9 +3836,7 @@ def q406(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("long")
         .alias("day"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
-        eager=True
-    )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).transform(materialize)
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
         d.select("event_type")

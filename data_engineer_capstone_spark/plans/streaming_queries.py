@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..streaming.replay import read_stream, run_to_table
 from ._util import DEC
 from .registry import query
@@ -394,7 +395,7 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         # without this, every run leaked a /tmp/spark_graft_rollup/<uuid>.
         final = spark.read.parquet(
             os.path.join(root, f"v{state['version']}")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return final.select(

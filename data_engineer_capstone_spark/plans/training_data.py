@@ -17,6 +17,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ..functions.text import h64, word_count, words
 from ..operators.dedup import jaccard_prefix_filter_pairs, minhash_lsh_pairs
@@ -1473,7 +1474,7 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
     t = (
         docs.select("source", F.explode(words("text")).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
     inter = (
@@ -1668,7 +1669,7 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
     is all-ones (w1 = row sums); convergence to the true eigvec needs
     more rounds — production loops the SAME step with checkpointing
     (q108's pattern); two rounds keep the oracle finite."""
-    gram = _gram_cells_arrow(spark, sf).localCheckpoint(eager=True)
+    gram = _gram_cells_arrow(spark, sf).transform(materialize)
     gsym = gram.select("i", "j", F.col("gram").alias("g")).unionAll(
         gram.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram").alias("g")
@@ -2374,7 +2375,7 @@ def q317(spark: SparkSession, sf: str) -> DataFrame:
     p = (
         a.join(F.broadcast(b), F.col("i") != F.col("j"))
         .select("i", "li", "lj", d.alias("d"))
-        .localCheckpoint(eager=True)  # feeds both the own- and other-label aggs
+        .transform(materialize)  # feeds both the own- and other-label aggs
     )
 
     def idiv(x, y):
@@ -2580,7 +2581,7 @@ def q338(spark: SparkSession, sf: str) -> DataFrame:
             F.col("embedding").cast("array<double>"),
             lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
         ).alias("xq"),
-    ).localCheckpoint(eager=True)  # feeds centroid build AND assignment
+    ).transform(materialize)  # feeds centroid build AND assignment
     comp = emb.select(
         "label", F.posexplode("xq").alias("p", "v")
     ).select("label", (F.col("p") + 1).alias("d"), "v")
@@ -2722,7 +2723,7 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
         y.alias("y"),
         F.floor(x).alias("cx"),
         F.floor(y).alias("cy"),
-    ).localCheckpoint(eager=True)  # probe side, build side, final report
+    ).transform(materialize)  # probe side, build side, final report
     neigh = pts.select(
         F.col("pid").alias("pa"),
         F.col("x").alias("xa"),
@@ -2752,14 +2753,14 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(d2 <= 1.0)
         .select(F.col("pa"), F.col("pid").alias("pb"))
-        .localCheckpoint(eager=True)  # counts + core edges + border probe
+        .transform(materialize)  # counts + core edges + border probe
     )
     und = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionByName(
         pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
     )
     cnt = und.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    core = cnt.where(F.col("n") >= DBSCAN_MINPTS).select("p").localCheckpoint(
-        eager=True
+    core = materialize(
+        cnt.where(F.col("n") >= DBSCAN_MINPTS).select("p")
     )
     cedges = (
         und.join(core, "p", "left_semi")
@@ -2777,7 +2778,7 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
             F.col("p"),
             F.coalesce(F.col("label"), F.col("p")).cast("long").alias("label"),
         )
-        .localCheckpoint(eager=True)  # border assignment + final report
+        .transform(materialize)  # border assignment + final report
     )
     border = (
         und.join(core, "p", "left_anti")
@@ -3584,7 +3585,7 @@ def q381(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n2 = nn.select(F.col("i").alias("j2"), F.col("j").alias("i2"))
     return (
@@ -3695,7 +3696,7 @@ def q395(spark: SparkSession, sf: str) -> DataFrame:
     g = binned.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("hot").cast("long").alias("u"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     w_iso = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     c = g.select(
         "b",
@@ -3871,7 +3872,7 @@ def q396(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(ng * 1000000 div tg AS BIGINT)").alias("good_ppm"),
             woe.alias("woe_q9"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ivt = w.agg(
         F.expr(

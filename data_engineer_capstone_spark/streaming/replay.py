@@ -29,6 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 
 # ts is declared TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ, and under
@@ -126,6 +127,6 @@ def run_to_table(
     # memory sink's table: without this every call leaves a stream_<uuid>
     # temp view holding its rows in driver memory for the session's life
     # (the q263 leak class, in-memory flavor).
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).transform(materialize)
     spark.catalog.dropTempView(name)
     return out

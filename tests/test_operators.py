@@ -916,3 +916,41 @@ def test_merkle_diff_localizes_exact_mutation_leaves(spark, sf_dir):
         if k % 997 == 0 or k % 991 == 3
     }
     assert got == want
+
+
+def test_reliable_checkpoint_mode_cc_oracle(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r5 fault-tolerance ask: under SPARK_GRAFT_CHECKPOINT=reliable
+    every materialize() call must route through df.checkpoint() against the
+    configured dir and the CC-loop query (q108 drives the iterative
+    connected_components hops) must still hash-match its DuckDB oracle."""
+    from data_engineer_capstone_spark.plans import get_oracles, get_queries
+    from tests.oracle import compare
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    name = "q108_near_dup_clusters"
+    res = compare(
+        spark, name, get_queries()[name], get_oracles()[name], sf_dir
+    )
+    assert res["rows_match"] and res["cols_match"] and res["hash_match"], res
+    # prove the mode engaged: reliable checkpoints write rdd-N dirs on disk
+    rdd_dirs = [p for p in ckpt.rglob("rdd-*") if p.is_dir()]
+    assert rdd_dirs, "reliable mode produced no checkpoint files"
+
+
+def test_reliable_checkpoint_requires_dir(spark, monkeypatch):
+    from data_engineer_capstone_spark.materialize import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT_DIR"):
+        materialize(spark.range(1))
+
+
+def test_materialize_rejects_unknown_mode(spark, monkeypatch):
+    from data_engineer_capstone_spark.materialize import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "hdfs")
+    with pytest.raises(ValueError, match="expected 'local' or 'reliable'"):
+        materialize(spark.range(1))

@@ -40,17 +40,30 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     failed = []
     if full_hash:
+        import time
+
         from tests.oracle import compare
 
         for name in sorted(qs):
+            t0 = time.time()
             try:
                 if name not in osql:
-                    qs[name](spark, sf).count()  # rows-only by design
+                    n = qs[name](spark, sf).count()  # rows-only by design
+                    print(
+                        f"OK   {name} rows-only n={n} "
+                        f"{time.time() - t0:.2f}s",
+                        flush=True,
+                    )
                     continue
                 r = compare(spark, name, qs[name], osql[name], sf)
                 ok = r["cols_match"] and r["rows_match"] and r["hash_match"]
                 if not ok:
                     raise AssertionError(str(r.get("first_diff"))[:200])
+                print(
+                    f"OK   {name} n={r['spark_rows']} "
+                    f"{time.time() - t0:.2f}s",
+                    flush=True,
+                )
             except Exception as ex:
                 failed.append((name, str(ex)[:200]))
                 print(f"FAIL {name}: {str(ex)[:200]}", flush=True)

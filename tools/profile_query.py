@@ -1,0 +1,85 @@
+"""Standalone drift-investigation profiler (the BASELINE.md q21/q276
+protocol, now a committed tool instead of an ad-hoc snippet).
+
+Runs ONE registered query N times in a fresh session at a given SF and
+prints: per-run wall time, and the md5 of the NORMALIZED executed plan
+(AQE final plan, expression/plan ids and temp paths stripped) for the
+first and last run. A descending time curve onto a stable floor with an
+unchanged plan hash = JIT/scheduler warm-up (environment), not plan cost;
+a changed hash or a flat-but-slower curve = a real regression.
+
+Usage:
+    python tools/profile_query.py q30_tpch_q1_agg --runs 8
+    python tools/profile_query.py q335_triangle_count --runs 8 \
+        --sf /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineer_capstone_spark.plans import get_queries  # noqa: E402
+from data_engineer_capstone_spark.session import get_spark  # noqa: E402
+
+
+def normalized_plan(df) -> str:
+    """Executed plan with run-varying tokens stripped, for stable hashing."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+", "#x", plan)  # expression ids
+    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    plan = re.sub(r"\[id=#x\]", "", plan)
+    plan = re.sub(r"(file|hdfs|s3a):[^\s,\]\)]+", r"\1:PATH", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
+    return plan
+
+
+def plan_md5(df) -> str:
+    return hashlib.md5(normalized_plan(df).encode()).hexdigest()[:12]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("name")
+    ap.add_argument("--runs", type=int, default=8)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--count-only",
+        action="store_true",
+        help="drive the plan with count() instead of collect() (wide results)",
+    )
+    ap.add_argument(
+        "--dump-plan",
+        action="store_true",
+        help="print the full normalized executed plan of the last run",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name=f"profile-{args.name}")
+    fn = get_queries()[args.name]
+    times, hashes = [], []
+    for i in range(args.runs):
+        t0 = time.time()
+        df = fn(spark, args.sf)
+        df.count() if args.count_only else df.collect()
+        times.append(time.time() - t0)
+        hashes.append(plan_md5(df))
+        print(f"run {i}: {times[-1]:.3f} s  plan md5 {hashes[-1]}", flush=True)
+    timed = times[1:]
+    print(
+        f"\n{args.name} @ {args.sf}: warmup {times[0]:.3f}; "
+        f"min {min(timed):.3f}; median {sorted(timed)[len(timed) // 2]:.3f}; "
+        f"plan stable: {len(set(hashes)) == 1} ({hashes[-1]})"
+    )
+    if args.dump_plan:
+        print(normalized_plan(df))
+
+
+if __name__ == "__main__":
+    main()
