@@ -118,6 +118,12 @@ MIN_OF_RUNS = {
     # evidence in BASELINE.md round-5 note). Same class as q21: the floor
     # is the plan-cost signal.
     "q276_interval_overlap_join",
+    # q30 round-6 profile (tools/profile_query.py, evidence in
+    # BASELINE.md): 8 standalone runs jitter in a 1.90-2.50 s band with a
+    # byte-stable executed plan (md5 13d09ca34825) and no descending
+    # trend — shared-VM jitter around a decimal-aggregation floor, the
+    # q21 class. The floor is the plan-cost signal.
+    "q30_tpch_q1_agg",
 }
 
 

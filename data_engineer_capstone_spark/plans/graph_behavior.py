@@ -730,7 +730,19 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     list. The report carries n_edges and the REALIZED n_wedges next to
     n_triangles — the wedge count is the quadratic cost the ordering
     bounds, so the certification is in the output itself (and the
-    triangle total cross-checks q201's)."""
+    triangle total cross-checks q201's).
+
+    Join strategy (round-6 profile, BASELINE.md): both the wedge
+    self-join and the close join take SHUFFLE_HASH hints — sort-merge
+    would sort the 41M-wedge stream by (x, y) for the close probe,
+    pure waste for a pipeline that ends in one aggregate (measured
+    2.3× on the wedge+close stage at sf0.1: 4.9-6.0 s SMJ → 2.4-3.1 s
+    SHJ). SHJ is safe here BECAUSE of the orientation invariant the
+    query certifies: each build side is the oriented edge list, whose
+    per-key width is bounded (outdeg(u) ≤ √(2m); (x, y) near-unique),
+    so no build partition can blow up on a hub. Broadcasting either
+    side was measured 3× WORSE locally (1.2M-row hash probed into a
+    41M-row expansion in few tasks) and is O(m) at scale anyway."""
     edges = _edges(spark, sf).transform(materialize)
     und = edges.select(
         F.explode(
@@ -760,8 +772,9 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     )
     o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
-    wedges = o1.join(o2, "u").where(
-        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    wedges = o1.join(o2.hint("shuffle_hash"), "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
     # ONE pass over the wedge space: a left join against the closing edge
     # marks closed wedges, so n_wedges and n_triangles come out of the same
@@ -769,7 +782,7 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     marked = wedges.join(
         ori.select(
             F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("hit")
-        ),
+        ).hint("shuffle_hash"),
         ["x", "y"],
         "left",
     )
@@ -861,14 +874,18 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
     )
     o1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    # same SHUFFLE_HASH strategy as q335 (see its docstring): no sort of
+    # the wedge stream, build sides bounded by the orientation invariant
     tri = (
-        o1.join(o2, "u")
+        o1.join(o2.hint("shuffle_hash"), "u")
         .where(
-            F.struct(F.col("dx"), F.col("x"))
-            < F.struct(F.col("dy"), F.col("y"))
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
         )
         .join(
-            ori.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ori.select(
+                F.col("u").alias("x"), F.col("v").alias("y")
+            ).hint("shuffle_hash"),
             ["x", "y"],
         )
     )
