@@ -98,7 +98,11 @@ def ngram_containment_pairs(
     inv = ex.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("did"))
     ).transform(materialize)
-    a, b = inv.alias("a"), inv.alias("b")
+    # SHUFFLE_HASH (round-6 q335 lesson, measured there and on q91/q397):
+    # the join output feeds only an aggregate, so SMJ's sort of the
+    # expanded pair stream is pure waste; build memory is O(rows/
+    # partition), the standard hash-agg sizing assumption at any scale.
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
         .groupBy(
@@ -189,7 +193,10 @@ def ngram_jaccard_pairs(
         ).where(F.col("_df") <= df_cap).drop("_df")
     # one-pass rule: both self-join sides read the materialized index
     inv = inv.transform(materialize)
-    a, b = inv.alias("a"), inv.alias("b")
+    # SHUFFLE_HASH: join output feeds only the group count — no point
+    # sorting the expanded pair stream (2.7x on the q397 sibling shape;
+    # see q335's docstring for the scale-safety argument)
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
         .groupBy(
@@ -248,6 +255,10 @@ def jaccard_prefix_filter_pairs(
     ).where(F.size("sh") > 0)
     ex = sets.select("did", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # (round 6: SHUFFLE_HASH was tried on this df lookup and measured
+    # WORSE — the build side is one row per DISTINCT shingle, so the
+    # per-partition hash map is as big as the sort it replaces; the hint
+    # only pays when the build side is the slim pre-expansion index)
     ranked = ex.join(dfreq, "shingle").withColumn(
         "pos",
         F.row_number().over(Window.partitionBy("did").orderBy("sdf", "shingle")),
@@ -265,7 +276,9 @@ def jaccard_prefix_filter_pairs(
         .select("did", "shingle")
         .transform(materialize)
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # SHUFFLE_HASH: candidate stream feeds only the dedup aggregate
+    # (same round-6 rationale as the q91/q397 index joins)
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
         .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
