@@ -413,6 +413,9 @@ def minhash_lsh_pairs(
     # localCheckpoint locally or reliable checkpoint under
     # SPARK_GRAFT_CHECKPOINT=reliable (same one-pass contract).
     bands = bands.transform(materialize)
+    # (round 6: SHUFFLE_HASH on this band join measured a wash — the
+    # bucket caps already bound the expansion, so there is no big pair
+    # stream to avoid sorting; rule (c2) left unapplied on purpose)
     a, b = bands.alias("a"), bands.alias("b")
     cand_ids = (
         a.join(
