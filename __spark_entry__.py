@@ -131,6 +131,32 @@ _DRIVER_VERIFIED_R5 = (
     "q135_hof_array_kit", "q136_regexp_kit",
 )
 
+# Round-6 driver sample (CORRECTNESS_r06.json: 50/50 green — the committed
+# burn-down block q138_zorder_key .. q205_rfm_segments, first-time rows).
+_DRIVER_VERIFIED_R6 = (
+    "q138_zorder_key", "q139_quality_report", "q140_bitwise_kit",
+    "q144_date_trunc_kit", "q145_deterministic_reservoir",
+    "q146_salted_agg_equivalence", "q147_funnel", "q148_retention_cohorts",
+    "q149_map_kit", "q150_posexplode_tokens", "q153_merge_intervals",
+    "q154_time_weighted_avg", "q155_l2_normalize", "q156_label_centroids",
+    "q161_try_kit", "q162_string_kit2", "q165_zscore_outliers",
+    "q166_missing_ids", "q167_kmeans_assign_step", "q168_bm25",
+    "q176_variant_json", "q177_collated_compare", "q178_approx_top_k",
+    "q179_listagg_ansi", "q180_pipe_syntax", "q181_from_xml",
+    "q182_interval_arithmetic", "q183_tpch_q2_min_cost_supplier",
+    "q184_tpch_q3_shipping_priority", "q185_tpch_q4_late_order_priority",
+    "q186_tpch_q5_local_supplier_volume", "q187_tpch_q6_revenue_forecast",
+    "q188_tpch_q7_volume_shipping", "q189_tpch_q8_market_share",
+    "q190_tpch_q9_product_profit", "q191_tpch_q10_returned_items",
+    "q192_tpch_q12_shipping_delay_priority", "q193_tpch_q14_promo_revenue",
+    "q194_tpch_q15_top_supplier", "q195_tpch_q16_supplier_part_counts",
+    "q196_tpch_q18_large_volume_customers",
+    "q197_tpch_q19_disjunctive_predicates", "q198_tpch_q20_promo_suppliers",
+    "q199_tpch_q21_waiting_suppliers", "q200_pagerank_two_rounds",
+    "q201_triangle_count", "q202_degree_distribution",
+    "q203_association_rules", "q204_markov_transitions", "q205_rfm_segments",
+)
+
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
 # reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
 # dedup/curation north star (q90-q116). These front the rotation ahead of
@@ -151,8 +177,8 @@ def _rotate(reg: dict) -> dict:
 
     - round 5: DONE (CORRECTNESS_r05: 48 green + 2 rows-only-by-design;
       names folded into _DRIVER_VERIFIED_R5).
-    - round 6: next 51 numerically (q138_zorder_key .. q205_rfm_segments);
-      the driver samples ~50, any remainder rolls into round 7's front.
+    - round 6: DONE (CORRECTNESS_r06: 50/50 green; names folded into
+      _DRIVER_VERIFIED_R6).
     - round 7: next 50 (q206_ab_test_zscore .. q333_stream_stream_left_outer).
     - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit).
     - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength).
@@ -182,6 +208,7 @@ def _rotate(reg: dict) -> dict:
         + _DRIVER_VERIFIED_R3
         + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5
+        + _DRIVER_VERIFIED_R6
     )
     seen = set(verified)
     never = [k for k in reg if k not in seen]

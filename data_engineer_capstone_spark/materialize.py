@@ -33,6 +33,17 @@ for the whole call-site family (see
 
 The env var is read per call, not cached, so tests can flip modes inside
 one long-lived session.
+
+Retention: reliable-checkpoint files are deleted by ContextCleaner only
+when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — a
+context-creation-time conf, so ``session.get_spark()`` sets it
+unconditionally (harmless when no RDD checkpoints exist). Sessions built
+OUTSIDE ``get_spark()`` that run reliable mode must either set that conf
+themselves or clean ``SPARK_GRAFT_CHECKPOINT_DIR`` externally after the
+job: each of the ~90 call sites writes a checkpoint per invocation
+(per-round inside the CC/BFS/k-truss loops), so an uncleaned long run
+accumulates unboundedly. The final checkpoint of a still-referenced frame
+survives either way — cleanup is GC-driven, not eager.
 """
 
 from __future__ import annotations

@@ -100,8 +100,13 @@ def ngram_containment_pairs(
     ).transform(materialize)
     # SHUFFLE_HASH (round-6 q335 lesson, measured there and on q91/q397):
     # the join output feeds only an aggregate, so SMJ's sort of the
-    # expanded pair stream is pure waste; build memory is O(rows/
-    # partition), the standard hash-agg sizing assumption at any scale.
+    # expanded pair stream is pure waste. Build memory is O(rows/
+    # partition) only when shingle keys are df-capped (q91) or roughly
+    # even; on this UNCAPPED containment path a hot shingle concentrates
+    # its whole posting list into one build partition, and a hash build
+    # map doesn't spill the way an SMJ sort does — skewed corpora trade
+    # SMJ's graceful degradation for a possible build-side OOM (SCALE.md
+    # rule c2 records the exposure and the df_cap escape hatch).
     a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))

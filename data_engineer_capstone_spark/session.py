@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        # ContextCleaner only deletes reliable-checkpoint files when this is
+        # true (default false), and it reads the conf at context creation —
+        # so it is set here, not in materialize(). Without it the ~90
+        # materialize() sites (incl. per-round checkpoints inside CC/BFS/
+        # k-truss loops) accumulate unbounded data under
+        # SPARK_GRAFT_CHECKPOINT_DIR in SPARK_GRAFT_CHECKPOINT=reliable runs.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

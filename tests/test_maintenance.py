@@ -83,3 +83,41 @@ def test_plan_exchange_counts_do_not_regress(spark):
             improvements.append((name, base, exch))
     assert not flagged, f"red-flag operators: {flagged}"
     assert not regressions, f"plan regressions: {regressions}"
+
+
+def test_clean_checkpoints_conf_set(spark):
+    """ADVICE r6 #2: reliable-mode checkpoint files are only reclaimed when
+    ContextCleaner sees cleanCheckpoints=true, and it reads the conf at
+    context creation — get_spark() must therefore set it unconditionally."""
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
+
+
+def test_profile_query_single_run(spark, capsys, monkeypatch):
+    """ADVICE r6 #3: --runs 1 used to crash on min() of the empty
+    post-warmup list; it must now degrade to a warmup-only summary."""
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    import profile_query
+
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "profile_query.py",
+            "q01_full_scan",
+            "--runs",
+            "1",
+            "--sf",
+            "/root/testdata/sf0.001",
+            "--count-only",
+        ],
+    )
+    profile_query.main()
+    out = capsys.readouterr().out
+    assert "warmup" in out
+    assert "min/median n/a" in out

@@ -40,6 +40,7 @@ def test_rotation_tables_consistent():
         + entry._DRIVER_VERIFIED_R3
         + entry._DRIVER_VERIFIED_R4
         + entry._DRIVER_VERIFIED_R5
+        + entry._DRIVER_VERIFIED_R6
     )
     # every verified name must still exist in the registry
     missing = [n for n in verified if n not in reg]
@@ -71,6 +72,18 @@ def test_verified_r5_matches_driver_record():
     with open(path) as f:
         record = json.load(f)
     assert set(entry._DRIVER_VERIFIED_R5) == set(record)
+
+
+def test_verified_r6_matches_driver_record():
+    """_DRIVER_VERIFIED_R6 must be exactly the CORRECTNESS_r06.json sample."""
+    import json
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(_ROOT, "CORRECTNESS_r06.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert set(entry._DRIVER_VERIFIED_R6) == set(record)
 
 
 def test_bench_names_exist_in_registry():

@@ -1,4 +1,4 @@
-"""Local replica of the driver's per-round check (see .claude/skills/verify).
+"""Local replica of the per-round correctness check the build driver runs.
 
 Smoke-runs ``entry()`` at sf0.001, then for every ``queries()`` entry at the
 driver's t2 SF: runs the Spark side and (when an oracle exists) checks column

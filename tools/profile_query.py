@@ -72,9 +72,15 @@ def main() -> None:
         hashes.append(plan_md5(df))
         print(f"run {i}: {times[-1]:.3f} s  plan md5 {hashes[-1]}", flush=True)
     timed = times[1:]
+    if timed:
+        stats = (
+            f"min {min(timed):.3f}; "
+            f"median {sorted(timed)[len(timed) // 2]:.3f}"
+        )
+    else:  # --runs 1: only the warmup ran, nothing post-warmup to summarize
+        stats = "min/median n/a (need --runs >= 2 for post-warmup stats)"
     print(
-        f"\n{args.name} @ {args.sf}: warmup {times[0]:.3f}; "
-        f"min {min(timed):.3f}; median {sorted(timed)[len(timed) // 2]:.3f}; "
+        f"\n{args.name} @ {args.sf}: warmup {times[0]:.3f}; {stats}; "
         f"plan stable: {len(set(hashes)) == 1} ({hashes[-1]})"
     )
     if args.dump_plan:
