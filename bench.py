@@ -140,6 +140,12 @@ def run_one(spark, fn, name: str, sf_dir: str) -> float:
     return min(times[1:]) if name in MIN_OF_RUNS else statistics.median(times[1:])
 
 
+# Measured NON-win (round 7, kept as a record): an inter-query quiesce —
+# Python gc.collect() + JVM System.gc() between timed queries so
+# ContextCleaner reclaims accumulated localCheckpoint blocks — was tried
+# as a fix for the q224/q228/q392 floor creep and changed nothing beyond
+# noise (total 55.58 -> 54.24 s with q224 itself +1.1 s WORSE); the creep
+# is not block-manager litter. Evidence in BASELINE.md round-7 note.
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")

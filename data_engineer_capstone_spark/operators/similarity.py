@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..materialize import materialize
 
 
 def _rounded_cosine(a, b):
@@ -123,9 +124,15 @@ def cosine_pairs_lsh(
     bucketed = add_hyperplane_buckets(
         _spread(df, [id_col, vec_col]), dim, n_planes, n_tables, vec_col=vec_col
     )
-    slim = bucketed.select(
-        F.col(id_col).alias("did"),
-        F.posexplode("buckets").alias("table", "bucket"),
+    # materialize: both self-join sides read these slim rows, and without
+    # the lineage cut each side re-executes the Arrow bucket projection
+    # (the executed plan showed TWO MapInPandas blocks — round-7 q224
+    # profile); n_tables small ints per vector, so the checkpoint is tiny
+    slim = materialize(
+        bucketed.select(
+            F.col(id_col).alias("did"),
+            F.posexplode("buckets").alias("table", "bucket"),
+        )
     )
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
@@ -138,19 +145,51 @@ def cosine_pairs_lsh(
         .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    return (
-        cand.join(vecs.select(F.col("vid"), F.col("v").alias("va")), cand.id_a == F.col("vid"))
+    # per-vector norms are computed ONCE here (O(corpus)) and carried
+    # through the fetch joins, so the per-PAIR verify is a single dot
+    # aggregate instead of dot + both norms (3× less interpreted-HOF work
+    # over the O(candidates) pair stream — round-7 q224 profile). Scores
+    # are bit-identical to _rounded_cosine: dot/(na*nb) is the same
+    # double expression tree, na/nb just evaluated earlier.
+    # NOTE (round-7, measured): an unrolled codegen dot (`dot_unrolled`)
+    # was tried here and was 3.5× WORSE (13.6 s vs 4.0 s at sf0.1) — the
+    # 64-term element_at tree lands in the broadcast join's non-equi
+    # condition, overflows the codegen method budget, and interprets
+    # per-node with per-call dispatch, costlier than the HOF fold's tight
+    # loop. The HOF dot stays; only the norms move out of the pair loop.
+    from ..functions.vectors import dot, norm
+
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    scored = (
+        cand.join(
+            vecs.select("vid", F.col("v").alias("va"), F.col("nv").alias("na")),
+            cand.id_a == F.col("vid"),
+        )
         .drop("vid")
-        .join(vecs.select(F.col("vid"), F.col("v").alias("vb")), cand.id_b == F.col("vid"))
+        .join(
+            vecs.select("vid", F.col("v").alias("vb"), F.col("nv").alias("nb")),
+            cand.id_b == F.col("vid"),
+        )
         .drop("vid")
         .select(
             "id_a",
             "id_b",
-            _rounded_cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (
+                F.floor(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= threshold)
     )
+    return scored.where(F.col("cos_sim") >= threshold)
 
 
 def add_hyperplane_buckets(

@@ -355,3 +355,29 @@ def test_distributed_prefix_ops_match_window_twins_with_nulls(spark, vals):
     ).collect()
     assert got_sum == {r["k"]: r["c"] for r in twin}
     assert got_max == {r["k"]: r["m"] for r in twin}
+
+
+def test_dot_unrolled_bit_identical(spark):
+    """`dot_unrolled` must equal the HOF `dot` EXACTLY (==, not approx) on
+    real embeddings — same per-element casts added in the same order; the
+    library keeps it as a documented measured non-win for pair verifies
+    (see cosine_pairs_lsh), so its identity contract stays pinned."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.functions.vectors import dot, dot_unrolled
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, (F.col("ia") % 53) == (F.col("ib") % 53))
+    bad = (
+        pairs.select(
+            (
+                dot(F.col("va"), F.col("vb"))
+                == dot_unrolled(F.col("va"), F.col("vb"), 64)
+            ).alias("eq")
+        )
+        .where(~F.col("eq"))
+        .count()
+    )
+    assert bad == 0

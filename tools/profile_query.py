@@ -35,6 +35,17 @@ def normalized_plan(df) -> str:
     plan = re.sub(r"#\d+", "#x", plan)  # expression ids
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
+    # localCheckpoint scans surface as `Scan ExistingRDD mapPartitions...
+    # MapPartitionsRDD[1234]` — the RDD id is fresh per run and would
+    # make every checkpoint-bearing plan hash-unstable
+    plan = re.sub(r"RDD\[\d+\]", "RDD[x]", plan)
+    plan = re.sub(r"\[Memory(Checkpoint)?RDD[^\]]*\]", "[ckptRDD]", plan)
+    # higher-order-function lambda variables get session-global fresh ids
+    # (lambda x_1 ... lambda x_9) — strip so HOF-bearing plans hash stably
+    plan = re.sub(r"lambda ([A-Za-z]\w*?)_\d+", r"lambda \1_n", plan)
+    # AQE numbers query stages in materialization order, which races
+    # between independent branches — same structure, shuffled labels
+    plan = re.sub(r"QueryStage \d+", "QueryStage n", plan)
     plan = re.sub(r"(file|hdfs|s3a):[^\s,\]\)]+", r"\1:PATH", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
     return plan
