@@ -124,6 +124,11 @@ MIN_OF_RUNS = {
     # trend — shared-VM jitter around a decimal-aggregation floor, the
     # q21 class. The floor is the plan-cost signal.
     "q30_tpch_q1_agg",
+    # q231 round-7 profile (VERDICT r6 watch item, evidence in
+    # BASELINE.md): 8 standalone runs jitter in a 1.24-1.79 s band with
+    # a byte-stable executed plan (md5 43e8997cc18e) and no trend — the
+    # q30 class; the floor is the plan-cost signal.
+    "q231_hashed_linear_classifier",
 }
 
 
