@@ -411,6 +411,14 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------- link prediction ------
+# Per-task row budget for the wedge join / pair aggregate: ~750k slim
+# (long, long) rows keep each task's hash-agg state around 50-80 MiB —
+# comfortably inside a fair execution-memory share at 32 concurrent tasks
+# per 16g JVM, and a sane task size on a real cluster. Measured at sf0.1
+# (147.8M wedges): 32 tasks spill 26.1 GiB total; 198 tasks spill zero.
+_WEDGE_ROWS_PER_TASK = 750_000
+
+
 def common_neighbor_counts(
     edges: DataFrame, degree_cap: int | None = None
 ) -> DataFrame:
@@ -425,7 +433,27 @@ def common_neighbor_counts(
     unchanged (a wedge is counted at its center, so capping a center
     never perturbs wedges centered elsewhere). ``None`` keeps the exact
     contract; the capped path is covered by a crafted hub-graph pytest.
+
+    Spill-aware sizing (round 7): the wedge stream is Σ d(d-1)/2 rows —
+    ~124× the edge list on the sf0.1 co-purchase graph — so at the
+    session's shuffle width each task's aggregation state is O(wedges/
+    partitions), and `tools/shuffle_audit.py` measured the sort-fallback
+    cost of ignoring that: 24.3 GiB memory / 1.8 GiB disk spilled at
+    sf0.1. The operator therefore sizes its own exchanges from the data:
+    one O(1) scalar job on the (materialized) edge list computes the
+    exact wedge count from the degree histogram, and both the wedge join
+    and the pair aggregate run at ``wedges / _WEDGE_ROWS_PER_TASK``
+    partitions (floored at the session width, capped at 65536). The
+    repartition carries the slim und list (O(edges)); the pair aggregate
+    reuses the explicit (a, b) partitioning, so partial+final collapse
+    into one stage with ~_WEDGE_ROWS_PER_TASK rows of state per task —
+    the same shuffled bytes as before, now spill-free. At 100 TB the
+    formula is the point: partition count grows with Σ deg², not with a
+    config guess.
     """
+    # the edge list is probed three times (degree histogram, und
+    # derivation, anti-join build) — derive it once
+    edges = materialize(edges)
     # one derivation of the edge list, both orientations via explode
     # (a self-union re-plans the upstream edge derivation per branch)
     und = (
@@ -453,17 +481,42 @@ def common_neighbor_counts(
             und.join(F.broadcast(deg.where(F.col("_deg") <= degree_cap)), "src")
             .drop("_deg")
         )
+    # exact wedge count from the (possibly capped) degree histogram — an
+    # O(1) scalar over O(nodes) partials on the materialized edge list
+    # (the q200 count-seeding precedent: one tiny eager job beats a 1-row
+    # crossJoin that re-plans the subtree under every use)
+    wedge_est = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - F.lit(1)) / 2).alias("w"))
+        .collect()[0][0]
+    )
+    spark = edges.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_part = max(sp, min(65536, int((wedge_est or 0) // _WEDGE_ROWS_PER_TASK) + 1))
+    und = und.repartition(n_part, "src")
     # SHUFFLE_HASH (round-6 rule (c2), SCALE.md): the wedge expansion
     # feeds only the hash aggregate and the cn stream feeds only the
     # anti probe + TakeOrdered — SMJ would sort both big streams for
     # nothing (measured 39-61 s -> 23-28 s at sf0.1). Build sides are
-    # the slim undirected list / edge list, per-partition O(rows/parts).
+    # the slim undirected list / edge list, per-partition O(rows/parts);
+    # both und arms share the explicit n_part src-partitioning, so the
+    # join adds no exchange beyond the one slim repartition.
     x, y = und.alias("x"), und.hint("shuffle_hash").alias("y")
+    pairs = x.join(
+        y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst"))
+    ).select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    # the explicit (a, b) repartition IS the aggregate's exchange (partial
+    # and final collapse into the post-shuffle stage), carrying the wedge
+    # stream once at n_part granularity — per-task hash-agg state is
+    # bounded by _WEDGE_ROWS_PER_TASK instead of wedges/shuffle.partitions
     cn = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
-        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        pairs.repartition(n_part, "a", "b")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # cn already satisfies the anti-join's (a, b) clustering; only the
+    # slim edge build side shuffles
     return cn.join(edges.hint("shuffle_hash"), ["a", "b"], "left_anti")
 
 
