@@ -41,7 +41,21 @@ METRICS = (
     "shuffleWriteBytes",
     "memoryBytesSpilled",
     "diskBytesSpilled",
+    # core-time, summed over tasks: executorRunTime is wall-on-core ms,
+    # executorCpuTime is ns. Unlike the query's driver-side wall clock,
+    # these divide out scheduling gaps and are far more stable under
+    # shared-VM load — the drift-investigation protocol's preferred
+    # signal (see the BASELINE.md round-7 cold-container note: wall
+    # readings moved 2x run-to-run while plans and bytes were identical).
+    "executorRunTime",
+    "executorCpuTime",
 )
+
+# --skew: flag stages whose slowest task ran this many times longer than
+# the median task. Only stages with enough tasks for a meaningful
+# distribution (and enough total time to matter) are considered.
+SKEW_MIN_TASKS = 8
+SKEW_MIN_STAGE_MS = 2000
 
 
 def _bench_headline() -> list[str]:
@@ -59,6 +73,49 @@ def _stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
     return {(r["stageId"], r["attemptId"]): r for r in rows}
 
 
+def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
+    """Per-task distribution for one completed stage.
+
+    The DATA-skew signal is bytes per task (shuffle read/write max vs
+    median) — it is a property of the partitioning and the key
+    distribution, reproducible run-to-run. Task RUN-TIME max/median is
+    reported too but is load-sensitive on a shared VM (a 7.8x time
+    ratio measured on this repo's q242 under load collapsed to 1.5x on
+    a calm box with byte ratios of 1.0) — treat time ratios as skew
+    only when the byte ratio agrees.
+    """
+    sid, att = stage["stageId"], stage["attemptId"]
+    url = (
+        f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/taskSummary"
+        f"?quantiles=0.5,1.0"
+    )
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            summ = json.load(resp)
+    except Exception:
+        return None
+    med, mx = summ.get("executorRunTime", [0, 0])
+    if not med:
+        return None
+    ratios = {}
+    for label, path in (
+        ("read", ("shuffleReadMetrics", "readBytes")),
+        ("write", ("shuffleWriteMetrics", "writeBytes")),
+    ):
+        q = summ.get(path[0], {}).get(path[1])
+        if q and q[0] > 1024:  # ignore KB-scale noise floors
+            ratios[label] = round(q[-1] / q[0], 2)
+    return {
+        "stageId": sid,
+        "numTasks": stage["numTasks"],
+        "medianTaskMs": int(med),
+        "maxTaskMs": int(mx),
+        "ratio": round(mx / med, 2),
+        "bytesRatio": max(ratios.values()) if ratios else None,
+        "bytesRatios": ratios,
+    }
+
+
 def _fmt(n: int) -> str:
     for unit in ("B", "KiB", "MiB", "GiB"):
         if abs(n) < 1024 or unit == "GiB":
@@ -72,6 +129,13 @@ def main() -> None:
     ap.add_argument("names", nargs="*", help="query names (default: bench HEADLINE)")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None, help="write the JSON report here")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="also fetch per-stage task-time quantiles and report each "
+        "query's worst max/median straggler ratio (stages with >= "
+        f"{SKEW_MIN_TASKS} tasks and >= {SKEW_MIN_STAGE_MS} ms total)",
+    )
     args = ap.parse_args()
 
     names = args.names or [n for n in _bench_headline() if n != "pipeline_q70_q72"]
@@ -101,6 +165,20 @@ def main() -> None:
         seen = set(after)
         report[name] = {m: int(sum(s.get(m, 0) for s in new)) for m in METRICS}
         report[name]["stages"] = len(new)
+        if args.skew:
+            worst = None
+            for s in new:
+                if (
+                    s["numTasks"] < SKEW_MIN_TASKS
+                    or s.get("executorRunTime", 0) < SKEW_MIN_STAGE_MS
+                ):
+                    continue
+                sk = _stage_skew(ui, app_id, s)
+                # rank by the reproducible signal (bytes), fall back to time
+                key = lambda d: (d["bytesRatio"] or 0, d["ratio"])  # noqa: E731
+                if sk and (worst is None or key(sk) > key(worst)):
+                    worst = sk
+            report[name]["worst_skew"] = worst
 
     order = sorted(report, key=lambda n: -report[n]["shuffleWriteBytes"])
     hdr = f"{'query':36s} {'stages':>6} {'input':>12} {'shuf_read':>12} {'shuf_write':>12} {'spill_mem':>12} {'spill_disk':>12}"
@@ -114,6 +192,26 @@ def main() -> None:
         )
     total_spill = sum(r["memoryBytesSpilled"] + r["diskBytesSpilled"] for r in report.values())
     print(f"\ntotal spill across {len(report)} queries: {total_spill} bytes")
+    if args.skew:
+        print(f"\n{'query':36s} {'core_s':>7} {'cpu_s':>7}  worst straggler stage")
+        skey = lambda n: (  # noqa: E731
+            (report[n].get("worst_skew") or {}).get("bytesRatio") or 0,
+            (report[n].get("worst_skew") or {}).get("ratio", 0),
+        )
+        for n in sorted(report, key=skey, reverse=True):
+            r = report[n]
+            w = r.get("worst_skew")
+            detail = (
+                f"stage {w['stageId']} ({w['numTasks']} tasks): "
+                f"bytes max/med = {w['bytesRatio']}x {w['bytesRatios']}, "
+                f"time {w['maxTaskMs']}/{w['medianTaskMs']} ms = {w['ratio']}x"
+                if w
+                else "no qualifying stage"
+            )
+            print(
+                f"{n[:36]:36s} {r['executorRunTime']/1000:7.1f} "
+                f"{r['executorCpuTime']/1e9:7.1f}  {detail}"
+            )
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"sf": args.sf, "queries": report}, f, indent=1, sort_keys=True)
