@@ -4572,8 +4572,12 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
     any hot shingle — the q91 df-cap guard is the documented remedy at
     corpus scale."""
     from ..functions.text import h64
+    from ..operators.dedup import _spread
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # the winnowing pass hashes every k-gram of every document (~54M h64
+    # evaluations at sf0.1) — _spread it off the single-row-group scan
+    # task like every other signature pass in operators/dedup.py
+    docs = _spread(load_table(spark, sf, "documents"), ["doc_id", "text"])
     n_pos = F.greatest(F.length("text") - (WIN_K - 1), F.lit(1))
     hs = F.transform(
         F.sequence(F.lit(1), n_pos),
@@ -4587,15 +4591,44 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: F.array_min(F.slice(F.col("hs"), i, WIN_W)),
         )
     )
-    e = h.select("doc_id", F.explode(fps).alias("fp"))
+    # the winnowed posting list is probed three times (df histogram +
+    # both join arms) and the HOF fingerprint pass is the scan-side
+    # cost — derive it once. Exchange sizing (round 7, the q242 lesson
+    # applied to the inverted-index family): the pair stream is
+    # Σ df(df-1)/2 — 102.9M pairs from 539k postings at sf0.1 — but AQE
+    # coalesces the join and aggregate exchanges by BYTES (the postings
+    # are slim), which put ~100 CPU-core-seconds of pair hashing on 8
+    # tasks. Compute the exact pair count from the df histogram (O(1)
+    # scalar on the materialized posting list) and run the fingerprint
+    # join and the (doc_a, doc_b) aggregate at pairs/750k partitions.
+    # The hot-fingerprint task (max df 3,859 -> 7.4M pairs from one
+    # posting list) remains the straggler floor — producer-side
+    # expansion skew partitioning cannot split; the q91 df cap is the
+    # remedy when a real corpus needs it.
+    e = materialize(h.select("doc_id", F.explode(fps).alias("fp")))
+    n_pairs = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - F.lit(1)) / 2).alias("p"))
+        .collect()[0][0]
+    )
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_part = max(sp, min(65536, int((n_pairs or 0) // 750_000) + 1))
+    e = e.repartition(n_part, "fp")
     a = e.select(F.col("doc_id").alias("doc_a"), "fp")
     # SHUFFLE_HASH: the pair expansion feeds only the shared-count
     # aggregate — sorting it is the round-6 q335-class waste (measured
-    # 40-47 s -> 13-18 s at sf0.1 for this query)
+    # 40-47 s -> 13-18 s at sf0.1 for this query); both arms share the
+    # explicit fp-partitioning, so the join adds no exchange beyond the
+    # one slim posting-list repartition
     b = e.select(F.col("doc_id").alias("doc_b"), "fp").hint("shuffle_hash")
     return (
         a.join(b, "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        # the explicit (doc_a, doc_b) repartition IS the aggregate's
+        # exchange — per-task hash-agg state bounded at ~750k pair rows
+        .repartition(n_part, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= WIN_SHARED_T)
