@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..materialize import materialize
+from ..sizing import expansion_partitions
 from ..catalog import load_table
 from ..functions.text import (
     LANG_STOPWORDS,
@@ -4612,8 +4613,7 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("c") * (F.col("c") - F.lit(1)) / 2).alias("p"))
         .collect()[0][0]
     )
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_part = max(sp, min(65536, int((n_pairs or 0) // 750_000) + 1))
+    n_part = expansion_partitions(spark, n_pairs)
     e = e.repartition(n_part, "fp")
     a = e.select(F.col("doc_id").alias("doc_a"), "fp")
     # SHUFFLE_HASH: the pair expansion feeds only the shared-count

@@ -21,6 +21,7 @@ from ..materialize import materialize
 from ..catalog import load_table
 from ..functions.text import h64, word_count, words
 from ..operators.dedup import jaccard_prefix_filter_pairs, minhash_lsh_pairs
+from ..sizing import expansion_partitions
 from .extensions import _H64, _WORDS, JACCARD_PAIRS_ORACLE, _minhash_ctes
 from .graph_behavior import _SQL_EDGES, _edges
 from .registry import query
@@ -411,12 +412,6 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------- link prediction ------
-# Per-task row budget for the wedge join / pair aggregate: ~750k slim
-# (long, long) rows keep each task's hash-agg state around 50-80 MiB —
-# comfortably inside a fair execution-memory share at 32 concurrent tasks
-# per 16g JVM, and a sane task size on a real cluster. Measured at sf0.1
-# (147.8M wedges): 32 tasks spill 26.1 GiB total; 198 tasks spill zero.
-_WEDGE_ROWS_PER_TASK = 750_000
 
 
 def common_neighbor_counts(
@@ -442,11 +437,12 @@ def common_neighbor_counts(
     sf0.1. The operator therefore sizes its own exchanges from the data:
     one O(1) scalar job on the (materialized) edge list computes the
     exact wedge count from the degree histogram, and both the wedge join
-    and the pair aggregate run at ``wedges / _WEDGE_ROWS_PER_TASK``
+    and the pair aggregate run at ``wedges / 750k``
+    (``sizing.expansion_partitions``)
     partitions (floored at the session width, capped at 65536). The
     repartition carries the slim und list (O(edges)); the pair aggregate
     reuses the explicit (a, b) partitioning, so partial+final collapse
-    into one stage with ~_WEDGE_ROWS_PER_TASK rows of state per task —
+    into one stage with ~750k rows of state per task —
     the same shuffled bytes as before, now spill-free. At 100 TB the
     formula is the point: partition count grows with Σ deg², not with a
     config guess.
@@ -491,9 +487,7 @@ def common_neighbor_counts(
         .agg(F.sum(F.col("d") * (F.col("d") - F.lit(1)) / 2).alias("w"))
         .collect()[0][0]
     )
-    spark = edges.sparkSession
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_part = max(sp, min(65536, int((wedge_est or 0) // _WEDGE_ROWS_PER_TASK) + 1))
+    n_part = expansion_partitions(edges.sparkSession, wedge_est)
     und = und.repartition(n_part, "src")
     # SHUFFLE_HASH (round-6 rule (c2), SCALE.md): the wedge expansion
     # feeds only the hash aggregate and the cn stream feeds only the
@@ -509,7 +503,7 @@ def common_neighbor_counts(
     # the explicit (a, b) repartition IS the aggregate's exchange (partial
     # and final collapse into the post-shuffle stage), carrying the wedge
     # stream once at n_part granularity — per-task hash-agg state is
-    # bounded by _WEDGE_ROWS_PER_TASK instead of wedges/shuffle.partitions
+    # bounded by the sizing row budget instead of wedges/shuffle.partitions
     cn = (
         pairs.repartition(n_part, "a", "b")
         .groupBy("a", "b")

@@ -121,3 +121,22 @@ def test_profile_query_single_run(spark, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "warmup" in out
     assert "min/median n/a" in out
+
+
+def test_expansion_partitions_policy(spark):
+    """Pin the SCALE.md rule (c3) sizing contract: floor at the session
+    shuffle width, grow with the expansion cardinality at 750k rows per
+    task, cap at 65536, and degrade to the floor on empty/None input
+    (empty frames must not error or shrink parallelism)."""
+    from data_engineer_capstone_spark.sizing import expansion_partitions
+
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert expansion_partitions(spark, None) == sp
+    assert expansion_partitions(spark, 0) == sp
+    assert expansion_partitions(spark, 10) == sp
+    # the q242 figure: 147.8M wedges -> 198 partitions (> any local sp)
+    assert expansion_partitions(spark, 147_816_257) == max(sp, 198)
+    # cap engages for astronomically skewed histograms
+    assert expansion_partitions(spark, 10**14) == 65_536
+    # DuckDB's SUM returns float for the histogram expression — accept it
+    assert expansion_partitions(spark, 1.5e6) == max(sp, 3)
