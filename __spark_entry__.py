@@ -157,6 +157,34 @@ _DRIVER_VERIFIED_R6 = (
     "q203_association_rules", "q204_markov_transitions", "q205_rfm_segments",
 )
 
+# Round-7 driver sample (CORRECTNESS_r07.json: 49 green + q208
+# rows-only-by-design `no_oracle` — HLL sketch union, pinned by its
+# deterministic-registers twin q331, driver-green in the same sample).
+_DRIVER_VERIFIED_R7 = (
+    "q206_ab_test_zscore", "q207_top_event_paths", "q208_hll_sketch_union",
+    "q209_incremental_rollup_merge", "q210_equi_depth_histogram",
+    "q211_preagg_below_join", "q212_repetition_score",
+    "q213_boilerplate_shingles", "q214_decontamination",
+    "q215_cdc_latest_wins", "q216_inverted_index",
+    "q217_aggregate_filter_clause",
+    "q218_equi_depth_histogram_distributed", "q219_semantic_dedup_onehop",
+    "q220_unigram_surprisal", "q221_asof_forward", "q222_salted_hot_key_agg",
+    "q223_near_dup_clusters_star", "q302_late_dimension_replay",
+    "q303_target_encoding_loo", "q304_subtree_rollup",
+    "q305_matryoshka_overlap", "q306_slo_burn_rate",
+    "q307_abc_classification", "q308_neyman_allocation",
+    "q309_ks_two_sample", "q310_gini_coefficient", "q311_sequence_pattern",
+    "q312_position_attribution", "q313_halfsample_ci", "q314_seasonal_index",
+    "q315_decayed_popularity", "q316_sorted_neighborhood_pairs",
+    "q317_silhouette_score", "q318_reshard_plan", "q319_bloom_segment_index",
+    "q320_trailing_leaderboard", "q321_blocking_recall_report",
+    "q322_count_min_sketch", "q323_fd_discovery", "q324_bfs_shortest_path",
+    "q325_rrf_fusion", "q326_spearman_drift", "q327_expanding_cv_splits",
+    "q328_mutual_information", "q329_stream_incremental_dedup",
+    "q330_cogroup_pandas", "q331_hll_registers_deterministic",
+    "q332_frequent_itemset_pairs", "q333_stream_stream_left_outer",
+)
+
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
 # reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
 # dedup/curation north star (q90-q116). These front the rotation ahead of
@@ -179,8 +207,10 @@ def _rotate(reg: dict) -> dict:
       names folded into _DRIVER_VERIFIED_R5).
     - round 6: DONE (CORRECTNESS_r06: 50/50 green; names folded into
       _DRIVER_VERIFIED_R6).
-    - round 7: next 50 (q206_ab_test_zscore .. q333_stream_stream_left_outer).
-    - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit).
+    - round 7: DONE (CORRECTNESS_r07: 49 green + q208 rows-only-by-design;
+      names folded into _DRIVER_VERIFIED_R7).
+    - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit) —
+      pre-verified at sp=8 and sp=32 in artifacts/r8_block_sp8_sp32_sf0.01.log.
     - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength).
 
     The ordering is computed, not hand-listed: front = registry minus the
@@ -209,6 +239,7 @@ def _rotate(reg: dict) -> dict:
         + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5
         + _DRIVER_VERIFIED_R6
+        + _DRIVER_VERIFIED_R7
     )
     seen = set(verified)
     never = [k for k in reg if k not in seen]

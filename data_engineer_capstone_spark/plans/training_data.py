@@ -446,6 +446,14 @@ def common_neighbor_counts(
     the same shuffled bytes as before, now spill-free. At 100 TB the
     formula is the point: partition count grows with Σ deg², not with a
     config guess.
+
+    CONTRACT NOTE — eager execution at plan-construction time: because
+    the sizing scalar needs real data, CALLING this function executes
+    jobs (the ``materialize(edges)`` derivation — a localCheckpoint, or a
+    reliable checkpoint write under ``SPARK_GRAFT_CHECKPOINT=reliable`` —
+    plus the O(1) degree-histogram aggregate). A caller that only wants
+    to build/EXPLAIN the plan pays that cost too; plan-only tooling
+    should skip this operator or accept the two bounded jobs.
     """
     # the edge list is probed three times (degree histogram, und
     # derivation, anti-join build) — derive it once

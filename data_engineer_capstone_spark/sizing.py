@@ -38,8 +38,13 @@ def expansion_partitions(
 
     ``expansion_rows`` is typically Σ c(c-1)/2 over a key-frequency
     histogram (``None``/0 from an empty frame degrades to the session
-    width). Returns ``max(shuffle.partitions, min(65536,
-    expansion_rows // rows_per_task + 1))``.
+    width). Returns ``max(defaultParallelism, shuffle.partitions,
+    min(65536, expansion_rows // rows_per_task + 1))`` — the floor matches
+    the ``_spread`` precedent (operators/dedup.py): an explicit
+    repartition(n) is an exact target AQE never widens, so flooring at
+    shuffle.partitions alone would cap the expansion below machine width
+    in a session configured with shuffle.partitions < core count.
     """
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(sp, min(MAX_PARTITIONS, int(expansion_rows or 0) // rows_per_task + 1))
+    floor = max(spark.sparkContext.defaultParallelism, sp)
+    return max(floor, min(MAX_PARTITIONS, int(expansion_rows or 0) // rows_per_task + 1))

@@ -124,19 +124,31 @@ def test_profile_query_single_run(spark, capsys, monkeypatch):
 
 
 def test_expansion_partitions_policy(spark):
-    """Pin the SCALE.md rule (c3) sizing contract: floor at the session
-    shuffle width, grow with the expansion cardinality at 750k rows per
-    task, cap at 65536, and degrade to the floor on empty/None input
-    (empty frames must not error or shrink parallelism)."""
+    """Pin the SCALE.md rule (c3) sizing contract: floor at
+    max(defaultParallelism, shuffle width) — the ``_spread`` precedent,
+    because an explicit repartition(n) is exact and AQE never widens it —
+    grow with the expansion cardinality at 750k rows per task, cap at
+    65536, and degrade to the floor on empty/None input (empty frames
+    must not error or shrink parallelism)."""
     from data_engineer_capstone_spark.sizing import expansion_partitions
 
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert expansion_partitions(spark, None) == sp
-    assert expansion_partitions(spark, 0) == sp
-    assert expansion_partitions(spark, 10) == sp
-    # the q242 figure: 147.8M wedges -> 198 partitions (> any local sp)
-    assert expansion_partitions(spark, 147_816_257) == max(sp, 198)
+    floor = max(spark.sparkContext.defaultParallelism, sp)
+    assert expansion_partitions(spark, None) == floor
+    assert expansion_partitions(spark, 0) == floor
+    assert expansion_partitions(spark, 10) == floor
+    # the q242 figure: 147.8M wedges -> 198 partitions (> any local floor)
+    assert expansion_partitions(spark, 147_816_257) == max(floor, 198)
     # cap engages for astronomically skewed histograms
     assert expansion_partitions(spark, 10**14) == 65_536
     # DuckDB's SUM returns float for the histogram expression — accept it
-    assert expansion_partitions(spark, 1.5e6) == max(sp, 3)
+    assert expansion_partitions(spark, 1.5e6) == max(floor, 3)
+    # the advisor's round-7 scenario: shuffle.partitions below core count
+    # must not cap the expansion below machine width
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        dp = spark.sparkContext.defaultParallelism
+        assert expansion_partitions(spark, 10) == max(dp, 4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

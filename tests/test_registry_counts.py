@@ -41,6 +41,7 @@ def test_rotation_tables_consistent():
         + entry._DRIVER_VERIFIED_R4
         + entry._DRIVER_VERIFIED_R5
         + entry._DRIVER_VERIFIED_R6
+        + entry._DRIVER_VERIFIED_R7
     )
     # every verified name must still exist in the registry
     missing = [n for n in verified if n not in reg]
@@ -86,6 +87,18 @@ def test_verified_r6_matches_driver_record():
     assert set(entry._DRIVER_VERIFIED_R6) == set(record)
 
 
+def test_verified_r7_matches_driver_record():
+    """_DRIVER_VERIFIED_R7 must be exactly the CORRECTNESS_r07.json sample."""
+    import json
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(_ROOT, "CORRECTNESS_r07.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert set(entry._DRIVER_VERIFIED_R7) == set(record)
+
+
 def test_bench_names_exist_in_registry():
     """A renamed/retired query must not silently break the driver's bench
     run — every name bench.py references has to resolve in the registry."""
@@ -102,6 +115,5 @@ def test_bench_names_exist_in_registry():
     missing += [n for n in bench.PIPELINE_COMPOSITE if n not in reg]
     assert not missing, f"bench names missing from registry: {missing}"
     known = set(bench.HEADLINE) | set(bench.PIPELINE_COMPOSITE)
-    stray = [n for n in bench.MIN_OF_RUNS if n not in known]
-    stray += [n for n in bench.COUNT_ONLY if n not in known]
+    stray = [n for n in bench.COUNT_ONLY if n not in known]
     assert not stray, f"bench option sets reference untimed names: {stray}"

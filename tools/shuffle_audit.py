@@ -28,6 +28,7 @@ import argparse
 import json
 import os
 import sys
+import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -73,6 +74,29 @@ def _stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
     return {(r["stageId"], r["attemptId"]): r for r in rows}
 
 
+def _stages_settled(
+    ui: str, app_id: str, seen: set, polls: int = 25, interval: float = 0.2
+) -> dict[tuple[int, int], dict]:
+    """Poll the completed-stage set until it is stable AND has grown.
+
+    The status store is fed by an async listener bus, so stages can
+    register after the query's action returns; a single immediate poll
+    would attribute those late stages to the NEXT query and silently drop
+    the final query's (ADVICE r7 finding #1). Stable = two consecutive
+    polls return the same key set after at least one stage new vs ``seen``
+    has appeared; bounded at ``polls`` rounds so a genuinely stage-free
+    query (cached/metadata-only plan) can't hang the audit.
+    """
+    prev = _stages(ui, app_id)
+    for _ in range(polls):
+        time.sleep(interval)
+        cur = _stages(ui, app_id)
+        if set(cur) == set(prev) and set(cur) - seen:
+            return cur
+        prev = cur
+    return prev
+
+
 def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
     """Per-task distribution for one completed stage.
 
@@ -98,13 +122,25 @@ def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
     if not med:
         return None
     ratios = {}
+    flags = []
     for label, path in (
         ("read", ("shuffleReadMetrics", "readBytes")),
         ("write", ("shuffleWriteMetrics", "writeBytes")),
     ):
         q = summ.get(path[0], {}).get(path[1])
-        if q and q[0] > 1024:  # ignore KB-scale noise floors
-            ratios[label] = round(q[-1] / q[0], 2)
+        if not q:
+            continue
+        med_b, max_b = q[0], q[-1]
+        if med_b > 1024:
+            ratios[label] = round(max_b / med_b, 2)
+        elif max_b > 1024 * 1024:
+            # median task under the 1 KiB noise floor while one task
+            # carries MiBs — the MOST skewed shape; a true ratio would
+            # divide by ~0, so clamp the denominator to the noise floor
+            # and flag it so extreme skew ranks first instead of being
+            # dropped (ADVICE r7 finding #2)
+            ratios[label] = round(max_b / 1024.0, 2)
+            flags.append(f"{label}:median~0")
     return {
         "stageId": sid,
         "numTasks": stage["numTasks"],
@@ -113,6 +149,7 @@ def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
         "ratio": round(mx / med, 2),
         "bytesRatio": max(ratios.values()) if ratios else None,
         "bytesRatios": ratios,
+        "flags": flags,
     }
 
 
@@ -160,7 +197,7 @@ def main() -> None:
         # driver (the bench.py COUNT_ONLY rationale, applied to all —
         # driver-side collect bytes are not shuffle behavior)
         df.count()
-        after = _stages(ui, app_id)
+        after = _stages_settled(ui, app_id, seen)
         new = [after[k] for k in after.keys() - seen]
         seen = set(after)
         report[name] = {m: int(sum(s.get(m, 0) for s in new)) for m in METRICS}
@@ -203,7 +240,8 @@ def main() -> None:
             w = r.get("worst_skew")
             detail = (
                 f"stage {w['stageId']} ({w['numTasks']} tasks): "
-                f"bytes max/med = {w['bytesRatio']}x {w['bytesRatios']}, "
+                f"bytes max/med = {w['bytesRatio']}x {w['bytesRatios']}"
+                f"{' [' + ','.join(w['flags']) + ']' if w.get('flags') else ''}, "
                 f"time {w['maxTaskMs']}/{w['medianTaskMs']} ms = {w['ratio']}x"
                 if w
                 else "no qualifying stage"
