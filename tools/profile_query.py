@@ -48,6 +48,20 @@ def normalized_plan(df) -> str:
     plan = re.sub(r"QueryStage \d+", "QueryStage n", plan)
     plan = re.sub(r"(file|hdfs|s3a):[^\s,\]\)]+", r"\1:PATH", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
+    # the distributed-rank machinery (refops.distributed_cumsum /
+    # deterministic_id) bakes a partition-id -> offset map literal into the
+    # plan; repartitionByRange draws its boundary sample with a fresh seed
+    # per run, so the per-partition counts — and therefore the offset
+    # VALUES — legitimately vary run-to-run while the plan shape is
+    # byte-identical (observed on q247: the only diff between two runs'
+    # executed plans was this literal). Strip the values; the keys-are-
+    # consecutive-pids signature keeps real map literals (state codes,
+    # calendar maps) hash-relevant.
+    plan = re.sub(
+        r"map\(keys: \[0,1,2,[^\]]*\], values: \[[^\]]*\]\)",
+        "map(keys: [PIDS], values: [OFFSETS])",
+        plan,
+    )
     return plan
 
 
