@@ -46,6 +46,10 @@ def normalized_plan(df) -> str:
     # AQE numbers query stages in materialization order, which races
     # between independent branches — same structure, shuffled labels
     plan = re.sub(r"QueryStage \d+", "QueryStage n", plan)
+    # WholeStageCodegen span ids race the same way (observed on q201: the
+    # ONLY run-to-run diff was *(7) vs *(8) on identical operator trees);
+    # keep the * marker (codegen vs not is plan-relevant), drop the id
+    plan = re.sub(r"\*\(\d+\)", "*(n)", plan)
     plan = re.sub(r"(file|hdfs|s3a):[^\s,\]\)]+", r"\1:PATH", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
     # the distributed-rank machinery (refops.distributed_cumsum /
