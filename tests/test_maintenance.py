@@ -152,3 +152,49 @@ def test_expansion_partitions_policy(spark):
         assert expansion_partitions(spark, 10) == max(dp, 4)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bench_two_sweep_protocol(monkeypatch, capsys):
+    """Pin the round-8 bench protocol without Spark: every query runs 2+2
+    across two full sweeps (sweep 2 must not start until sweep 1 covered
+    the whole set — that ordering IS the cold-start defense), and the
+    reported figure is the min of the three post-warmup samples."""
+    import json
+
+    import bench
+
+    fake_reg = {"qa": object(), "qb": object()}
+    monkeypatch.setattr(bench, "get_queries", lambda: fake_reg)
+    monkeypatch.setattr(bench, "get_spark", lambda **kw: None)
+    monkeypatch.setattr(bench, "HEADLINE", ["qa", "qb"])
+
+    calls = []
+    # scripted timings: qa = [9.0 (warmup), 5.0, 3.0, 4.0] -> min 3.0
+    #                   qb = [2.0 (warmup), 8.0, 1.0, 6.0] -> min 1.0
+    seq = {"qa": iter([9.0, 5.0, 3.0, 4.0]), "qb": iter([2.0, 8.0, 1.0, 6.0])}
+    pipe = iter([7.0, 2.5, 2.25, 2.75])  # -> min 2.25
+
+    def fake_once(spark, fn, name, sf_dir):
+        calls.append(name)
+        return next(seq[name])
+
+    monkeypatch.setattr(bench, "_time_once", fake_once)
+    monkeypatch.setattr(
+        bench, "_time_pipeline_once", lambda spark: (calls.append("pipe"), next(pipe))[1]
+    )
+
+    class _Stop:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "get_spark", lambda **kw: _Stop())
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["queries"] == {"qa": 3.0, "qb": 1.0, "pipeline_q70_q72": 2.25}
+    assert out["value"] == 6.25
+    # two sweeps of 2: the second half must repeat the full set, not
+    # interleave per-query blocks of 4
+    assert calls == [
+        "qa", "qa", "qb", "qb", "pipe", "pipe",
+        "qa", "qa", "qb", "qb", "pipe", "pipe",
+    ]
