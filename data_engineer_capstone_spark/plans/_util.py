@@ -107,3 +107,42 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
 def sql_money_avg(expr: str, alias: str) -> str:
     q = f"CAST(SUM({_sql_dec4(expr)}) AS DOUBLE) / COUNT({expr})"
     return f"{sql_round_det(q, 2)} AS {alias}"
+
+
+def literal_frame(spark, rows: list[tuple], schema: str):
+    """Tiny literal dimension as a JVM-side ``VALUES`` LocalRelation.
+
+    NEVER build these with ``spark.createDataFrame(list)``: that
+    parallelizes the Python list into a defaultParallelism-partition
+    Python RDD, and every task evaluating the scan forks a Python worker
+    serialized on the SparkEnv lock — measured on q410 at sf0.1: a 4-row
+    percentile dim cost 326 blocked core-seconds (~1 s per task, ~0 CPU)
+    across the stages that re-evaluated it. A SQL ``VALUES`` relation is
+    a Catalyst LocalRelation: constant-folded, broadcastable, zero tasks.
+
+    ``schema`` is the same ``"name type, name type"`` string
+    ``createDataFrame`` accepted; values may be str/int/float/bool/None.
+    """
+    cols = [c.strip().rsplit(None, 1) for c in schema.split(",")]
+    assert rows, "literal_frame needs at least one row"
+
+    def _sql_lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        return str(v)
+
+    values = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    select = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}"
+        for i, (name, typ) in enumerate(cols)
+    )
+    return spark.sql(f"SELECT {select} FROM VALUES {values} AS t({names})")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
-from ._util import money_avg, money_sum, round_det, sql_money_avg, sql_money_sum
+from ._util import literal_frame, money_avg, money_sum, round_det, sql_money_avg, sql_money_sum
 from .registry import query
 
 
@@ -4025,9 +4025,7 @@ def q410(spark: SparkSession, sf: str) -> DataFrame:
         up95, ["p95_cents", "user_id"], name="gr", fact_scale=True
     )
     n = up95.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    p = spark.createDataFrame(
-        [(x,) for x in NESTED_PCTS], "pct int"
-    )
+    p = literal_frame(spark, [(x,) for x in NESTED_PCTS], "pct int")
     return (
         g.crossJoin(F.broadcast(n))
         .join(

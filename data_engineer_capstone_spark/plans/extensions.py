@@ -45,6 +45,7 @@ from ..operators.similarity import (
     cosine_pairs_lsh,
     lsh_ann_topk,
 )
+from ._util import literal_frame
 from .registry import query
 
 # DuckDB fragments mirroring functions/text.py exactly
@@ -921,7 +922,8 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     pure function of doc_id, so reprocessing or resharding the corpus
     yields the identical sample (and the join against the rates dim is a
     broadcast)."""
-    rates = spark.createDataFrame(
+    rates = literal_frame(
+        spark,
         [("en", 200), ("de", 500), ("fr", 500), ("es", 800), ("und", 0)],
         "lang string, keep_per_mille int",
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import money_sum, round_det, sql_money_sum, sql_round_det
+from ._util import literal_frame, money_sum, round_det, sql_money_sum, sql_round_det
 from .registry import query
 
 
@@ -242,7 +242,8 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     table is a literal — broadcast nested-loop, the only sane physical plan
     for a theta join against a 3-row side at any scale."""
     o = load_table(spark, sf, "orders")
-    bands = spark.createDataFrame(
+    bands = literal_frame(
+        spark,
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e12)],
         "band string, lo double, hi double",
     )

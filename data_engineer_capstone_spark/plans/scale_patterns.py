@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
-from ._util import DEC, _dec4, _sql_dec4, money_sum, ntile_from_rank, sql_money_sum
+from ._util import DEC, _dec4, _sql_dec4, literal_frame, money_sum, ntile_from_rank, sql_money_sum
 from .registry import query
 
 
@@ -3230,9 +3230,7 @@ def q392(spark: SparkSession, sf: str) -> DataFrame:
     n = w.agg(F.count(F.lit(1)).cast("long").alias("n"))
     g = w.groupBy("lateness").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cum = distributed_cumsum(g, ["lateness"], "c", name="cum")
-    thr = spark.createDataFrame(
-        [(p,) for p in WM_PCTS], "pct int"
-    )
+    thr = literal_frame(spark, [(p,) for p in WM_PCTS], "pct int")
     pick = (
         cum.crossJoin(F.broadcast(thr))
         .crossJoin(F.broadcast(n))
@@ -3524,8 +3522,8 @@ def q398(spark: SparkSession, sf: str) -> DataFrame:
         .alias("moved"),
         F.count(F.lit(1)).cast("long").alias("total"),
     )
-    pern = spark.createDataFrame(
-        [(f"node{i}",) for i in range(CH_NODES)], "node string"
+    pern = literal_frame(
+        spark, [(f"node{i}",) for i in range(CH_NODES)], "node string"
     )
     b = asg.groupBy(F.col("before_node").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("nb")
@@ -3613,7 +3611,8 @@ def q400(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     tok = tok.transform(materialize)
-    ph = spark.createDataFrame(
+    ph = literal_frame(
+        spark,
         [(f"{a} {b}", a, b) for a, b in PHRASES],
         "phrase string, w1 string, w2 string",
     )
@@ -3728,8 +3727,8 @@ def q405(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
-    cuts = spark.createDataFrame(
-        [("2024-03-01",), ("2025-01-01",)], "tx_cut string"
+    cuts = literal_frame(
+        spark, [("2024-03-01",), ("2025-01-01",)], "tx_cut string"
     ).select(F.col("tx_cut").cast("date").alias("tx_cut"))
     wp = W.partitionBy("c_custkey", "tx_cut").orderBy(
         F.desc("valid_from"), F.desc("tx_from")
