@@ -185,6 +185,35 @@ _DRIVER_VERIFIED_R7 = (
     "q332_frequent_itemset_pairs", "q333_stream_stream_left_outer",
 )
 
+# Round-8 driver sample (CORRECTNESS_r08.json: 50/50 green — the committed
+# burn-down block q334_skyline_pareto .. q383_zorder_locality_audit,
+# first-time rows, 0 red).
+_DRIVER_VERIFIED_R8 = (
+    "q334_skyline_pareto", "q335_triangle_count",
+    "q336_clustering_coefficient", "q337_mad_outliers",
+    "q338_nearest_centroid_confusion", "q339_dbscan_grid",
+    "q340_hll_by_group", "q341_zipf_slope", "q342_personalized_pagerank",
+    "q343_golden_record_survivorship", "q344_dedup_signal_agreement",
+    "q345_ktruss_peel", "q346_kaplan_meier", "q347_readability",
+    "q348_cuped_variance_reduction", "q349_caliper_matching",
+    "q350_difference_in_differences", "q351_dedup_savings_report",
+    "q352_apply_in_arrow", "q353_uplift_deciles",
+    "q354_dynamic_gap_sessions", "q355_stream_dynamic_sessions",
+    "q356_windowed_stream_join", "q357_inclusion_dependencies",
+    "q358_set_overlap_upset", "q359_wasserstein_drift",
+    "q360_cohens_kappa", "q361_theil_sen_slope", "q362_average_precision",
+    "q363_ndcg_popularity", "q364_fifo_allocation",
+    "q365_systematic_pps_sample", "q366_k_anonymity_audit",
+    "q367_dag_longest_path", "q368_event_runs_rle", "q369_raking_ipf",
+    "q370_rank_biased_overlap", "q371_forecast_backtest",
+    "q372_label_noise_knn", "q373_peak_concurrency", "q374_boruvka_round",
+    "q375_apportionment", "q376_merkle_range_diff",
+    "q377_constrained_funnel", "q378_kendall_tau",
+    "q379_market_concentration", "q380_kmv_theta_anotb",
+    "q381_mutual_nn_pairs", "q382_cm_join_size",
+    "q383_zorder_locality_audit",
+)
+
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
 # reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
 # dedup/curation north star (q90-q116). These front the rotation ahead of
@@ -209,9 +238,11 @@ def _rotate(reg: dict) -> dict:
       _DRIVER_VERIFIED_R6).
     - round 7: DONE (CORRECTNESS_r07: 49 green + q208 rows-only-by-design;
       names folded into _DRIVER_VERIFIED_R7).
-    - round 8: next 50 (q334_skyline_pareto .. q383_zorder_locality_audit) —
-      pre-verified at sp=8 and sp=32 in artifacts/r8_block_sp8_sp32_sf0.01.log.
-    - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength).
+    - round 8: DONE (CORRECTNESS_r08: 50/50 green; names folded into
+      _DRIVER_VERIFIED_R8).
+    - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength) —
+      pre-verified at sp=8 and sp=32 in
+      artifacts/r9_block_refresh_r8tree_sf0.01.log. Completes the board.
 
     The ordering is computed, not hand-listed: front = registry minus the
     driver-verified union, sorted numerically with the q63-q116 declared
@@ -240,6 +271,7 @@ def _rotate(reg: dict) -> dict:
         + _DRIVER_VERIFIED_R5
         + _DRIVER_VERIFIED_R6
         + _DRIVER_VERIFIED_R7
+        + _DRIVER_VERIFIED_R8
     )
     seen = set(verified)
     never = [k for k in reg if k not in seen]

@@ -42,6 +42,7 @@ def test_rotation_tables_consistent():
         + entry._DRIVER_VERIFIED_R5
         + entry._DRIVER_VERIFIED_R6
         + entry._DRIVER_VERIFIED_R7
+        + entry._DRIVER_VERIFIED_R8
     )
     # every verified name must still exist in the registry
     missing = [n for n in verified if n not in reg]
@@ -97,6 +98,45 @@ def test_verified_r7_matches_driver_record():
     with open(path) as f:
         record = json.load(f)
     assert set(entry._DRIVER_VERIFIED_R7) == set(record)
+
+
+def test_verified_r8_matches_driver_record():
+    """_DRIVER_VERIFIED_R8 must be exactly the CORRECTNESS_r08.json sample."""
+    import json
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(_ROOT, "CORRECTNESS_r08.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert set(entry._DRIVER_VERIFIED_R8) == set(record)
+
+
+def test_rotation_head_is_final_r9_block():
+    """VERDICT r8 ask #8: the r9 driver sample must actually consume the
+    final never-checked block — q384 leads the rotation head and the head
+    is exactly the 29 names q384..q412 in numeric order."""
+    import __spark_entry__ as entry
+
+    rotated = list(entry.queries())
+    assert rotated[0].startswith("q384_"), (
+        f"rotation head is {rotated[0]}, expected the q384 block to lead"
+    )
+    head = rotated[:29]
+    nums = [entry._qnum(n) for n in head]
+    assert nums == sorted(nums) and nums[0] == 384 and nums[-1] == 412, (
+        f"head must be the q384..q412 block in order, got {head}"
+    )
+    # nothing never-driver-checked remains beyond the head
+    verified = set(
+        entry._DRIVER_VERIFIED_R1_R2 + entry._DRIVER_VERIFIED_R3
+        + entry._DRIVER_VERIFIED_R4 + entry._DRIVER_VERIFIED_R5
+        + entry._DRIVER_VERIFIED_R6 + entry._DRIVER_VERIFIED_R7
+        + entry._DRIVER_VERIFIED_R8
+    )
+    assert all(n in verified for n in rotated[29:]), (
+        "every name past the head must already be driver-verified"
+    )
 
 
 def test_bench_names_exist_in_registry():
