@@ -109,6 +109,31 @@ def sql_money_avg(expr: str, alias: str) -> str:
     return f"{sql_round_det(q, 2)} AS {alias}"
 
 
+def _split_schema(schema: str) -> list[tuple[str, str]]:
+    """Split a ``"name type, name type"`` schema string on top-level commas
+    only, so parameterized types (``decimal(10,2)``, ``map<string,int>``)
+    survive (ADVICE r8). Each fragment must be exactly ``name type``."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    cols = []
+    for frag in parts:
+        toks = frag.strip().split(None, 1)
+        assert len(toks) == 2, f"bad schema fragment {frag!r} in {schema!r}"
+        cols.append((toks[0], toks[1]))
+    return cols
+
+
 def literal_frame(spark, rows: list[tuple], schema: str):
     """Tiny literal dimension as a JVM-side ``VALUES`` LocalRelation.
 
@@ -122,8 +147,11 @@ def literal_frame(spark, rows: list[tuple], schema: str):
 
     ``schema`` is the same ``"name type, name type"`` string
     ``createDataFrame`` accepted; values may be str/int/float/bool/None.
+    Parameterized types with embedded commas (``decimal(10,2)``,
+    ``map<string,int>``) are supported — fragments split only on
+    top-level commas.
     """
-    cols = [c.strip().rsplit(None, 1) for c in schema.split(",")]
+    cols = _split_schema(schema)
     assert rows, "literal_frame needs at least one row"
 
     def _sql_lit(v) -> str:
@@ -132,7 +160,10 @@ def literal_frame(spark, rows: list[tuple], schema: str):
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # Spark's default parser (escapedStringLiterals=false) treats
+            # backslash sequences in literals as escapes — double them
+            # first, then double single quotes (ADVICE r8).
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, float):
             return repr(v) + "D"
         return str(v)

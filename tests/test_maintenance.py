@@ -198,3 +198,147 @@ def test_bench_two_sweep_protocol(monkeypatch, capsys):
         "qa", "qa", "qb", "qb", "pipe", "pipe",
         "qa", "qa", "qb", "qb", "pipe", "pipe",
     ]
+
+
+def test_literal_frame_escapes_and_param_types(spark):
+    """ADVICE r8: backslashes in string values must survive Spark's
+    escape-processing parser, and schema types with embedded commas
+    (decimal(10,2), map-free multi-word types) must parse."""
+    from data_engineer_capstone_spark.plans._util import (
+        _split_schema,
+        literal_frame,
+    )
+
+    df = literal_frame(
+        spark,
+        [("a\\tb", 1, 1.25), ("it's", 2, 2.5)],
+        "label string, n int, amt decimal(10,2)",
+    )
+    rows = {r["label"]: r for r in df.collect()}
+    # the raw backslash-t survives as two characters, not a tab
+    assert "a\\tb" in rows and "\t" not in "".join(rows)
+    assert rows["it's"]["n"] == 2
+    assert str(df.schema["amt"].dataType) == "DecimalType(10,2)"
+    assert float(rows["a\\tb"]["amt"]) == 1.25
+
+    assert _split_schema("k map<string,int>, v array<int>") == [
+        ("k", "map<string,int>"),
+        ("v", "array<int>"),
+    ]
+    try:
+        _split_schema("justonename")
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("1-token fragment must be rejected")
+
+
+def test_stages_settled_flag(monkeypatch):
+    """ADVICE r8: _stages_settled returns a settled flag, exits early on a
+    stage-free query, and reports False on a bound hit."""
+    import tools.shuffle_audit as sa
+
+    # (a) growth then stability -> settled quickly
+    seq = iter([{(0, 0): {}}, {(0, 0): {}, (1, 0): {}}, {(0, 0): {}, (1, 0): {}}])
+    monkeypatch.setattr(sa, "_stages", lambda ui, app: next(seq))
+    monkeypatch.setattr(sa.time, "sleep", lambda s: None)
+    stages, settled = sa._stages_settled("u", "a", seen={(0, 0)})
+    assert settled and (1, 0) in stages
+
+    # (b) stage-free query: stable with no growth -> settled after
+    # stable_needed polls, far short of the 25-poll bound
+    calls = {"n": 0}
+
+    def _static(ui, app):
+        calls["n"] += 1
+        return {(0, 0): {}}
+
+    monkeypatch.setattr(sa, "_stages", _static)
+    stages, settled = sa._stages_settled("u", "a", seen={(0, 0)})
+    assert settled and calls["n"] <= 7
+
+    # (c) never stabilizes -> bound hit, settled=False
+    grow = {"n": 0}
+
+    def _growing(ui, app):
+        grow["n"] += 1
+        return {(i, 0): {} for i in range(grow["n"])}
+
+    monkeypatch.setattr(sa, "_stages", _growing)
+    stages, settled = sa._stages_settled("u", "a", seen=set(), polls=5)
+    assert not settled
+
+
+def test_stage_skew_clamped_bucket(monkeypatch):
+    """ADVICE r8: median~0 clamped figures go to clampedRatios, never into
+    bytesRatio where they would outrank true max/median ratios."""
+    import io
+    import json as _json
+
+    import tools.shuffle_audit as sa
+
+    summ = {
+        "executorRunTime": [100, 200],
+        "shuffleReadMetrics": {"readBytes": [500, 5 * 1024 * 1024]},
+        "shuffleWriteMetrics": {"writeBytes": [10 * 1024, 100 * 1024]},
+    }
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        sa.urllib.request,
+        "urlopen",
+        lambda url, timeout=30: _Resp(_json.dumps(summ).encode()),
+    )
+    sk = sa._stage_skew("u", "a", {"stageId": 3, "attemptId": 0, "numTasks": 16})
+    # write has a true ratio 10x; read is median~0 and must NOT win bytesRatio
+    assert sk["bytesRatio"] == 10.0
+    assert "read" in sk["clampedRatios"] and "read" not in sk["bytesRatios"]
+    assert sk["flags"] == ["read:median~0"]
+
+
+def test_plan_normalizer_offset_map_anchor():
+    """ADVICE r8: the offset-map normalizer matches any consecutive key
+    list via the [_pid#x] anchor, and leaves genuine data maps alone."""
+    from tools.profile_query import normalized_plan
+
+    class _FakeExec:
+        def __init__(self, s):
+            self._s = s
+
+        def executedPlan(self):
+            return self
+
+        def toString(self):
+            return self._s
+
+    class _FakeDF:
+        def __init__(self, s):
+            self._jdf = self
+
+            class _QE:
+                def __init__(self, s2):
+                    self._e = _FakeExec(s2)
+
+                def queryExecution(self):
+                    return self._e
+
+            self._qe = _QE(s)
+
+        def queryExecution(self):
+            return self._qe.queryExecution()
+
+    # 2-key offset map (the <=3-key shape the old regex missed)
+    plan_in = (
+        "Project [map(keys: [0,1], values: [0,188])[_pid#38] AS rnk#9L, "
+        "map(keys: [0,1,2], values: [CA,NY,TX])[code#4] AS state#5]"
+    )
+    out = normalized_plan(_FakeDF(plan_in))
+    assert "map(keys: [PIDS], values: [OFFSETS])[_pid#x]" in out
+    # the genuine data map (consecutive int keys, non-_pid lookup) survives
+    assert "values: [CA,NY,TX]" in out

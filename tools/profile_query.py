@@ -58,12 +58,15 @@ def normalized_plan(df) -> str:
     # per run, so the per-partition counts — and therefore the offset
     # VALUES — legitimately vary run-to-run while the plan shape is
     # byte-identical (observed on q247: the only diff between two runs'
-    # executed plans was this literal). Strip the values; the keys-are-
-    # consecutive-pids signature keeps real map literals (state codes,
-    # calendar maps) hash-relevant.
+    # executed plans was this literal). Strip the values, anchored on the
+    # `[_pid#x]` lookup the refops rank machinery always applies (ADVICE
+    # r8: the old `keys: [0,1,2,` prefix missed <=3-partition maps and
+    # could strip a genuine data map with consecutive int keys — the
+    # _pid anchor matches any offset-map length and nothing else, since
+    # only refops mints a `_pid` partition-id column).
     plan = re.sub(
-        r"map\(keys: \[0,1,2,[^\]]*\], values: \[[^\]]*\]\)",
-        "map(keys: [PIDS], values: [OFFSETS])",
+        r"map\(keys: \[\d+(?:,\d+)*\], values: \[[^\]]*\]\)(\[_pid#x\])",
+        r"map(keys: [PIDS], values: [OFFSETS])\1",
         plan,
     )
     return plan

@@ -75,8 +75,13 @@ def _stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
 
 
 def _stages_settled(
-    ui: str, app_id: str, seen: set, polls: int = 25, interval: float = 0.2
-) -> dict[tuple[int, int], dict]:
+    ui: str,
+    app_id: str,
+    seen: set,
+    polls: int = 25,
+    interval: float = 0.2,
+    stable_needed: int = 5,
+) -> tuple[dict[tuple[int, int], dict], bool]:
     """Poll the completed-stage set until it is stable AND has grown.
 
     The status store is fed by an async listener bus, so stages can
@@ -86,15 +91,29 @@ def _stages_settled(
     polls return the same key set after at least one stage new vs ``seen``
     has appeared; bounded at ``polls`` rounds so a genuinely stage-free
     query (cached/metadata-only plan) can't hang the audit.
+
+    Returns ``(stages, settled)`` (ADVICE r8): ``settled`` is True when
+    the set stabilized with growth, OR stayed stable with no growth for
+    ``stable_needed`` consecutive polls (a legitimately stage-free query —
+    returns in ~1 s instead of burning the full bound). False means the
+    poll bound was hit, so a late-registering stage may still misattribute
+    to the next query — the caller records the flag in the report row.
     """
     prev = _stages(ui, app_id)
+    stable = 0
     for _ in range(polls):
         time.sleep(interval)
         cur = _stages(ui, app_id)
-        if set(cur) == set(prev) and set(cur) - seen:
-            return cur
+        if set(cur) == set(prev):
+            if set(cur) - seen:
+                return cur, True
+            stable += 1
+            if stable >= stable_needed:
+                return cur, True
+        else:
+            stable = 0
         prev = cur
-    return prev
+    return prev, False
 
 
 def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
@@ -122,6 +141,7 @@ def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
     if not med:
         return None
     ratios = {}
+    clamped = {}
     flags = []
     for label, path in (
         ("read", ("shuffleReadMetrics", "readBytes")),
@@ -136,10 +156,12 @@ def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
         elif max_b > 1024 * 1024:
             # median task under the 1 KiB noise floor while one task
             # carries MiBs — the MOST skewed shape; a true ratio would
-            # divide by ~0, so clamp the denominator to the noise floor
-            # and flag it so extreme skew ranks first instead of being
-            # dropped (ADVICE r7 finding #2)
-            ratios[label] = round(max_b / 1024.0, 2)
+            # divide by ~0. Keep the clamped max/1KiB figure in its OWN
+            # bucket (ADVICE r8: it is bytes-over-noise-floor, not a
+            # max/median ratio — mixing units let a 2 MiB single-task
+            # stage outrank a true 100x skew on a 10 GiB stage). Flagged
+            # rows rank first as a class; see the sort keys below.
+            clamped[label] = round(max_b / 1024.0, 2)
             flags.append(f"{label}:median~0")
     return {
         "stageId": sid,
@@ -149,6 +171,7 @@ def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
         "ratio": round(mx / med, 2),
         "bytesRatio": max(ratios.values()) if ratios else None,
         "bytesRatios": ratios,
+        "clampedRatios": clamped,
         "flags": flags,
     }
 
@@ -197,11 +220,14 @@ def main() -> None:
         # driver (the bench.py COUNT_ONLY rationale, applied to all —
         # driver-side collect bytes are not shuffle behavior)
         df.count()
-        after = _stages_settled(ui, app_id, seen)
+        after, settled = _stages_settled(ui, app_id, seen)
         new = [after[k] for k in after.keys() - seen]
         seen = set(after)
         report[name] = {m: int(sum(s.get(m, 0) for s in new)) for m in METRICS}
         report[name]["stages"] = len(new)
+        # ADVICE r8: a bound-hit settle means this row's stage attribution
+        # is suspect (late stages may leak into the next query's row)
+        report[name]["settled"] = settled
         if args.skew:
             worst = None
             for s in new:
@@ -211,8 +237,17 @@ def main() -> None:
                 ):
                     continue
                 sk = _stage_skew(ui, app_id, s)
-                # rank by the reproducible signal (bytes), fall back to time
-                key = lambda d: (d["bytesRatio"] or 0, d["ratio"])  # noqa: E731
+                # rank by the reproducible signal (bytes), fall back to
+                # time; median~0 flagged stages rank first AS A CLASS —
+                # their clamped figure is bytes-over-noise-floor, not a
+                # max/median ratio, so it never competes numerically with
+                # true ratios (ADVICE r8)
+                key = lambda d: (  # noqa: E731
+                    bool(d["flags"]),
+                    max(d["clampedRatios"].values(), default=0),
+                    d["bytesRatio"] or 0,
+                    d["ratio"],
+                )
                 if sk and (worst is None or key(sk) > key(worst)):
                     worst = sk
             report[name]["worst_skew"] = worst
@@ -232,6 +267,14 @@ def main() -> None:
     if args.skew:
         print(f"\n{'query':36s} {'core_s':>7} {'cpu_s':>7}  worst straggler stage")
         skey = lambda n: (  # noqa: E731
+            bool((report[n].get("worst_skew") or {}).get("flags")),
+            max(
+                (
+                    (report[n].get("worst_skew") or {}).get("clampedRatios")
+                    or {}
+                ).values(),
+                default=0,
+            ),
             (report[n].get("worst_skew") or {}).get("bytesRatio") or 0,
             (report[n].get("worst_skew") or {}).get("ratio", 0),
         )
@@ -241,7 +284,12 @@ def main() -> None:
             detail = (
                 f"stage {w['stageId']} ({w['numTasks']} tasks): "
                 f"bytes max/med = {w['bytesRatio']}x {w['bytesRatios']}"
-                f"{' [' + ','.join(w['flags']) + ']' if w.get('flags') else ''}, "
+                + (
+                    f" clamped(max/1KiB) = {w['clampedRatios']}"
+                    if w.get("clampedRatios")
+                    else ""
+                )
+                + f"{' [' + ','.join(w['flags']) + ']' if w.get('flags') else ''}, "
                 f"time {w['maxTaskMs']}/{w['medianTaskMs']} ms = {w['ratio']}x"
                 if w
                 else "no qualifying stage"
