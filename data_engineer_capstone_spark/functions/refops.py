@@ -195,6 +195,16 @@ def deterministic_id(
       a query mints ids repeatedly (q205 does, three times per run). The
       returned output itself stays lazy — computed per consumer from the
       checkpointed source, avoiding a second full-width materialization.
+
+    WIDTH CONTRACT (SCALE_100TB.md, Family 4): the counts job collects
+    O(P) rows to the driver and the prefix-sum becomes a P-entry map
+    literal in the plan, so P must be chosen by memory-per-partition
+    (~1 GiB of ranged rows), NEVER by input-split count — at P=800k the
+    literal is a ~13 MB interpreted expression in every task. Past
+    P ≈ 1e5, swap the map-literal lookup for a broadcast equi-join on
+    `_pid` (mechanical: the offsets dict becomes a 2-column broadcast
+    frame). Every registered query runs at P ≤ 32k, where the literal
+    shape is measured-optimal.
     """
     from pyspark.sql import Window as W
 
