@@ -78,18 +78,44 @@ def cosine_pairs(
     O(n²) pair space — correct tool only for bounded n (verification,
     per-bucket re-scoring). The scale path buckets first (lsh_ann_topk).
     The streamed side is spread to full parallelism first — the quadratic
-    cosine work must not inherit a single-split scan's task count."""
+    cosine work must not inherit a single-split scan's task count.
+
+    Per-vector norms are computed ONCE per side (O(n)) and carried into
+    the pair loop, so the per-PAIR work is a single dot aggregate instead
+    of dot + both norms — the round-7 q224 lesson (zip_with/aggregate are
+    CodegenFallback: every evaluation interprets the lambda per element),
+    applied round 9 to this brute path too after the census read q95's
+    pair stage at ~88 CPU-s. Scores are bit-identical to
+    ``_rounded_cosine``: dot/(na*nb) is the same double expression tree,
+    na/nb just evaluated earlier (the cosine_pairs_lsh precedent)."""
+    from ..functions.vectors import dot, norm
     from .dedup import _spread
 
     spread_df = _spread(df, [id_col, vec_col])
-    a = spread_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = spread_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            _rounded_cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (
+                F.floor(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
