@@ -381,3 +381,28 @@ def test_dot_unrolled_bit_identical(spark):
         .count()
     )
     assert bad == 0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_literal_frame_string_round_trip(spark, values):
+    """Any printable-ASCII string (backslashes, quotes, SQL metachars)
+    survives the VALUES literal round-trip exactly (ADVICE r9 fixes #1/#2:
+    backslash doubling + top-level schema split). One frame per example —
+    all generated strings ride as rows of a single VALUES relation."""
+    from data_engineer_capstone_spark.plans._util import literal_frame
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = literal_frame(spark, rows, "i int, s string")
+    got = {r["i"]: r["s"] for r in df.collect()}
+    assert got == {i: v for i, v in rows}
