@@ -157,3 +157,26 @@ def test_bench_names_exist_in_registry():
     known = set(bench.HEADLINE) | set(bench.PIPELINE_COMPOSITE)
     stray = [n for n in bench.COUNT_ONLY if n not in known]
     assert not stray, f"bench option sets reference untimed names: {stray}"
+
+
+def test_bench_keys_match_r8_record():
+    """VERDICT r8 ask #5: BENCH_r09 vs BENCH_r08 must be like-for-like —
+    the bench key set is pinned to the keys the round-8 record reported."""
+    import json
+
+    prev = os.environ.get("SPARK_GRAFT_TABLE_CACHE")
+    import bench
+
+    if prev is None:
+        os.environ.pop("SPARK_GRAFT_TABLE_CACHE", None)
+    else:
+        os.environ["SPARK_GRAFT_TABLE_CACHE"] = prev
+
+    with open(os.path.join(_ROOT, "BENCH_r08.json")) as f:
+        recorded = set(json.load(f)["parsed"]["queries"])
+    # the PIPELINE_COMPOSITE trio reports as the single pipeline_q70_q72 key
+    current = set(bench.HEADLINE) | {"pipeline_q70_q72"}
+    assert current == recorded, (
+        f"bench keys drifted vs BENCH_r08: +{current - recorded} "
+        f"-{recorded - current}"
+    )
