@@ -47,6 +47,21 @@ STATE_ABBREVIATIONS: dict[str, str] = {
 
 SAS_EPOCH = "1960-01-01"
 
+# SCALE_100TB.md Family 4, ENFORCED (VERDICT r9 ask #2): the distributed
+# rank/prefix machinery below looks up a per-partition offset for every
+# row. At P <= this width the lookup is a map LITERAL in the plan —
+# measured-optimal at bench scale (every registered query runs at
+# P <= 32k). Past it, the literal becomes a multi-MB interpreted
+# expression shipped in every task binary (~13 MB at P = 800k), so the
+# lookup switches to a broadcast equi-join on `_pid`: same semantics, one
+# tiny broadcast (O(P) slim rows), zero extra shuffles on the data path —
+# and the offsets are computed Spark-side (a prefix window over the O(P)
+# per-partition aggregate), so the gated path also drops the O(P) driver
+# collect, eliminating the flagged driver-state growth term outright.
+# Tests force the gate by shrinking this constant (the q229 salted-join
+# equivalence pattern) and hash-compare gated vs literal output.
+OFFSET_MAP_MAX_WIDTH = 65_536
+
 
 def clean_string(col: Column | str) -> Column:
     """E5 canonicalizer (ref _clean_string_column pyspark.py:349-356):
@@ -196,15 +211,16 @@ def deterministic_id(
       returned output itself stays lazy — computed per consumer from the
       checkpointed source, avoiding a second full-width materialization.
 
-    WIDTH CONTRACT (SCALE_100TB.md, Family 4): the counts job collects
-    O(P) rows to the driver and the prefix-sum becomes a P-entry map
-    literal in the plan, so P must be chosen by memory-per-partition
-    (~1 GiB of ranged rows), NEVER by input-split count — at P=800k the
-    literal is a ~13 MB interpreted expression in every task. Past
-    P ≈ 1e5, swap the map-literal lookup for a broadcast equi-join on
-    `_pid` (mechanical: the offsets dict becomes a 2-column broadcast
-    frame). Every registered query runs at P ≤ 32k, where the literal
-    shape is measured-optimal.
+    WIDTH CONTRACT (SCALE_100TB.md, Family 4 — ENFORCED since round 10):
+    at P <= ``OFFSET_MAP_MAX_WIDTH`` the counts job collects O(P) rows to
+    the driver and the prefix-sum is a P-entry map literal in the plan —
+    measured-optimal at bench scale (every registered query runs at
+    P <= 32k). Past the threshold the offset lookup switches to a
+    broadcast equi-join on ``_pid`` whose offsets are computed Spark-side
+    (prefix window over the O(P) per-partition counts), so neither the
+    ~13 MB-at-P=800k plan literal nor the O(P) driver collect exists on
+    the wide path. P should still be chosen by memory-per-partition
+    (~1 GiB of ranged rows), never by input-split count.
     """
     from pyspark.sql import Window as W
 
@@ -232,6 +248,28 @@ def deterministic_id(
         .withColumn("_pid", F.spark_partition_id())
         .transform(materialize)
     )
+    if n_parts > OFFSET_MAP_MAX_WIDTH:
+        # Family-4 wide path: broadcast-join offset lookup, zero driver
+        # collect (see OFFSET_MAP_MAX_WIDTH above).
+        woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+        off = (
+            ranged.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "_pid",
+                F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                .cast("long")
+                .alias("_off"),
+            )
+        )
+        w = W.partitionBy("_pid").orderBy(*cols)
+        return (
+            ranged.join(F.broadcast(off), "_pid", "left")
+            .withColumn(
+                name, F.row_number().over(w).cast("long") + F.col("_off")
+            )
+            .drop("_pid", "_off")
+        )
     counts = {r["_pid"]: r["n"] for r in
               ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = {}, 0
@@ -280,6 +318,14 @@ def distributed_cumsum(
     exchange, one offsets job — the q362 shape needs running positives AND
     running totals over the score axis; two separate calls would pay the
     exchange twice and could disagree on tie placement between passes).
+
+    Honors the Family-4 width gate (``OFFSET_MAP_MAX_WIDTH``): past the
+    threshold, offsets / seen-flags / rank offsets come from a broadcast
+    equi-join on ``_pid`` computed Spark-side — no plan literal, no O(P)
+    driver collect. The wide path always carries the null-transparency
+    guard (the literal path elides it per-column when the collected
+    totals prove no nulls exist — a plan simplification, not a semantic
+    difference).
     """
     from pyspark.sql import Window as W
 
@@ -295,6 +341,61 @@ def distributed_cumsum(
         .withColumn("_pid", F.spark_partition_id())
         .transform(materialize)
     )
+    if n_parts > OFFSET_MAP_MAX_WIDTH:
+        woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+        agg = ranged.groupBy("_pid").agg(
+            *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(value_cols)],
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # per-partition prefix offsets, computed once over O(P) rows:
+        # _soff{i} = sum of earlier partitions' totals (nulls ignored,
+        # exactly the literal path's `t or 0`); _seen{i} = any non-null
+        # total in an EARLIER partition (the null-transparency flag);
+        # _coff = count offset for the optional rank.
+        helper_cols = (
+            [f"_soff{i}" for i in range(len(value_cols))]
+            + [f"_seen{i}" for i in range(len(value_cols))]
+            + ["_coff"]
+        )
+        off = agg.select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_s{i}").over(woff), F.lit(0))
+                .cast("long")
+                .alias(f"_soff{i}")
+                for i in range(len(value_cols))
+            ],
+            *[
+                (F.count(f"_s{i}").over(woff) > 0).alias(f"_seen{i}")
+                for i in range(len(value_cols))
+            ],
+            F.coalesce(F.sum("_n").over(woff), F.lit(0))
+            .cast("long")
+            .alias("_coff"),
+        )
+        out = ranged.join(F.broadcast(off), "_pid", "left")
+        w = (
+            W.partitionBy("_pid")
+            .orderBy(*cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        for i, (vc, nm) in enumerate(zip(value_cols, names)):
+            local = F.sum(vc).over(w).cast("long")
+            out = out.withColumn(
+                nm,
+                F.when(
+                    local.isNotNull() | F.col(f"_seen{i}"),
+                    F.coalesce(local, F.lit(0).cast("long"))
+                    + F.col(f"_soff{i}"),
+                ),
+            )
+        if rank_name is not None:
+            wr = W.partitionBy("_pid").orderBy(*cols)
+            out = out.withColumn(
+                rank_name,
+                F.row_number().over(wr).cast("long") + F.col("_coff"),
+            )
+        return out.drop("_pid", *helper_cols)
     part_rows = ranged.groupBy("_pid").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
         *[F.count(c).alias(f"nn{i}") for i, c in enumerate(value_cols)],
@@ -383,7 +484,10 @@ def distributed_cummax(
     literal-offset shape applies; the cross-partition combine is
     ``greatest`` of the preceding partitions' maxes instead of a sum).
     The watermark primitive: cummax(event_time) over arrival order IS
-    the running watermark, and cummax(x) - x the per-event lateness."""
+    the running watermark, and cummax(x) - x the per-event lateness.
+    Honors the Family-4 width gate (``OFFSET_MAP_MAX_WIDTH``): past the
+    threshold the preceding-partition max comes from a broadcast
+    equi-join on ``_pid`` — no plan literal, no O(P) driver collect."""
     from pyspark.sql import Window as W
 
     cols = [F.col(c).asc_nulls_first() for c in order_by]
@@ -394,6 +498,26 @@ def distributed_cummax(
         .withColumn("_pid", F.spark_partition_id())
         .transform(materialize)
     )
+    if n_parts > OFFSET_MAP_MAX_WIDTH:
+        woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+        off = (
+            ranged.groupBy("_pid")
+            .agg(F.max(value_col).alias("_m"))
+            # window max ignores nulls and an empty preceding frame is
+            # NULL — exactly the literal path's all-null-partition guard
+            .select("_pid", F.max("_m").over(woff).alias("_prev"))
+        )
+        w = (
+            W.partitionBy("_pid")
+            .orderBy(*cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        local = F.max(value_col).over(w)
+        return (
+            ranged.join(F.broadcast(off), "_pid", "left")
+            .withColumn(name, F.greatest(local, F.coalesce(F.col("_prev"), local)))
+            .drop("_pid", "_prev")
+        )
     part_rows = ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
     maxes = {r["_pid"]: r["m"] for r in part_rows}
     off: dict[int, int] = {}

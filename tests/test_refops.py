@@ -232,3 +232,77 @@ def test_ntile_from_rank_matches_sql_ntile_all_residues(spark):
                 ).collect()
             }
             assert got == want, f"k={k} n={n}: closed form != SQL NTILE"
+
+
+def _opt_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_family4_width_gate_equivalence(spark, monkeypatch):
+    """SCALE_100TB.md Family 4, enforced (VERDICT r9 ask #2): past
+    OFFSET_MAP_MAX_WIDTH the rank/prefix machinery must swap its plan
+    map-literal offset lookup for a broadcast equi-join on _pid — same
+    values, no literal, no driver collect. Forced here by shrinking the
+    threshold below the session's 8 shuffle partitions (the q229
+    salted-join equivalence pattern) over data with nulls, an all-null
+    key band, and negative values."""
+    rows = []
+    for k in range(1, 61):
+        v = None if (k % 7 == 0 or 20 <= k <= 29) else (k * 3) % 17 - 5
+        w = None if 40 <= k <= 49 else k % 5
+        rows.append((k, v, w))
+    df = spark.createDataFrame(rows, "k int, v int, w int")
+
+    def gated(fn):
+        monkeypatch.setattr(refops, "OFFSET_MAP_MAX_WIDTH", 2)
+        try:
+            return fn()
+        finally:
+            monkeypatch.setattr(refops, "OFFSET_MAP_MAX_WIDTH", 65_536)
+
+    # --- deterministic_id: literal, gated, and the global-window twin ---
+    lit_id = {r.k: r.id for r in refops.deterministic_id(df, ["k"], fact_scale=True).collect()}
+    g_df = gated(lambda: refops.deterministic_id(df, ["k"], fact_scale=True))
+    gat_id = {r.k: r.id for r in g_df.collect()}
+    glob_id = {r.k: r.id for r in refops.deterministic_id(df, ["k"], fact_scale=False).collect()}
+    assert lit_id == gat_id == glob_id
+    assert "map(" not in _opt_plan(g_df) and "Join" in _opt_plan(g_df)
+    # empty input still analyzes and returns empty on the gated path
+    assert gated(lambda: refops.deterministic_id(df.limit(0), ["k"], fact_scale=True)).count() == 0
+
+    # --- distributed_cumsum: multi-column + rank, null-transparency ---
+    def cums():
+        return {
+            r.k: (r.cv, r.cw, r.rk)
+            for r in refops.distributed_cumsum(
+                df, ["k"], ["v", "w"], ["cv", "cw"], rank_name="rk"
+            ).collect()
+        }
+
+    lit_cs = cums()
+    gat_cs = gated(cums)
+    assert lit_cs == gat_cs
+    # reference: partitionless window twin
+    from pyspark.sql import Window as W
+
+    wref = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    ref = {
+        r.k: (r.cv, r.cw, r.rk)
+        for r in df.select(
+            "k",
+            F.sum("v").over(wref).cast("long").alias("cv"),
+            F.sum("w").over(wref).cast("long").alias("cw"),
+            F.row_number().over(W.orderBy("k")).cast("long").alias("rk"),
+        ).collect()
+    }
+    assert gat_cs == ref
+
+    # --- distributed_cummax ---
+    lit_cm = {r.k: r.cm for r in refops.distributed_cummax(df, ["k"], "v", "cm").collect()}
+    gat_cm = gated(
+        lambda: {r.k: r.cm for r in refops.distributed_cummax(df, ["k"], "v", "cm").collect()}
+    )
+    ref_cm = {
+        r.k: r.cm for r in df.select("k", F.max("v").over(wref).alias("cm")).collect()
+    }
+    assert lit_cm == gat_cm == ref_cm
