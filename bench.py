@@ -84,6 +84,14 @@ PIPELINE_COMPOSITE = ["q70_visitor_pipeline", "q71_worker_pipeline", "q72_time_f
 # Wide results: don't collect millions of rows to the driver; count() still
 # executes the full plan.
 COUNT_ONLY = {"q02_projection_arithmetic", "q43_running_sum", "q113_curation_pipeline"}
+# Slow-contract lane (VERDICT r9 ask #4): queries with DECLARED wall
+# contracts (BASELINE.md "Slow contracts") deliberately outside the
+# 21-key headline so their 20-30 s runs don't drown the sweep. Tracked
+# per-round here — min-of-2 wall + normalized executed-plan md5, reported
+# under a separate "slow_contracts" key and NEVER summed into the
+# headline total (the pinned headline key set stays frozen; see
+# tests/test_registry_counts.py::test_bench_keys_match_r8_record).
+SLOW_CONTRACTS = ["q242_common_neighbors", "q397_winnowing_pairs"]
 
 
 # History: rounds 2-7 reported per-query medians with a MIN_OF_RUNS
@@ -150,6 +158,22 @@ def main() -> None:
     # First execution of each query is the warm-up; report min of the rest.
     per_query = {n: round(min(s[1:]), 3) for n, s in samples.items()}
     total = round(sum(per_query.values()), 3)
+    # Slow-contract lane: min-of-2 wall + plan hash, once per round. Runs
+    # AFTER the sweeps so the JVM is warm (the contracts are warm figures).
+    slow: dict[str, dict] = {}
+    slow_names = [n for n in SLOW_CONTRACTS if n in registry]
+    if slow_names:
+        from tools.profile_query import plan_md5
+
+        for name in slow_names:
+            runs, h = [], None
+            for _ in range(2):
+                t0 = time.time()
+                df = registry[name](spark, sf_dir)
+                df.count()  # wide pair outputs — never collect to driver
+                runs.append(round(time.time() - t0, 3))
+                h = plan_md5(df)
+            slow[name] = {"sec": min(runs), "runs": runs, "plan_md5": h}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -158,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "slow_contracts": slow,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
