@@ -112,20 +112,32 @@ def sql_money_avg(expr: str, alias: str) -> str:
 def _split_schema(schema: str) -> list[tuple[str, str]]:
     """Split a ``"name type, name type"`` schema string on top-level commas
     only, so parameterized types (``decimal(10,2)``, ``map<string,int>``)
-    survive (ADVICE r8). Each fragment must be exactly ``name type``."""
+    survive (ADVICE r8). Each fragment must be exactly ``name type``.
+    Bracket depth is validated (ADVICE r9 #2): an unbalanced schema like
+    ``'a decimal(10, b int'`` fails HERE naming the schema string, instead
+    of mis-merging fragments and surfacing as a confusing downstream
+    fragment assertion or a wrong CAST."""
     parts: list[str] = []
     depth, cur = 0, []
-    for ch in schema:
+    for i, ch in enumerate(schema):
         if ch in "(<":
             depth += 1
         elif ch in ")>":
             depth -= 1
+            assert depth >= 0, (
+                f"unbalanced bracket: unmatched {ch!r} at index {i} "
+                f"in schema {schema!r}"
+            )
         if ch == "," and depth == 0:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    assert depth == 0, (
+        f"unbalanced bracket: {depth} unclosed '(' or '<' "
+        f"in schema {schema!r}"
+    )
     cols = []
     for frag in parts:
         toks = frag.strip().split(None, 1)

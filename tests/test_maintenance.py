@@ -162,11 +162,20 @@ def test_bench_two_sweep_protocol(monkeypatch, capsys):
     import json
 
     import bench
+    import tools.profile_query as pq
 
-    fake_reg = {"qa": object(), "qb": object()}
+    class _FakeDF:
+        def count(self):
+            return 1
+
+    fake_reg = {"qa": object(), "qb": object(), "qs": lambda spark, sf: _FakeDF()}
     monkeypatch.setattr(bench, "get_queries", lambda: fake_reg)
     monkeypatch.setattr(bench, "get_spark", lambda **kw: None)
     monkeypatch.setattr(bench, "HEADLINE", ["qa", "qb"])
+    # VERDICT r9 ask #4: the slow-contract lane reports separately and is
+    # NEVER summed into the headline total
+    monkeypatch.setattr(bench, "SLOW_CONTRACTS", ["qs"])
+    monkeypatch.setattr(pq, "plan_md5", lambda df: "cafebabe")
 
     calls = []
     # scripted timings: qa = [9.0 (warmup), 5.0, 3.0, 4.0] -> min 3.0
@@ -191,7 +200,11 @@ def test_bench_two_sweep_protocol(monkeypatch, capsys):
     bench.main()
     out = json.loads(capsys.readouterr().out.strip())
     assert out["queries"] == {"qa": 3.0, "qb": 1.0, "pipeline_q70_q72": 2.25}
-    assert out["value"] == 6.25
+    assert out["value"] == 6.25  # slow lane excluded from the total
+    assert "qs" not in out["queries"]
+    slow = out["slow_contracts"]["qs"]
+    assert slow["plan_md5"] == "cafebabe" and len(slow["runs"]) == 2
+    assert slow["sec"] == min(slow["runs"])
     # two sweeps of 2: the second half must repeat the full set, not
     # interleave per-query blocks of 4
     assert calls == [
@@ -233,20 +246,48 @@ def test_literal_frame_escapes_and_param_types(spark):
         raise AssertionError("1-token fragment must be rejected")
 
 
-def test_stages_settled_flag(monkeypatch):
-    """ADVICE r8: _stages_settled returns a settled flag, exits early on a
-    stage-free query, and reports False on a bound hit."""
+def test_split_schema_rejects_unbalanced_brackets():
+    """ADVICE r9 #2: an unbalanced schema must fail AT THE PARSE SITE with
+    a message naming the schema string, not mis-merge fragments into a
+    confusing downstream assertion or a wrong CAST."""
+    import pytest
+
+    from data_engineer_capstone_spark.plans._util import _split_schema
+
+    # unclosed '(' — the advisor's exact example
+    with pytest.raises(AssertionError, match=r"unbalanced bracket.*a decimal\(10, b int"):
+        _split_schema("a decimal(10, b int")
+    # stray closer must fail at its index, not go depth-negative silently
+    with pytest.raises(AssertionError, match="unbalanced bracket.*unmatched"):
+        _split_schema("a int>, b int")
+    # unclosed '<'
+    with pytest.raises(AssertionError, match="unclosed"):
+        _split_schema("k map<string,int, v int")
+    # balanced schemas still parse
+    assert _split_schema("a decimal(10,2), b map<string,int>") == [
+        ("a", "decimal(10,2)"),
+        ("b", "map<string,int>"),
+    ]
+
+
+def test_stages_settled_status(monkeypatch):
+    """ADVICE r8 + r9 #1: _stages_settled returns a three-way status —
+    only growth-settled attribution is trusted; a stage-free early exit
+    is distinguishable from growth (the r8 boolean flagged both True, so
+    a listener bus slower than the ~1.2 s no-growth window produced a
+    trusted-looking zero-stage row while its stages leaked into the next
+    query's row)."""
     import tools.shuffle_audit as sa
 
-    # (a) growth then stability -> settled quickly
+    # (a) growth then stability -> trusted, quickly
     seq = iter([{(0, 0): {}}, {(0, 0): {}, (1, 0): {}}, {(0, 0): {}, (1, 0): {}}])
     monkeypatch.setattr(sa, "_stages", lambda ui, app: next(seq))
     monkeypatch.setattr(sa.time, "sleep", lambda s: None)
-    stages, settled = sa._stages_settled("u", "a", seen={(0, 0)})
-    assert settled and (1, 0) in stages
+    stages, status = sa._stages_settled("u", "a", seen={(0, 0)})
+    assert status == "grew" and (1, 0) in stages
 
-    # (b) stage-free query: stable with no growth -> settled after
-    # stable_needed polls, far short of the 25-poll bound
+    # (b) stage-free query: stable with no growth -> distinguishable
+    # "stage_free" marker after stable_needed polls, short of the bound
     calls = {"n": 0}
 
     def _static(ui, app):
@@ -254,10 +295,23 @@ def test_stages_settled_flag(monkeypatch):
         return {(0, 0): {}}
 
     monkeypatch.setattr(sa, "_stages", _static)
-    stages, settled = sa._stages_settled("u", "a", seen={(0, 0)})
-    assert settled and calls["n"] <= 7
+    stages, status = sa._stages_settled("u", "a", seen={(0, 0)})
+    assert status == "stage_free" and calls["n"] <= 12
 
-    # (c) never stabilizes -> bound hit, settled=False
+    # (c) the r9 advisor scenario: stages register on the listener bus
+    # AFTER the old 5-poll (~1.2 s) early-exit window — the widened
+    # no-growth window must catch the growth and report it as trusted
+    late = {"n": 0}
+
+    def _late(ui, app):
+        late["n"] += 1
+        return {(0, 0): {}, (1, 0): {}} if late["n"] > 7 else {(0, 0): {}}
+
+    monkeypatch.setattr(sa, "_stages", _late)
+    stages, status = sa._stages_settled("u", "a", seen={(0, 0)})
+    assert status == "grew" and (1, 0) in stages
+
+    # (d) never stabilizes -> bound hit
     grow = {"n": 0}
 
     def _growing(ui, app):
@@ -265,8 +319,8 @@ def test_stages_settled_flag(monkeypatch):
         return {(i, 0): {} for i in range(grow["n"])}
 
     monkeypatch.setattr(sa, "_stages", _growing)
-    stages, settled = sa._stages_settled("u", "a", seen=set(), polls=5)
-    assert not settled
+    stages, status = sa._stages_settled("u", "a", seen=set(), polls=5)
+    assert status == "bound_hit"
 
 
 def test_stage_skew_clamped_bucket(monkeypatch):

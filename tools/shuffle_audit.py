@@ -80,8 +80,8 @@ def _stages_settled(
     seen: set,
     polls: int = 25,
     interval: float = 0.2,
-    stable_needed: int = 5,
-) -> tuple[dict[tuple[int, int], dict], bool]:
+    stable_needed: int = 10,
+) -> tuple[dict[tuple[int, int], dict], str]:
     """Poll the completed-stage set until it is stable AND has grown.
 
     The status store is fed by an async listener bus, so stages can
@@ -92,12 +92,23 @@ def _stages_settled(
     has appeared; bounded at ``polls`` rounds so a genuinely stage-free
     query (cached/metadata-only plan) can't hang the audit.
 
-    Returns ``(stages, settled)`` (ADVICE r8): ``settled`` is True when
-    the set stabilized with growth, OR stayed stable with no growth for
-    ``stable_needed`` consecutive polls (a legitimately stage-free query —
-    returns in ~1 s instead of burning the full bound). False means the
-    poll bound was hit, so a late-registering stage may still misattribute
-    to the next query — the caller records the flag in the report row.
+    Returns ``(stages, status)`` with status one of (ADVICE r9 #1 — the
+    r8 boolean conflated the two non-growth cases with trusted growth):
+
+    - ``"grew"``: stabilized after at least one stage new vs ``seen``
+      appeared — the only status whose stage attribution is trusted.
+    - ``"stage_free"``: stable with NO growth for ``stable_needed``
+      consecutive polls (~2 s; raised from the r8 value of 5/~1.2 s so
+      the no-growth wait exceeds any listener-bus lag observed in the r7
+      investigation). Either a genuinely stage-free query or a listener
+      bus slower than the window — callers must surface the zero-stage
+      attribution rather than flag the row trustworthy.
+    - ``"bound_hit"``: the poll bound elapsed without stabilizing; late
+      stages may misattribute to the next query's row.
+
+    ``main()`` records ``settled = (status == "grew")`` plus the raw
+    status, so a stage-producing query whose stages registered late can
+    no longer masquerade as a settled zero-stage row.
     """
     prev = _stages(ui, app_id)
     stable = 0
@@ -106,14 +117,14 @@ def _stages_settled(
         cur = _stages(ui, app_id)
         if set(cur) == set(prev):
             if set(cur) - seen:
-                return cur, True
+                return cur, "grew"
             stable += 1
             if stable >= stable_needed:
-                return cur, True
+                return cur, "stage_free"
         else:
             stable = 0
         prev = cur
-    return prev, False
+    return prev, "bound_hit"
 
 
 def _stage_skew(ui: str, app_id: str, stage: dict) -> dict | None:
@@ -220,14 +231,15 @@ def main() -> None:
         # driver (the bench.py COUNT_ONLY rationale, applied to all —
         # driver-side collect bytes are not shuffle behavior)
         df.count()
-        after, settled = _stages_settled(ui, app_id, seen)
+        after, status = _stages_settled(ui, app_id, seen)
         new = [after[k] for k in after.keys() - seen]
         seen = set(after)
         report[name] = {m: int(sum(s.get(m, 0) for s in new)) for m in METRICS}
         report[name]["stages"] = len(new)
-        # ADVICE r8: a bound-hit settle means this row's stage attribution
-        # is suspect (late stages may leak into the next query's row)
-        report[name]["settled"] = settled
+        # ADVICE r8+r9: only growth-settled attribution is trusted; a
+        # stage_free or bound_hit row's stages may leak into the next row
+        report[name]["settled"] = status == "grew"
+        report[name]["settle_status"] = status
         if args.skew:
             worst = None
             for s in new:
