@@ -20,6 +20,37 @@ from ..materialize import materialize
 from ..functions.text import detect_language, h64, quality_score, word_count
 from .dedup import connected_components, exact_dedup_groups, minhash_lsh_pairs
 
+# Production-at-scale preset (VERDICT r9 ask #5). The operator DEFAULTS
+# stay exact/uncapped — that is the oracle-pinned correctness contract
+# (q113 and the dedup-family oracles recompute the same uncapped
+# semantics) — but SCALE_100TB.md declares the caps MANDATORY at corpus
+# scale, where one boilerplate mega-bucket turns the band self-join
+# quadratic. ``curate(..., profile=SCALE_PROFILE)`` is the 100 TB
+# posture; pass a modified copy to tune.
+SCALE_PROFILE: dict = {
+    # MinHash banding hot-bucket cap (operators/dedup.py:minhash_lsh_pairs):
+    # band keys shared by more docs than this are dropped BEFORE the
+    # self-join (pairs stay exact-verified — the cap only loses
+    # candidates, never admits false positives); enabling it also turns
+    # on the (c3) expansion-sized candidate join and, with a
+    # ``drop_observation``, the dropped-row counter that rides the band
+    # materialization job.
+    "max_bucket_size": 64,
+    # shingle document-frequency cap for the n-gram Jaccard family
+    # (operators/dedup.py:ngram_jaccard_pairs ``df_cap``): stopword-like
+    # shingles above this df generate quadratic candidates for near-zero
+    # Jaccard gain. Carried in the preset for callers composing that
+    # family; curate()'s own near-dup stage is MinHash-based.
+    "df_cap": 10_000,
+    # streaming twins (incremental dedup, q329-style) keep their state
+    # off-heap and incrementally checkpointed at 100 TB key cardinality
+    "state_store_conf": {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+    },
+}
+
 
 def curate(
     docs: DataFrame,
@@ -27,6 +58,8 @@ def curate(
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    profile: dict | None = None,
+    drop_observation=None,
 ) -> DataFrame:
     """Curate a document corpus into a dedup'd, split-assigned training set.
 
@@ -34,6 +67,12 @@ def curate(
     documents: identified language, above the quality floor, canonical
     representative of both its exact-hash group and its MinHash near-dup
     cluster, with a deterministic 90/5/5 split.
+
+    ``profile=None`` (default) is the exact, uncapped, oracle-pinned
+    contract. ``profile=SCALE_PROFILE`` applies the production caps and
+    session conf above; pass an ``Observation`` as ``drop_observation``
+    to count capped-away band rows on the SAME job that materializes the
+    band table — no extra pass (tests/test_operators.py pins this).
     """
     scored = docs.select(
         id_col,
@@ -58,7 +97,15 @@ def curate(
         id_col, text_col, "pred_lang", "quality", "n_tokens"
     ).transform(materialize)
 
-    pairs = minhash_lsh_pairs(exact, threshold=jaccard_threshold)
+    if profile:
+        for k, v in profile.get("state_store_conf", {}).items():
+            docs.sparkSession.conf.set(k, v)
+    pairs = minhash_lsh_pairs(
+        exact,
+        threshold=jaccard_threshold,
+        max_bucket_size=(profile or {}).get("max_bucket_size"),
+        drop_observation=drop_observation if profile else None,
+    )
     labels = connected_components(pairs, exact, id_col=id_col)
     canonical = exact.join(
         labels, exact[id_col] == labels.id, "left"

@@ -421,6 +421,24 @@ def minhash_lsh_pairs(
     # (round 6: SHUFFLE_HASH on this band join measured a wash — the
     # bucket caps already bound the expansion, so there is no big pair
     # stream to avoid sorting; rule (c2) left unapplied on purpose)
+    if max_bucket_size is not None:
+        # rule (c3) on the capped/production path (SCALE.md; VERDICT r9
+        # ask #5): AQE coalesces exchanges by BYTES, but the self-join's
+        # CPU scales with Σ n(n-1)/2 over bucket sizes — size it from the
+        # exact post-cap expansion census (one O(1) scalar job over the
+        # materialized slim band rows, the q242/q397 precedent). The
+        # uncapped oracle-pinned path is untouched.
+        from ..sizing import expansion_partitions
+
+        exp = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("e"))
+            .head()["e"]
+        )
+        bands = bands.repartition(
+            expansion_partitions(bands.sparkSession, exp), "band", "key"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand_ids = (
         a.join(
