@@ -214,6 +214,39 @@ _DRIVER_VERIFIED_R8 = (
     "q383_zorder_locality_audit",
 )
 
+# Round-9 driver sample (CORRECTNESS_r09.json: 50/50 green — the final 29
+# first-time rows q384_hellinger_drift .. q412_seasonal_strength, which
+# completed the board, plus a 21-row refresh of q01-q58 names already in
+# _DRIVER_VERIFIED_R1_R2).
+_DRIVER_VERIFIED_R9 = (
+    "q384_hellinger_drift", "q385_lead_lag_xcorr", "q386_cell_suppression",
+    "q387_sql_udf_kit", "q388_hits_hubs_authorities",
+    "q389_bellman_ford_sssp", "q390_binary_segmentation",
+    "q391_shapley_attribution", "q392_watermark_lag_audit",
+    "q393_bom_explosion", "q394_profile_diff_contract",
+    "q395_isotonic_calibration", "q396_woe_information_value",
+    "q397_winnowing_pairs", "q398_consistent_hashing",
+    "q399_harmonic_centrality", "q400_phrase_search", "q401_srm_check",
+    "q402_dwell_time_transitions", "q403_lorenz_curve",
+    "q404_quantile_treatment_effects", "q405_bitemporal_asof",
+    "q406_backfill_plan", "q407_price_volume_mix",
+    "q408_ljung_box_portmanteau", "q409_covariate_shift_ess",
+    "q410_nested_percentiles", "q411_expected_calibration_error",
+    "q412_seasonal_strength",
+)
+
+# Round-10 recheck head (VERDICT r9 ask #1): queries whose PLANS changed in
+# round 9 AFTER their latest driver row — q95/q344 shipped the cosine_pairs
+# norms-out change (commit 1d97cd8; hash-verified tri-SF locally in
+# artifacts/cosine_pairs_normfix_r9.log, but never hashed by the driver on
+# the new plans), plus q254, the IVF-PQ exhaustive twin in the same family.
+# They front the rotation ahead of the freshness refresh below.
+_RECHECK_THIS_ROUND = (
+    "q95_embedding_near_dup",
+    "q344_dedup_signal_agreement",
+    "q254_ann_ivf_pq_exhaustive",
+)
+
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
 # reference pipeline end-to-end (q70-q73), streaming (q80-q87), and the
 # dedup/curation north star (q90-q116). These front the rotation ahead of
@@ -226,40 +259,34 @@ def _qnum(name: str) -> int:
 
 
 def _rotate(reg: dict) -> dict:
-    """Never-driver-checked queries first, already-verified last.
+    """Plan-changed rechecks first, then the stalest driver block, then the
+    rest in staleness order.
 
-    BURN-DOWN SCHEDULE (committed round 5; the driver samples ~50/round —
-    do NOT re-prioritize new work past this; registry growth is FROZEN
-    until the whole board is driver-green):
+    BURN-DOWN SCHEDULE (committed round 5; the driver samples ~50/round):
+    rounds 5-9 are DONE — CORRECTNESS_r05..r09 are 0-red, and every name is
+    folded into a ``_DRIVER_VERIFIED_R{N}`` tuple. Round 9 completed the
+    board: all 376 registered queries now carry a driver row (369 green +
+    7 rows-only-by-design, 0 red ever).
 
-    - round 5: DONE (CORRECTNESS_r05: 48 green + 2 rows-only-by-design;
-      names folded into _DRIVER_VERIFIED_R5).
-    - round 6: DONE (CORRECTNESS_r06: 50/50 green; names folded into
-      _DRIVER_VERIFIED_R6).
-    - round 7: DONE (CORRECTNESS_r07: 49 green + q208 rows-only-by-design;
-      names folded into _DRIVER_VERIFIED_R7).
-    - round 8: DONE (CORRECTNESS_r08: 50/50 green; names folded into
-      _DRIVER_VERIFIED_R8).
-    - round 9: final 29 (q384_hellinger_drift .. q412_seasonal_strength) —
-      pre-verified at sp=8 and sp=32 in
-      artifacts/r9_block_refresh_r8tree_sf0.01.log. Completes the board.
+    FRESHNESS SCHEDULE (from round 10, VERDICT r9 ask #1): with no
+    never-checked backlog left, each round's ~50-row sample becomes a
+    re-verification pass —
 
-    The ordering is computed, not hand-listed: front = registry minus the
-    driver-verified union, sorted numerically with the q63-q116 declared
-    core ahead of everything else — so the schedule above holds as each
-    round's sample moves into a ``_DRIVER_VERIFIED_R{N}`` tuple, with no
-    manual re-listing. Optional SPARK_GRAFT_QUERY_SUBSET (comma-separated
-    names) narrows to an explicit subset.
+    1. ``_RECHECK_THIS_ROUND`` leads: queries whose plans changed after
+       their latest driver row (local tri-SF hash sweeps are the commit
+       gate for such changes, but the driver row is the ground truth this
+       process runs on).
+    2. The STALEST driver block follows — round 10 re-fronts the r3-era
+       rows (``_DRIVER_VERIFIED_R3``, last driver-hashed six rounds ago),
+       which also re-samples three of the seven rows-only-by-design
+       queries (q224/q228/q249 — VERDICT r9 ask #6).
+    3. The tail orders the remaining blocks stalest-first (r4, r5, r6, r7,
+       r8, then the r9-refreshed r1/r2 names, then r9) so subsequent
+       rounds keep rotating through the board oldest-evidence-first.
 
-    RECHECK POLICY for already-driver-verified queries whose plans later
-    change (e.g. q263/q296 in round 5): they are NOT re-fronted while the
-    never-checked backlog exists — re-fronting would displace first-time
-    rows from the committed block above. Instead every such change must
-    pass the local tri-SF value-hash gate (``tools/driver_sim.py --hash``
-    at sf0.001/0.01/0.1 — the same row-count+schema+hash contract the
-    driver runs) before commit; the sweep logs are committed under
-    ``artifacts/``. Once the backlog is retired (~r9), changed-verified
-    queries re-front ahead of periodic re-samples."""
+    Optional SPARK_GRAFT_QUERY_SUBSET (comma-separated names) narrows to
+    an explicit subset. Registry growth remains FROZEN — the rotation is a
+    permutation of the registry, pinned by tests/test_registry_counts.py."""
     subset = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
     if subset:
         want = [s.strip() for s in subset.split(",") if s.strip()]
@@ -272,8 +299,11 @@ def _rotate(reg: dict) -> dict:
         + _DRIVER_VERIFIED_R6
         + _DRIVER_VERIFIED_R7
         + _DRIVER_VERIFIED_R8
+        + _DRIVER_VERIFIED_R9
     )
     seen = set(verified)
+    # safety net: anything never driver-checked still leads everything
+    # (empty since round 9 completed the board)
     never = [k for k in reg if k not in seen]
     core = sorted(
         (k for k in never if _CORE_LO <= _qnum(k) <= _CORE_HI), key=_qnum
@@ -282,8 +312,19 @@ def _rotate(reg: dict) -> dict:
         (k for k in never if not (_CORE_LO <= _qnum(k) <= _CORE_HI)),
         key=_qnum,
     )
+    stale_order = (
+        _RECHECK_THIS_ROUND
+        + _DRIVER_VERIFIED_R3
+        + _DRIVER_VERIFIED_R4
+        + _DRIVER_VERIFIED_R5
+        + _DRIVER_VERIFIED_R6
+        + _DRIVER_VERIFIED_R7
+        + _DRIVER_VERIFIED_R8
+        + _DRIVER_VERIFIED_R1_R2
+        + _DRIVER_VERIFIED_R9
+    )
     out = {k: reg[k] for k in core + rest}
-    out.update({k: reg[k] for k in verified if k in reg})
+    out.update({k: reg[k] for k in stale_order if k in reg and k not in out})
     return out
 
 

@@ -43,24 +43,24 @@ def test_rotation_tables_consistent():
         + entry._DRIVER_VERIFIED_R6
         + entry._DRIVER_VERIFIED_R7
         + entry._DRIVER_VERIFIED_R8
+        + entry._DRIVER_VERIFIED_R9
     )
     # every verified name must still exist in the registry
     missing = [n for n in verified if n not in reg]
     assert not missing, f"verified names missing from registry: {missing}"
     # no duplicates across the verified tuples
     assert len(verified) == len(set(verified))
+    # the board is complete: every registered query is driver-verified
+    assert set(verified) == set(reg), (
+        f"board no longer complete: {set(reg) - set(verified)} never checked"
+    )
+    # recheck names must be re-fronts of verified queries, not strays
+    stray = [n for n in entry._RECHECK_THIS_ROUND if n not in reg]
+    assert not stray, f"recheck names missing from registry: {stray}"
     # the rotation is a permutation of the registry (nothing dropped/added)
     rotated = entry.queries()
     assert set(rotated) == set(reg)
     assert len(rotated) == len(reg)
-    # the never-driver-checked SURVEY §2.9 declared core leads the rotation
-    head = list(rotated)[: len(reg) - len(verified)]
-    core_in_head = [
-        n for n in head if entry._CORE_LO <= entry._qnum(n) <= entry._CORE_HI
-    ]
-    assert head[: len(core_in_head)] == core_in_head, (
-        "declared-core q63-q116 names must front the rotation"
-    )
 
 
 def test_verified_r5_matches_driver_record():
@@ -112,31 +112,44 @@ def test_verified_r8_matches_driver_record():
     assert set(entry._DRIVER_VERIFIED_R8) == set(record)
 
 
-def test_rotation_head_is_final_r9_block():
-    """VERDICT r8 ask #8: the r9 driver sample must actually consume the
-    final never-checked block — q384 leads the rotation head and the head
-    is exactly the 29 names q384..q412 in numeric order."""
+def test_verified_r9_matches_driver_record():
+    """_DRIVER_VERIFIED_R9 must be exactly the first-time names of the
+    CORRECTNESS_r09.json sample — the record also carried a 21-row refresh
+    of names already pinned in _DRIVER_VERIFIED_R1_R2."""
+    import json
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(_ROOT, "CORRECTNESS_r09.json")
+    with open(path) as f:
+        record = set(json.load(f))
+    r1r2 = set(entry._DRIVER_VERIFIED_R1_R2)
+    assert set(entry._DRIVER_VERIFIED_R9) == record - r1r2
+    # every refresh row must be a name already pinned in the r1/r2 tuple
+    assert (record - set(entry._DRIVER_VERIFIED_R9)) <= r1r2
+
+
+def test_rotation_head_is_r10_recheck_plus_stalest_block():
+    """VERDICT r9 ask #1: the r10 driver sample (head ~50) must be the
+    plan-changed rechecks (q95/q344/q254 — cosine_pairs norms-out landed
+    AFTER their last driver rows) followed by the stalest driver evidence,
+    the r3-era block (47 rows, last hashed six rounds ago). That block
+    also re-samples the rows-only-by-design q224/q228/q249 (ask #6)."""
     import __spark_entry__ as entry
 
     rotated = list(entry.queries())
-    assert rotated[0].startswith("q384_"), (
-        f"rotation head is {rotated[0]}, expected the q384 block to lead"
+    recheck = list(entry._RECHECK_THIS_ROUND)
+    assert rotated[: len(recheck)] == recheck
+    r3 = [n for n in entry._DRIVER_VERIFIED_R3 if n not in recheck]
+    assert rotated[len(recheck): len(recheck) + len(r3)] == r3
+    # the 50-row driver sample covers all rechecks + the whole r3 block
+    assert len(recheck) + len(r3) == 50, (
+        f"head block is {len(recheck) + len(r3)} rows, driver samples 50"
     )
-    head = rotated[:29]
-    nums = [entry._qnum(n) for n in head]
-    assert nums == sorted(nums) and nums[0] == 384 and nums[-1] == 412, (
-        f"head must be the q384..q412 block in order, got {head}"
-    )
-    # nothing never-driver-checked remains beyond the head
-    verified = set(
-        entry._DRIVER_VERIFIED_R1_R2 + entry._DRIVER_VERIFIED_R3
-        + entry._DRIVER_VERIFIED_R4 + entry._DRIVER_VERIFIED_R5
-        + entry._DRIVER_VERIFIED_R6 + entry._DRIVER_VERIFIED_R7
-        + entry._DRIVER_VERIFIED_R8
-    )
-    assert all(n in verified for n in rotated[29:]), (
-        "every name past the head must already be driver-verified"
-    )
+    # ask #6: the head re-samples rows-only-by-design queries
+    head = set(rotated[:50])
+    assert {"q224_semantic_dedup_lsh", "q228_ann_ivf_pq",
+            "q249_winsorize_approx"} <= head
 
 
 def test_bench_names_exist_in_registry():
@@ -153,10 +166,13 @@ def test_bench_names_exist_in_registry():
     reg = get_queries()
     missing = [n for n in bench.HEADLINE if n not in reg]
     missing += [n for n in bench.PIPELINE_COMPOSITE if n not in reg]
+    missing += [n for n in bench.SLOW_CONTRACTS if n not in reg]
     assert not missing, f"bench names missing from registry: {missing}"
     known = set(bench.HEADLINE) | set(bench.PIPELINE_COMPOSITE)
     stray = [n for n in bench.COUNT_ONLY if n not in known]
     assert not stray, f"bench option sets reference untimed names: {stray}"
+    # the slow lane must stay OUT of the pinned headline key set
+    assert not set(bench.SLOW_CONTRACTS) & set(bench.HEADLINE)
 
 
 def test_bench_keys_match_r8_record():
