@@ -158,12 +158,19 @@ def main() -> None:
     # First execution of each query is the warm-up; report min of the rest.
     per_query = {n: round(min(s[1:]), 3) for n, s in samples.items()}
     total = round(sum(per_query.values()), 3)
-    # Slow-contract lane: min-of-2 wall + plan hash, once per round. Runs
-    # AFTER the sweeps so the JVM is warm (the contracts are warm figures).
+    # Slow-contract lane: min-of-2 wall + plan hash, once per round, in a
+    # FRESH session (SCALE.md §13 metric-trust rule: a session that has
+    # just executed 88 headline runs inflates wall readings — measured on
+    # this lane's first draft, q397 25.9 s in-session vs 12.7 s fresh with
+    # a byte-identical plan md5 — so the recorded walls must use the same
+    # fresh-session protocol the contracts were calibrated under).
     slow: dict[str, dict] = {}
     slow_names = [n for n in SLOW_CONTRACTS if n in registry]
     if slow_names:
         from tools.profile_query import plan_md5
+
+        spark.stop()
+        spark = get_spark(app_name="bench-slow-contracts")
 
         for name in slow_names:
             runs, h = [], None
