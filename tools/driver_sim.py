@@ -34,6 +34,8 @@ TABLES = [
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--hash"]
     full_hash = "--hash" in sys.argv[1:]
+    if args and args[0] == "--sf":  # optional flag form of the positional
+        args = args[1:]
     sf = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
     print("entry rows:", len(E.entry(spark).collect()), flush=True)
