@@ -396,3 +396,20 @@ def test_plan_normalizer_offset_map_anchor():
     assert "map(keys: [PIDS], values: [OFFSETS])[_pid#x]" in out
     # the genuine data map (consecutive int keys, non-_pid lookup) survives
     assert "values: [CA,NY,TX]" in out
+
+
+def test_gemm_cosine_twin_matches_hof_path(spark):
+    """Pin the banked round-11 candidate's equivalence claim (SCALE.md
+    §15): the broadcast-matrix GEMM twin in tools/experiment_gemm_cosine
+    must produce the exact rounded pair set the shipped HOF
+    ``cosine_pairs`` path produces — same ids, same 1e-6-rounded scores —
+    so the measured evidence stays true on any future tree."""
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.operators.similarity import cosine_pairs
+    from tools.experiment_gemm_cosine import THRESHOLD, canon, gemm_cosine_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    hof = canon(cosine_pairs(emb, threshold=THRESHOLD))
+    gemm = canon(gemm_cosine_pairs(spark, emb, THRESHOLD))
+    assert len(hof) > 0  # threshold produces a non-trivial set at sf0.001
+    assert hof == gemm
