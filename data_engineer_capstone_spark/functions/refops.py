@@ -333,6 +333,26 @@ def distributed_cumsum(
     names = [name] if isinstance(name, str) else list(name)
     if len(value_cols) != len(names):
         raise ValueError("value_col and name lists must be the same length")
+    # INTEGRAL-VALUE CONTRACT (enforced round 10): both paths compute the
+    # running totals in long — local window sums AND offsets are cast — so
+    # a fractional value column is silently truncated, and truncated
+    # DIFFERENTLY by the two paths (the literal path's Python offsets keep
+    # Decimal exactness while the wide path's Spark offsets are long).
+    # The organic-width audit (artifacts/family4_organic_trigger_r10.log)
+    # surfaced that divergence on an out-of-contract decimal column; every
+    # registered consumer passes counts/cents/token-integers. Fail loudly
+    # at the call site instead of diverging at P > OFFSET_MAP_MAX_WIDTH.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
+    for c in value_cols:
+        t = dtypes.get(c)
+        if t is not None and t not in integral:
+            raise TypeError(
+                f"distributed_cumsum: value column {c!r} has type {t}, but "
+                "running totals are computed in long (integral-value "
+                "contract) — cast the column upstream if truncation is "
+                "intended"
+            )
     cols = [F.col(c).asc_nulls_first() for c in order_by]
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

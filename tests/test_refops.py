@@ -306,3 +306,25 @@ def test_family4_width_gate_equivalence(spark, monkeypatch):
         r.k: r.cm for r in df.select("k", F.max("v").over(wref).alias("cm")).collect()
     }
     assert lit_cm == gat_cm == ref_cm
+
+
+def test_cumsum_rejects_non_integral_value_column(spark):
+    """Integral-value contract (round 10): both cumsum paths compute
+    running totals in long, and fractional columns would be truncated
+    DIFFERENTLY by the literal and wide paths (the organic-width audit,
+    artifacts/family4_organic_trigger_r10.log). The guard must fail
+    loudly at the call site; integral columns pass untouched."""
+    import pytest
+
+    from data_engineer_capstone_spark.functions.refops import distributed_cumsum
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") / 2.0).alias("frac"),
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+    )
+    for bad in ("frac", "dec"):
+        with pytest.raises(TypeError, match="integral-value contract"):
+            distributed_cumsum(df, ["id"], bad, name="c")
+    out = distributed_cumsum(df, ["id"], "id", name="c")
+    rows = {r["id"]: r["c"] for r in out.collect()}
+    assert rows[9] == sum(range(10))
