@@ -319,6 +319,15 @@ def distributed_cumsum(
     running totals over the score axis; two separate calls would pay the
     exchange twice and could disagree on tie placement between passes).
 
+    TOTAL-ORDER CONTRACT (shared by deterministic_id / distributed_cumsum
+    / distributed_cummax): ``order_by`` must identify rows uniquely —
+    append a unique tiebreak column if the primary key can tie. With tied
+    keys, per-row outputs (row_number-based ids/ranks and the running
+    totals AT the tied rows) depend on the engine's chosen order within
+    the tie group, which is not stable across partition counts or Spark
+    versions. Every registered consumer passes a unique combination
+    (user_id / word / doc_id / sid tiebreaks at each call site).
+
     Honors the Family-4 width gate (``OFFSET_MAP_MAX_WIDTH``): past the
     threshold, offsets / seen-flags / rank offsets come from a broadcast
     equi-join on ``_pid`` computed Spark-side — no plan literal, no O(P)
