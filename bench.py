@@ -169,10 +169,13 @@ def main() -> None:
     if slow_names:
         from tools.profile_query import plan_md5
 
-        spark.stop()
-        spark = get_spark(app_name="bench-slow-contracts")
-
+        # One fresh session PER slow query (ADVICE r10 #4): the contracts
+        # were calibrated fresh-session, and timing the second contract in
+        # the session that just executed the first one is exactly the
+        # in-session inflation the lane's protocol exists to avoid.
         for name in slow_names:
+            spark.stop()
+            spark = get_spark(app_name=f"bench-slow-{name}")
             runs, h = [], None
             for _ in range(2):
                 t0 = time.time()

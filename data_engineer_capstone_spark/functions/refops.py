@@ -335,6 +335,19 @@ def distributed_cumsum(
     guard (the literal path elides it per-column when the collected
     totals prove no nulls exist — a plan simplification, not a semantic
     difference).
+
+    DECIMAL UPGRADE PATH (decision, not a dead end): the integral-value
+    TypeError below exists because the two paths would truncate
+    fractional values differently (the literal path's Python offsets are
+    Decimal-exact; the wide path's Spark offsets are cast long). If a
+    non-integral consumer ever lands, the supported upgrade is a
+    decimal-typed offset frame on the broadcast-join path — sum the
+    per-partition totals as ``decimal(38, s)`` instead of long on BOTH
+    the offsets aggregate and the per-partition window — which restores
+    exact cross-partition re-aggregation for fixed-point inputs (floats
+    stay excluded: float addition is order-dependent and the contract is
+    exactness). Until such a consumer exists the guard stays, because
+    all 11 registered consumers are integral by design.
     """
     from pyspark.sql import Window as W
 
@@ -352,15 +365,28 @@ def distributed_cumsum(
     # registered consumer passes counts/cents/token-integers. Fail loudly
     # at the call site instead of diverging at P > OFFSET_MAP_MAX_WIDTH.
     integral = {"tinyint", "smallint", "int", "bigint"}
-    dtypes = dict(df.dtypes)
+    # per-position pairs, not dict(df.dtypes): a dict collapses duplicate
+    # column names so one of two same-named columns would go unchecked
+    # (ADVICE r10 #5)
+    seen_types = {}
+    for cname, ctype in df.dtypes:
+        seen_types.setdefault(cname, set()).add(ctype)
     for c in value_cols:
-        t = dtypes.get(c)
-        if t is not None and t not in integral:
+        types = seen_types.get(c)
+        if types is None:
+            # raise HERE with the operator's own message instead of
+            # deferring to a less clear downstream analysis error
+            raise ValueError(
+                f"distributed_cumsum: value column {c!r} not in frame "
+                f"(columns: {df.columns})"
+            )
+        bad = types - integral
+        if bad:
             raise TypeError(
-                f"distributed_cumsum: value column {c!r} has type {t}, but "
-                "running totals are computed in long (integral-value "
-                "contract) — cast the column upstream if truncation is "
-                "intended"
+                f"distributed_cumsum: value column {c!r} has type "
+                f"{sorted(bad)[0]}, but running totals are computed in "
+                "long (integral-value contract) — cast the column "
+                "upstream if truncation is intended"
             )
     cols = [F.col(c).asc_nulls_first() for c in order_by]
     spark = df.sparkSession

@@ -69,10 +69,12 @@ def curate(
     cluster, with a deterministic 90/5/5 split.
 
     ``profile=None`` (default) is the exact, uncapped, oracle-pinned
-    contract. ``profile=SCALE_PROFILE`` applies the production caps and
-    session conf above; pass an ``Observation`` as ``drop_observation``
-    to count capped-away band rows on the SAME job that materializes the
-    band table — no extra pass (tests/test_operators.py pins this).
+    contract. ``profile=SCALE_PROFILE`` applies the production caps; pass
+    an ``Observation`` as ``drop_observation`` to count capped-away band
+    rows on the SAME job that materializes the band table — no extra pass
+    (tests/test_operators.py pins this). The profile's
+    ``state_store_conf`` is documentation for the session owner, never
+    applied here (ADVICE r10 #2 — see the NOTE below).
     """
     scored = docs.select(
         id_col,
@@ -97,14 +99,27 @@ def curate(
         id_col, text_col, "pred_lang", "quality", "n_tokens"
     ).transform(materialize)
 
-    if profile:
-        for k, v in profile.get("state_store_conf", {}).items():
-            docs.sparkSession.conf.set(k, v)
+    if drop_observation is not None and not (
+        profile and profile.get("max_bucket_size")
+    ):
+        # Fail loudly (ADVICE r10 #3): without a profile/cap the metrics
+        # node is never attached to any job, so a caller who later reads
+        # Observation.get would block indefinitely.
+        raise ValueError(
+            "drop_observation requires a profile with max_bucket_size — "
+            "without the cap no drop counter rides any job"
+        )
+    # NOTE (ADVICE r10 #2): the state_store_conf entries in a profile are
+    # session posture, deliberately NOT applied here — a batch operator
+    # mutating shared SparkSession conf outlives the call and leaks into
+    # unrelated streaming queries. Callers own the session posture: apply
+    # SCALE_PROFILE["state_store_conf"] at session build (get_spark
+    # extra_conf) or around the streaming twin they run.
     pairs = minhash_lsh_pairs(
         exact,
         threshold=jaccard_threshold,
         max_bucket_size=(profile or {}).get("max_bucket_size"),
-        drop_observation=drop_observation if profile else None,
+        drop_observation=drop_observation,
     )
     labels = connected_components(pairs, exact, id_col=id_col)
     canonical = exact.join(

@@ -77,48 +77,84 @@ def cosine_pairs(
 
     O(n²) pair space — correct tool only for bounded n (verification,
     per-bucket re-scoring). The scale path buckets first (lsh_ann_topk).
-    The streamed side is spread to full parallelism first — the quadratic
-    cosine work must not inherit a single-split scan's task count.
 
-    Per-vector norms are computed ONCE per side (O(n)) and carried into
-    the pair loop, so the per-PAIR work is a single dot aggregate instead
-    of dot + both norms — the round-7 q224 lesson (zip_with/aggregate are
-    CodegenFallback: every evaluation interprets the lambda per element),
-    applied round 9 to this brute path too after the census read q95's
-    pair stage at ~88 CPU-s. Scores are bit-identical to
-    ``_rounded_cosine``: dot/(na*nb) is the same double expression tree,
-    na/nb just evaluated earlier (the cosine_pairs_lsh precedent)."""
-    from ..functions.vectors import dot, norm
+    Round-11 interior (SCALE.md §15, measured round 10): the bounded side
+    is collected ONCE and broadcast as a float64 matrix; each Arrow batch
+    of the spread side scores against it as a single ``block @ M.T`` GEMM,
+    with the identical ``floor(x*1e6 + 0.5)/1e6`` rounding. This replaces
+    the BroadcastNestedLoopJoin whose per-pair dot was an interpreted
+    zip_with/aggregate HOF (CodegenFallback — ~41 CPU-s at sf0.1 on q95's
+    2M pairs, growing quadratically with the bound; the GEMM twin measured
+    0.85 s FLAT at 2k→8k vectors with identical rounded result sets,
+    tools/experiment_gemm_cosine.py). The collect is not new driver
+    exposure: the bounded-use contract is unchanged — the broadcast IS the
+    bound, exactly like the queries-side ``F.broadcast`` in
+    ``brute_force_topk``. Equivalence is pinned by
+    tests/test_maintenance.py::test_gemm_cosine_twin_matches_hof_path and
+    by the family's oracle rows (q95/q219/q344 hash-verified tri-SF).
+
+    Numeric contract: float64 end to end; the numpy GEMM's summation
+    order differs from the HOF fold's strict left-to-right, but no
+    1e-6-rounded score moved on any SF (the same tolerance class the
+    DuckDB oracle — its own sum order — certifies every round).
+    Null rows (id or vector) are excluded on both sides, exactly as the
+    old join dropped them (null join key / null cos_sim never passed the
+    threshold filter)."""
+    import numpy as np
+
     from .dedup import _spread
 
-    spread_df = _spread(df, [id_col, vec_col])
-    a = spread_df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(F.col(vec_col)).alias("na"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col)).alias("nb"),
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.floor(
-                    dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb"))
-                    * 1000000
-                    + F.lit(0.5)
+    rows = [
+        r for r in df.select(id_col, vec_col).collect()
+        if r[0] is not None and r[1] is not None
+    ]
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    b_ids = np.array([r[0] for r in rows])
+    b_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # executor-side import
+
+        ids_b, mat_b, norms_b = bc.value
+        # chunk so the (rows × n) score block stays ~64 MB regardless of
+        # the bound — per-task memory must not scale with the batch size
+        step = max(1, 8_000_000 // max(1, len(ids_b)))
+        for pdf in batches:
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            a_ids_all = pdf[id_col].to_numpy()
+            a_mat_all = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_norms_all = np.sqrt((a_mat_all * a_mat_all).sum(axis=1))
+            for lo in range(0, len(a_ids_all), step):
+                a_ids = a_ids_all[lo : lo + step]
+                a_mat = a_mat_all[lo : lo + step]
+                a_norms = a_norms_all[lo : lo + step]
+                sims = a_mat @ mat_b.T
+                sims /= a_norms[:, None]
+                sims /= norms_b[None, :]
+                sims = np.floor(sims * 1_000_000 + 0.5) / 1_000_000
+                ai, bi = np.nonzero(
+                    (a_ids[:, None] < ids_b[None, :]) & (sims >= threshold)
                 )
-                / 1000000
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+                if not len(ai):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai],
+                        "id_b": ids_b[bi],
+                        "cos_sim": sims[ai, bi],
+                    }
+                )
+
+    spread = _spread(df, [id_col, vec_col])
+    return spread.mapInPandas(score, out_schema)
 
 
 def cosine_pairs_lsh(
@@ -171,51 +207,67 @@ def cosine_pairs_lsh(
         .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # per-vector norms are computed ONCE here (O(corpus)) and carried
-    # through the fetch joins, so the per-PAIR verify is a single dot
-    # aggregate instead of dot + both norms (3× less interpreted-HOF work
-    # over the O(candidates) pair stream — round-7 q224 profile). Scores
-    # are bit-identical to _rounded_cosine: dot/(na*nb) is the same
-    # double expression tree, na/nb just evaluated earlier.
-    # NOTE (round-7, measured): an unrolled codegen dot (`dot_unrolled`)
-    # was tried here and was 3.5× WORSE (13.6 s vs 4.0 s at sf0.1) — the
-    # 64-term element_at tree lands in the broadcast join's non-equi
-    # condition, overflows the codegen method budget, and interprets
-    # per-node with per-call dispatch, costlier than the HOF fold's tight
-    # loop. The HOF dot stays; only the norms move out of the pair loop.
-    from ..functions.vectors import dot, norm
-
+    # Round-11 verify interior (SCALE.md §15 per-bucket GEMM finding,
+    # generalized to the candidate stream): the exact verify used to
+    # evaluate one zip_with/aggregate HOF dot per candidate pair —
+    # CodegenFallback, interpreted per element, ~2M candidate dots at
+    # sf0.1 (the bucket census read median-125/max-214 buckets, squarely
+    # in the vectorized-win regime). The fetch joins are unchanged
+    # (candidate-bounded equi-joins, O(candidates) not O(corpus)); only
+    # the scoring kernel leaves Catalyst: one Arrow pass computes the
+    # whole batch's dots/norms as three numpy einsum reductions. Scores
+    # carry the identical floor(x*1e6+0.5)/1e6 rounding; no 1e-6-rounded
+    # score moved on any SF (same tolerance class the subset/recall
+    # pytest and the q219 one-hop agreement pin).
+    # NOTE (round-7, measured, still binding): an unrolled codegen dot
+    # (`dot_unrolled`) was tried here and was 3.5× WORSE — the 64-term
+    # element_at tree overflowed the codegen method budget. The numpy
+    # kernel leaves Catalyst entirely instead of inflating its tree.
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nv"),
     )
-    scored = (
+    pair_vecs = (
         cand.join(
-            vecs.select("vid", F.col("v").alias("va"), F.col("nv").alias("na")),
+            vecs.select("vid", F.col("v").alias("va")),
             cand.id_a == F.col("vid"),
         )
         .drop("vid")
         .join(
-            vecs.select("vid", F.col("v").alias("vb"), F.col("nv").alias("nb")),
+            vecs.select("vid", F.col("v").alias("vb")),
             cand.id_b == F.col("vid"),
         )
         .drop("vid")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.floor(
-                    dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb"))
-                    * 1000000
-                    + F.lit(0.5)
-                )
-                / 1000000
-            ).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", "va", "vb")
     )
-    return scored.where(F.col("cos_sim") >= threshold)
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["va"]), dtype=np.float64)
+            vb = np.array(list(pdf["vb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", va, vb)
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            sims = np.floor(dots / (na * nb) * 1_000_000 + 0.5) / 1_000_000
+            keep = sims >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return pair_vecs.mapInPandas(
+        verify, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+    )
 
 
 def add_hyperplane_buckets(

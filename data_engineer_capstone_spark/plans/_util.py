@@ -124,20 +124,24 @@ def _split_schema(schema: str) -> list[tuple[str, str]]:
             depth += 1
         elif ch in ")>":
             depth -= 1
-            assert depth >= 0, (
-                f"unbalanced bracket: unmatched {ch!r} at index {i} "
-                f"in schema {schema!r}"
-            )
+            if depth < 0:
+                # ValueError, not assert: the validation must survive
+                # python -O / PYTHONOPTIMIZE (ADVICE r10 #1)
+                raise ValueError(
+                    f"unbalanced bracket: unmatched {ch!r} at index {i} "
+                    f"in schema {schema!r}"
+                )
         if ch == "," and depth == 0:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
     parts.append("".join(cur))
-    assert depth == 0, (
-        f"unbalanced bracket: {depth} unclosed '(' or '<' "
-        f"in schema {schema!r}"
-    )
+    if depth != 0:
+        raise ValueError(
+            f"unbalanced bracket: {depth} unclosed '(' or '<' "
+            f"in schema {schema!r}"
+        )
     cols = []
     for frag in parts:
         toks = frag.strip().split(None, 1)

@@ -254,14 +254,16 @@ def test_split_schema_rejects_unbalanced_brackets():
 
     from data_engineer_capstone_spark.plans._util import _split_schema
 
-    # unclosed '(' — the advisor's exact example
-    with pytest.raises(AssertionError, match=r"unbalanced bracket.*a decimal\(10, b int"):
+    # unclosed '(' — the advisor's exact example. ValueError, not
+    # AssertionError (ADVICE r10 #1): asserts are stripped under
+    # python -O, silently reviving the mis-merge this guard prevents.
+    with pytest.raises(ValueError, match=r"unbalanced bracket.*a decimal\(10, b int"):
         _split_schema("a decimal(10, b int")
     # stray closer must fail at its index, not go depth-negative silently
-    with pytest.raises(AssertionError, match="unbalanced bracket.*unmatched"):
+    with pytest.raises(ValueError, match="unbalanced bracket.*unmatched"):
         _split_schema("a int>, b int")
     # unclosed '<'
-    with pytest.raises(AssertionError, match="unclosed"):
+    with pytest.raises(ValueError, match="unclosed"):
         _split_schema("k map<string,int, v int")
     # balanced schemas still parse
     assert _split_schema("a decimal(10,2), b map<string,int>") == [
@@ -399,17 +401,18 @@ def test_plan_normalizer_offset_map_anchor():
 
 
 def test_gemm_cosine_twin_matches_hof_path(spark):
-    """Pin the banked round-11 candidate's equivalence claim (SCALE.md
-    §15): the broadcast-matrix GEMM twin in tools/experiment_gemm_cosine
-    must produce the exact rounded pair set the shipped HOF
-    ``cosine_pairs`` path produces — same ids, same 1e-6-rounded scores —
-    so the measured evidence stays true on any future tree."""
+    """Pin the GEMM swap's equivalence claim (SCALE.md §15; LANDED round
+    11): the shipped ``cosine_pairs`` — now the broadcast-matrix GEMM
+    interior — must produce the exact rounded pair set the pre-swap HOF
+    path produces (``hof_cosine_pairs``, retained verbatim in
+    tools/experiment_gemm_cosine as the independent Catalyst-only
+    reference) — same ids, same 1e-6-rounded scores."""
     from data_engineer_capstone_spark.catalog import load_table
     from data_engineer_capstone_spark.operators.similarity import cosine_pairs
-    from tools.experiment_gemm_cosine import THRESHOLD, canon, gemm_cosine_pairs
+    from tools.experiment_gemm_cosine import THRESHOLD, canon, hof_cosine_pairs
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    hof = canon(cosine_pairs(emb, threshold=THRESHOLD))
-    gemm = canon(gemm_cosine_pairs(spark, emb, THRESHOLD))
+    hof = canon(hof_cosine_pairs(emb, THRESHOLD))
+    shipped = canon(cosine_pairs(emb, threshold=THRESHOLD))
     assert len(hof) > 0  # threshold produces a non-trivial set at sf0.001
-    assert hof == gemm
+    assert hof == shipped

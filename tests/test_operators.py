@@ -957,10 +957,12 @@ def test_materialize_rejects_unknown_mode(spark, monkeypatch):
 
 
 def test_curate_scale_profile_drop_counters(spark, sf_dir):
-    """VERDICT r9 ask #5: the SCALE_PROFILE preset caps the MinHash band
-    buckets, applies the RocksDB state-store conf, and its drop counter
-    rides curate()'s own band-materialization job via observe() — no
-    extra pass, and the oracle-pinned default path stays uncapped."""
+    """VERDICT r9 ask #5 + ADVICE r10 #2/#3: the SCALE_PROFILE preset caps
+    the MinHash band buckets and its drop counter rides curate()'s own
+    band-materialization job via observe() — no extra pass, the
+    oracle-pinned default path stays uncapped, and curate() does NOT
+    mutate shared session conf (the state-store posture is the
+    caller's)."""
     from pyspark.sql import Observation
 
     from data_engineer_capstone_spark.functions.text import detect_language
@@ -993,13 +995,16 @@ def test_curate_scale_profile_drop_counters(spark, sf_dir):
     # the counter resolved off curate's internal band materialization —
     # size-8 buckets over a cap of 2 must have dropped rows
     assert obs.get["dropped_band_rows"] > 0
-    # RocksDB posture applied to the session for streaming twins
-    assert "RocksDBStateStoreProvider" in spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass"
+    # ADVICE r10 #2: curate() must NOT mutate shared session conf — the
+    # RocksDB posture in SCALE_PROFILE["state_store_conf"] is the
+    # caller's to apply (session build / around the streaming twin), so
+    # after a profiled curate() the provider conf is untouched
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        is None
     )
-    # don't leak the provider into the shared test session's other
-    # streaming tests — the preset is opt-in, the test must be too
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     # the cap can only LOSE candidate pairs (fewer clusters -> more
     # canonical survivors): default survivors ⊆ capped survivors
     default_ids = {
@@ -1008,3 +1013,17 @@ def test_curate_scale_profile_drop_counters(spark, sf_dir):
     }
     capped_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert default_ids <= capped_ids
+
+
+def test_curate_drop_observation_requires_profile(spark):
+    """ADVICE r10 #3: drop_observation without a capping profile used to
+    be silently ignored — a caller reading Observation.get would then
+    block forever because the metrics node never attaches to any job.
+    Now it raises at the call site."""
+    from pyspark.sql import Observation
+
+    from data_engineer_capstone_spark.operators.curation import curate
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="drop_observation requires"):
+        curate(docs, drop_observation=Observation("orphan"))

@@ -328,3 +328,12 @@ def test_cumsum_rejects_non_integral_value_column(spark):
     out = distributed_cumsum(df, ["id"], "id", name="c")
     rows = {r["id"]: r["c"] for r in out.collect()}
     assert rows[9] == sum(range(10))
+    # ADVICE r10 #5: a value column absent from the frame must raise the
+    # operator's own ValueError, not defer to a downstream analysis error
+    with pytest.raises(ValueError, match="not in frame"):
+        distributed_cumsum(df, ["id"], "nope", name="c")
+    # ...and duplicate column names must not let a fractional twin hide
+    # behind an integral one of the same name
+    dup = df.select("id", F.col("id").alias("v"), (F.col("id") / 2.0).alias("v"))
+    with pytest.raises(TypeError, match="integral-value contract"):
+        distributed_cumsum(dup, ["id"], "v", name="c")

@@ -1,16 +1,22 @@
-"""Round-11 candidate experiment: GEMM-backed cosine pair scoring.
+"""GEMM-backed cosine pair scoring: experiment (round 10) and, since the
+round-11 swap LANDED it in ``operators/similarity.py:cosine_pairs``, the
+home of the retained reference twins.
 
-Question: the brute `cosine_pairs` path (operators/similarity.py:70) and
-the LSH verify path both evaluate the per-pair dot as a zip_with/aggregate
-HOF — CodegenFallback, interpreted per element. Round 9 moved the norms
-out of the pair loop (q95 CPU 88->41 s at sf0.1); the remaining cost IS
-the interpreted dot. Would an Arrow-batched numpy GEMM twin (broadcast
-normalized matrix, block @ M.T per batch) (a) produce IDENTICAL rounded
-scores and (b) win enough wall/CPU to justify a plan change?
+Round-10 question: the brute `cosine_pairs` path and the LSH verify path
+both evaluated the per-pair dot as a zip_with/aggregate HOF —
+CodegenFallback, interpreted per element. Round 9 moved the norms out of
+the pair loop (q95 CPU 88->41 s at sf0.1); the remaining cost WAS the
+interpreted dot. Measured answer (committed round 10): the Arrow-batched
+numpy GEMM twin produced IDENTICAL rounded result sets (144/144 at sf0.1)
+at 0.85 s flat vs 2.76→12.64 s quadratic HOF growth at 2k→8k vectors.
 
-This experiment does NOT touch any registered query: it builds the twin
-inline, runs both on the sf0.1 embeddings table, hash-compares the full
-rounded result sets, and times both. Output: one JSON line.
+Round 11 landed the GEMM interior as the shipped ``cosine_pairs``, so the
+equivalence pin now points the OTHER way: ``hof_cosine_pairs`` below is
+the pre-swap HOF implementation, kept verbatim as the independent
+reference that tests/test_maintenance.py::
+test_gemm_cosine_twin_matches_hof_path compares the shipped path against
+(exact rounded-set equality). ``gemm_cosine_pairs`` (the original twin)
+stays as a second, shipped-code-independent GEMM articulation.
 
 Run: python tools/experiment_gemm_cosine.py [sf_dir]
 """
@@ -37,6 +43,44 @@ from data_engineer_capstone_spark.operators.similarity import (  # noqa: E402
 from data_engineer_capstone_spark.session import get_spark  # noqa: E402
 
 THRESHOLD = 0.45  # the q95 contract
+
+
+def hof_cosine_pairs(emb, threshold):
+    """The pre-round-11 shipped ``cosine_pairs`` interior, verbatim: per-
+    vector norms out of the loop, per-pair dot as a zip_with/aggregate HOF
+    inside a theta self-join. Retained as the independent numeric
+    reference for the GEMM equivalence pin (every sum strictly
+    left-to-right, pure Catalyst, no Python boundary)."""
+    from data_engineer_capstone_spark.functions.vectors import dot, norm
+    from data_engineer_capstone_spark.operators.dedup import _spread
+
+    a = _spread(emb, ["vec_id", "embedding"]).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def gemm_cosine_pairs(spark, emb, threshold):
@@ -97,7 +141,8 @@ def main() -> None:
 
     out = {"sf_dir": sf_dir, "threshold": THRESHOLD}
     for name, build in (
-        ("hof", lambda: cosine_pairs(emb, threshold=THRESHOLD)),
+        ("hof", lambda: hof_cosine_pairs(emb, THRESHOLD)),
+        ("shipped", lambda: cosine_pairs(emb, threshold=THRESHOLD)),
         ("gemm", lambda: gemm_cosine_pairs(spark, emb, THRESHOLD)),
     ):
         build().count()  # warm-up
@@ -107,10 +152,10 @@ def main() -> None:
         out[f"{name}_rows"] = len(res)
         out[f"{name}_set"] = res
 
-    a, b = out.pop("hof_set"), out.pop("gemm_set")
-    out["identical"] = a == b
+    a, s, b = out.pop("hof_set"), out.pop("shipped_set"), out.pop("gemm_set")
+    out["identical"] = a == b == s
     if not out["identical"]:
-        sa, sb = set(a), set(b)
+        sa, sb = set(a), set(b) | set(s)
         out["only_hof"] = sorted(sa - sb)[:5]
         out["only_gemm"] = sorted(sb - sa)[:5]
     print(json.dumps(out))
