@@ -91,7 +91,16 @@ COUNT_ONLY = {"q02_projection_arithmetic", "q43_running_sum", "q113_curation_pip
 # under a separate "slow_contracts" key and NEVER summed into the
 # headline total (the pinned headline key set stays frozen; see
 # tests/test_registry_counts.py::test_bench_keys_match_r8_record).
-SLOW_CONTRACTS = ["q242_common_neighbors", "q397_winnowing_pairs"]
+SLOW_CONTRACTS = [
+    "q242_common_neighbors",
+    "q397_winnowing_pairs",
+    # round-11 additions (VERDICT r10 ask #4): the census's remaining
+    # >100-core-s heavy hitters — their big SWEEP walls are DuckDB-oracle-
+    # dominated, but the Spark side deserved a tracked per-round wall +
+    # plan hash like the rest of the slow class
+    "q345_ktruss_peel",
+    "q256_ngram_containment",
+]
 
 
 # History: rounds 2-7 reported per-query medians with a MIN_OF_RUNS

@@ -254,11 +254,28 @@ def jaccard_prefix_filter_pairs(
     """
     if abs(threshold - 0.8) > 1e-9:
         raise ValueError("integer prefix arithmetic is derived for t=0.8")
-    sets = _spread(df, [id_col, text_col]).select(
-        F.col(id_col).alias("did"),
-        shingles(text_col, k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    ex = sets.select("did", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # Round-11 (measured): the shingle SET used to come from per-row
+    # ``array_distinct`` (``shingles(distinct=True)``) and was derived
+    # TWICE — once for the index, once re-derived for the verify fetch.
+    # That is exactly the O(n²)-string-scan pattern
+    # ``ngram_jaccard_pairs``'s docstring already bans: the distinct set
+    # here instead comes from a distributed dedup of the exploded
+    # (did, shingle) stream (6.55 s -> 1.32 s for the set pass at sf0.1,
+    # noop-sink decomposition in OPTIMIZATION_r11.md §D), materialized
+    # ONCE and reused by the df histogram, the prefix ranking, AND the
+    # verify-side set reassembly — the array_distinct pass is never paid
+    # at all. n_sh rides the same hash shuffle as a per-doc window count,
+    # identical to |distinct shingles| by construction.
+    ex = (
+        _spread(df, [id_col, text_col])
+        .select(
+            F.col(id_col).alias("did"),
+            F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
+        )
+        .dropDuplicates(["did", "shingle"])
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("did")))
+        .transform(materialize)
+    )
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     # (round 6: SHUFFLE_HASH was tried on this df lookup and measured
     # WORSE — the build side is one row per DISTINCT shingle, so the
@@ -272,10 +289,9 @@ def jaccard_prefix_filter_pairs(
     prefix_len = F.col("n_sh") - F.floor((4 * F.col("n_sh") + 4) / 5).cast("long") + 1
     # one-pass rule (the minhash_lsh_pairs shape): the prefix table feeds
     # BOTH self-join sides and the df/rank pipeline above it is two
-    # shuffles deep — materialize the slim (did, shingle) prefix once; the
-    # full shingle sets are then re-derived ONLY for candidate docs
-    # (semi-join-bounded, O(candidates) not O(corpus)) and materialized
-    # once for the two verify sides.
+    # shuffles deep — materialize the slim (did, shingle) prefix once;
+    # the verify-side sets are reassembled below from the already-
+    # materialized distinct stream, never re-derived from text.
     prefix = (
         ranked.where(F.col("pos") <= prefix_len)
         .select("did", "shingle")
@@ -293,8 +309,15 @@ def jaccard_prefix_filter_pairs(
     need = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("did")).distinct()
     )
+    # verify sets reassembled from the SAME materialized distinct stream
+    # (semi-join-bounded, O(candidate docs)): collect_list over the
+    # deduped rows IS the distinct set, and array order is irrelevant —
+    # the verify consumes the arrays only through size()/array_intersect
     sh_small = (
-        sets.join(need, "did", "left_semi").transform(materialize)
+        ex.join(need, "did", "left_semi")
+        .groupBy("did")
+        .agg(F.collect_list("shingle").alias("sh"))
+        .transform(materialize)
     )
     sa = sh_small.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_small.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))

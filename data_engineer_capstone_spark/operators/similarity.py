@@ -183,8 +183,11 @@ def cosine_pairs_lsh(
     """
     from .dedup import _spread
 
+    # out_cols=[id_col]: the slim index consumes only (id, buckets) — the
+    # embedding must not round-trip the Arrow boundary (round 11, §4.1)
     bucketed = add_hyperplane_buckets(
-        _spread(df, [id_col, vec_col]), dim, n_planes, n_tables, vec_col=vec_col
+        _spread(df, [id_col, vec_col]), dim, n_planes, n_tables,
+        vec_col=vec_col, out_cols=[id_col],
     )
     # materialize: both self-join sides read these slim rows, and without
     # the lineage cut each side re-executes the Arrow bucket projection
@@ -277,16 +280,28 @@ def add_hyperplane_buckets(
     n_tables: int = 1,
     seed: int = 7,
     vec_col: str = "embedding",
+    out_cols: list[str] | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: one bucket id per hash table, as
     an ``array<int> buckets`` column, via a seeded numpy projection in
     mapInPandas (Arrow-batched — one matrix multiply per batch, not per
     row). Deterministic across runs/partitions: the plane tensor depends
-    only on (seed, dim, n_planes, n_tables)."""
+    only on (seed, dim, n_planes, n_tables).
+
+    ``out_cols`` (round 11, guide §4.1 column-width rule): the columns to
+    carry through the Arrow boundary alongside ``buckets``. Default keeps
+    every input column (the lsh_ann_topk shape, which re-reads the
+    vectors downstream); callers that only consume ids+buckets pass the
+    id column alone so the dim-float embedding array does not make a
+    pointless Python round trip — the bucket projection stage is
+    worker-wait-bound (census: 67 core-s occupied vs 3.8 CPU-s), and the
+    payload width is the wait."""
     import numpy as np
 
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    keep = [f for f in df.schema.fields if out_cols is None or f.name in out_cols]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
     out_schema += ", buckets array<int>"
+    keep_names = [f.name for f in keep]
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(seed)
@@ -297,9 +312,9 @@ def add_hyperplane_buckets(
             # (n_tables, rows, n_planes) sign bits -> (rows, n_tables) ids
             signs = (np.einsum("rd,tdp->trp", mat, planes) >= 0)
             ids = (signs * weights).sum(axis=2).T.astype("int32")
-            pdf = pdf.copy()
-            pdf["buckets"] = list(ids)
-            yield pdf
+            out = pdf[keep_names].copy()
+            out["buckets"] = list(ids)
+            yield out
 
     return df.mapInPandas(project, schema=out_schema)
 
