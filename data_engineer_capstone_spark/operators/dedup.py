@@ -21,7 +21,7 @@ from ..materialize import materialize
 from ..functions.text import h64, shingles, words
 
 
-def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+def _spread(df: DataFrame, cols: list[str], key: str | None = None) -> DataFrame:
     """Project to the named columns and guarantee at least
     ``defaultParallelism`` partitions before CPU-heavy per-row expressions
     (shingling, n_perm salted hashes).
@@ -44,12 +44,27 @@ def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
     session's configured shuffle width on an input that already had many
     well-balanced splits; the max keeps the signature pass at least as
     wide as every other exchange in the job.
+
+    ``key`` (round 11, guide §2.4 shared-exchange rule): when the
+    downstream pipeline re-clusters by an id column anyway (the
+    explode→dropDuplicates(id, shingle)→Window(id) shingle-set shape),
+    pass that column so THIS exchange establishes the partitioning the
+    aggregate and window then reuse — HashPartitioning(id) satisfies
+    ClusteredDistribution for both (id, shingle) and (id), so the
+    exploded gram stream is never shuffled at all (measured on the q243
+    set stage: 3 Exchanges → 1, value-identical). The keyed form also
+    skips round-robin's sort-before-repartition pass. Docs-per-partition
+    balance replaces row-count balance; with docs ≫ partitions the hash
+    spread is even, and a single pathological giant doc serializes one
+    task under EITHER placement (per-row work is indivisible).
     """
     spark = df.sparkSession
     n = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    if key is not None:
+        return df.select(*cols).repartition(n, key)
     return df.select(*cols).repartition(n)
 
 
@@ -89,7 +104,11 @@ def ngram_containment_pairs(
     considerations of q91 (``df_cap``) apply identically and are not
     duplicated here — the oracle-pinned query runs uncapped.
     """
-    ex = _spread(df, [id_col, text_col]).select(
+    # key=id_col: the dedup aggregate and the n_sh window below both
+    # re-cluster by doc — the keyed spread makes this one exchange serve
+    # all three (see _spread docstring), so the exploded gram stream
+    # itself never crosses the network
+    ex = _spread(df, [id_col, text_col], key=id_col).select(
         F.col(id_col).alias("did"),
         F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
     ).dropDuplicates(["did", "shingle"])
@@ -183,7 +202,10 @@ def ngram_jaccard_pairs(
     ``array_distinct``, whose O(n²) string scans dominate the whole pass;
     the dedup rides the same hash shuffle the inverted index needs anyway.
     """
-    ex = _spread(df, [id_col, text_col]).select(
+    # key=id_col: one doc-keyed exchange serves the spread, the dedup
+    # aggregate, and the n_sh window (see _spread docstring); only the
+    # optional df_cap window below needs its own shingle-keyed exchange
+    ex = _spread(df, [id_col, text_col], key=id_col).select(
         F.col(id_col).alias("did"),
         F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
     ).dropDuplicates(["did", "shingle"])
@@ -266,8 +288,11 @@ def jaccard_prefix_filter_pairs(
     # verify-side set reassembly — the array_distinct pass is never paid
     # at all. n_sh rides the same hash shuffle as a per-doc window count,
     # identical to |distinct shingles| by construction.
+    # key=id_col (guide §2.4): one doc-keyed exchange serves the spread,
+    # the dedup aggregate, AND the n_sh window — measured 3 Exchanges → 1
+    # on this stage with value-identical rows
     ex = (
-        _spread(df, [id_col, text_col])
+        _spread(df, [id_col, text_col], key=id_col)
         .select(
             F.col(id_col).alias("did"),
             F.explode(shingles(text_col, k, distinct=False)).alias("shingle"),
@@ -382,9 +407,17 @@ def minhash_lsh_pairs(
     # min over its set), and array_distinct's per-row O(n²) string scans are
     # 10× the cost of the whole shingle pass — set semantics are deferred to
     # the candidate-bounded verify stage below.
-    base = slim.select(
+    # Round-11 (guide §4.4's duplication trap, native-HOF edition):
+    # filtering on size() of the PROJECTED shingle column pushes a COPY of
+    # the whole shingle transform into the filter — the plan evaluated the
+    # gram construction twice per row (2× concat_ws subtrees, measured
+    # 5.2-9.7 s vs 0.7-1.0 s noop-sink for this stage at sf0.1). Filter on
+    # the cheap precondition instead: shingles(distinct=False) is empty
+    # IFF size(words) < k, so the kept rows are identical by construction
+    # and the heavy transform is evaluated exactly once.
+    base = slim.where(F.size(words(F.col(text_col))) >= k).select(
         F.col(id_col).alias("did"), shingles(text_col, k, distinct=False).alias("sh")
-    ).where(F.size("sh") > 0)
+    )
     # signature per-row (affine family, functions/text.py): measured against
     # an explode + grouped-min formulation, the per-row expression wins —
     # Spark's Generate over HOF-built arrays costs more than every hash in

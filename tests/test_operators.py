@@ -445,6 +445,90 @@ def test_ngram_df_cap_guard(spark):
     assert (100, 101) in uncapped  # true near-dup pair exists either way
 
 
+def test_keyed_spread_shares_one_exchange(spark):
+    """Round-11 keyed ``_spread`` pin (guide §2.4 shared-exchange rule):
+    the explode → dropDuplicates(did, shingle) → Window(did) shingle-set
+    stage, spread keyed by the doc id, must establish its hash
+    partitioning ONCE — HashPartitioning(did) satisfies the clustered
+    distribution of both the (did, shingle) dedup aggregate and the
+    per-doc window — and its rows must be identical to the round-robin
+    form's."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.functions.text import shingles
+    from data_engineer_capstone_spark.operators.dedup import _spread
+
+    rows = [(i, f"alpha beta gamma delta epsilon doc {i % 7} body {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def set_stage(key):
+        return (
+            _spread(docs, ["doc_id", "text"], key=key)
+            .select(
+                F.col("doc_id").alias("did"),
+                F.explode(shingles("text", 3, distinct=False)).alias("shingle"),
+            )
+            .dropDuplicates(["did", "shingle"])
+            .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("did")))
+        )
+
+    keyed, rr = set_stage("doc_id"), set_stage(None)
+    krows = {(r.did, r.shingle, r.n_sh) for r in keyed.collect()}
+    assert krows == {(r.did, r.shingle, r.n_sh) for r in rr.collect()}
+    # the AQE toString repeats the plan (Final + Initial) — count the
+    # final section only
+    plan = (
+        keyed._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "roundrobin" not in plan.lower(), plan
+
+
+def test_minhash_precondition_filter_matches_size_filter(spark):
+    """Round-11 duplication fix pin (guide §4.4, native-HOF edition): the
+    MinHash base stage filters on the cheap precondition
+    size(words) >= k, which keeps exactly the rows the old
+    size(shingles) > 0 post-projection filter kept (shingles is empty iff
+    the doc has < k words — null/empty/short texts all drop), without the
+    optimizer pushing a COPY of the whole gram transform into the filter."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.functions.text import shingles, words
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a much longer document with many words in it"),
+        (6, "  punctuation, only: three words! "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_df = docs.where(F.size(words(F.col("text"))) >= 3).select(
+        "doc_id", shingles("text", 3, distinct=False).alias("sh")
+    )
+    old_df = docs.select(
+        "doc_id", shingles("text", 3, distinct=False).alias("sh")
+    ).where(F.size("sh") > 0)
+    new_rows = {(r.doc_id, tuple(r.sh)) for r in new_df.collect()}
+    old_rows = {(r.doc_id, tuple(r.sh)) for r in old_df.collect()}
+    assert new_rows == old_rows
+    assert {r[0] for r in new_rows} == {4, 5, 6}
+    # the old shape evaluates the gram construction twice per row (the
+    # pushed filter carries its own copy of the transform); the
+    # precondition form builds it exactly once
+    new_plan = new_df._jdf.queryExecution().executedPlan().toString()
+    old_plan = old_df._jdf.queryExecution().executedPlan().toString()
+    assert 0 < new_plan.count("concat_ws") < old_plan.count("concat_ws"), (
+        new_plan.count("concat_ws"),
+        old_plan.count("concat_ws"),
+    )
+
+
 def test_redact_pii_crafted(spark):
     """Redaction order contract: emails swallowed before SSN/phone scan,
     SSN before phone (an SSN tail would otherwise match the phone
