@@ -36,27 +36,89 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    queries × candidates via a broadcast nested-loop (queries are the tiny
-    side); cosine evaluated as a codegen'd fold — no Python boundary.
-    Deterministic: ranking on the (deterministically rounded) cosine with
-    candidate-id tie-break.
+    Round-11 interior (the §A `cosine_pairs` GEMM pattern, completing the
+    embedding family): the bounded QUERY side is collected once and
+    broadcast as a float64 matrix + norms — the same bound the previous
+    plan's `F.broadcast(queries)` nested loop already implied — and each
+    Arrow batch of the streamed candidate side scores against it as one
+    chunked ``block @ Q.T`` GEMM with the identical
+    ``floor(x*1e6+0.5)/1e6`` rounding, replacing the per-pair interpreted
+    `zip_with`/`aggregate` dot (CodegenFallback, O(|q|·|c|·dim)
+    interpreted element visits).
+
+    Correctness shape: the kernel emits only each batch's per-query
+    top-k under the EXACT final ordering (rounded cosine desc,
+    candidate_id asc — `np.lexsort` on the same composite key), and the
+    pre-existing global window re-ranks the union. Global top-k under a
+    total order is always contained in the union of per-batch top-k, so
+    the result is identical to scoring every pair — while the window's
+    input shrinks from |q|·|c| rows to at most |q|·k per batch.
+    Null id/vector rows are excluded exactly as the old join dropped
+    them (null join column / null cosine never ranked in the top k of a
+    non-degenerate corpus; pinned by the q94 oracle tri-SF).
     """
+    import numpy as np
+
     from .dedup import _spread
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    # the candidate side streams through the nested loop — spread it so the
-    # O(|q|·|c|·dim) cosine math isn't serialized onto the scan's (possibly
-    # single) input split
-    c = _spread(candidates, [id_col, vec_col]).select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv")
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "candidate_id",
-        _rounded_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
+    qrows = [
+        r for r in queries.select(id_col, vec_col).collect()
+        if r[0] is not None and r[1] is not None
+    ]
+    spark = queries.sparkSession
+    qid_dt = queries.schema[id_col].dataType.simpleString()
+    cid_dt = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_dt}, candidate_id {cid_dt}, cos_sim double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # executor-side import
+
+        ids_q, mat_q, norms_q = bc.value
+        # chunk so the (rows × |q|) score block stays ~64 MB regardless of
+        # the query-side bound (the cosine_pairs memory contract)
+        step = max(1, 8_000_000 // max(1, len(ids_q)))
+        for pdf in batches:
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            c_ids_all = pdf[id_col].to_numpy()
+            c_mat_all = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norms_all = np.sqrt((c_mat_all * c_mat_all).sum(axis=1))
+            for lo in range(0, len(c_ids_all), step):
+                c_ids = c_ids_all[lo : lo + step]
+                c_mat = c_mat_all[lo : lo + step]
+                c_norms = c_norms_all[lo : lo + step]
+                sims = c_mat @ mat_q.T
+                sims /= c_norms[:, None]
+                sims /= norms_q[None, :]
+                sims = np.floor(sims * 1_000_000 + 0.5) / 1_000_000
+                take = min(k, len(c_ids))
+                qs, cs, ss = [], [], []
+                for j in range(len(ids_q)):
+                    # identical composite order to the global window:
+                    # rounded cosine DESC, candidate id ASC
+                    order = np.lexsort((c_ids, -sims[:, j]))[:take]
+                    qs.append(np.full(take, ids_q[j]))
+                    cs.append(c_ids[order])
+                    ss.append(sims[order, j])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qs),
+                        "candidate_id": np.concatenate(cs),
+                        "cos_sim": np.concatenate(ss),
+                    }
+                )
+
+    # the candidate side streams through the kernel — spread it so the
+    # GEMM isn't serialized onto the scan's (possibly single) input split
+    c = _spread(candidates, [id_col, vec_col])
+    scored = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
     )

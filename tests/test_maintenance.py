@@ -416,3 +416,57 @@ def test_gemm_cosine_twin_matches_hof_path(spark):
     shipped = canon(cosine_pairs(emb, threshold=THRESHOLD))
     assert len(hof) > 0  # threshold produces a non-trivial set at sf0.001
     assert hof == shipped
+
+
+def test_brute_topk_gemm_matches_hof_twin(spark):
+    """Pin the round-11 ``brute_force_topk`` GEMM interior against an
+    inline Catalyst-only twin of the pre-swap plan (broadcast nested loop
+    + codegen'd fold cosine + window rank), on a crafted corpus with
+    DELIBERATE rounded-score ties (duplicated and scaled vectors — cosine
+    is scale-invariant, so the tie-break must fall to candidate_id
+    exactly as the kernel's lexsort claims). Also checked on the real
+    sf0.001 embeddings."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.catalog import load_table
+    from data_engineer_capstone_spark.functions.vectors import cosine
+    from data_engineer_capstone_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def hof_twin(q, c, k):
+        qq = q.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qv"))
+        cc = c.select(F.col("vec_id").alias("candidate_id"),
+                      F.col("embedding").alias("cv"))
+        rc = F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000
+                     + F.lit(0.5)) / 1000000
+        scored = cc.crossJoin(F.broadcast(qq)).select(
+            "query_id", "candidate_id", rc.alias("cos_sim"))
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("candidate_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "candidate_id", "cos_sim", "rank"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # crafted ties: candidates 2/3 duplicate candidate 1's direction
+    # (one verbatim, one scaled 2x), so their rounded cosines tie exactly
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+        (10, [1.0, 0.0, 0.0]), (11, [1.0, 0.0, 0.0]),
+        (12, [2.0, 0.0, 0.0]), (13, [0.0, 1.0, 0.0]),
+        (14, [0.5, 0.5, 0.0]), (15, [0.3, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 10)
+    c = df.where(F.col("vec_id") >= 10)
+    assert canon(brute_force_topk(q, c, k=3)) == canon(hof_twin(q, c, 3))
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qe = emb.filter(F.col("vec_id") < 10)
+    ce = emb.filter(F.col("vec_id") >= 10)
+    assert canon(brute_force_topk(qe, ce, k=5)) == canon(hof_twin(qe, ce, 5))
