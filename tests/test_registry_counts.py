@@ -129,27 +129,52 @@ def test_verified_r9_matches_driver_record():
     assert (record - set(entry._DRIVER_VERIFIED_R9)) <= r1r2
 
 
-def test_rotation_head_is_r10_recheck_plus_stalest_block():
-    """VERDICT r9 ask #1: the r10 driver sample (head ~50) must be the
-    plan-changed rechecks (q95/q344/q254 — cosine_pairs norms-out landed
-    AFTER their last driver rows) followed by the stalest driver evidence,
-    the r3-era block (47 rows, last hashed six rounds ago). That block
-    also re-samples the rows-only-by-design q224/q228/q249 (ask #6)."""
+def test_rotation_head_is_r11_recheck_plus_stalest_block():
+    """Round-11 rotation pin: the driver sample (head ~50) must lead with
+    the 16-query consumer closure of the optimization round's operator
+    changes (GEMM cosine interior, LSH verify kernel + slim payload,
+    keyed-spread / set-pass / minhash-filter shingle rework) — every
+    plan that changed after its latest driver row — followed by the
+    stalest driver evidence, the r4-era block (the r3 block was refreshed
+    by the round-10 driver sample, CORRECTNESS_r10.json)."""
     import __spark_entry__ as entry
 
     rotated = list(entry.queries())
     recheck = list(entry._RECHECK_THIS_ROUND)
+    assert len(recheck) == 16
     assert rotated[: len(recheck)] == recheck
-    r3 = [n for n in entry._DRIVER_VERIFIED_R3 if n not in recheck]
-    assert rotated[len(recheck): len(recheck) + len(r3)] == r3
-    # the 50-row driver sample covers all rechecks + the whole r3 block
-    assert len(recheck) + len(r3) == 50, (
-        f"head block is {len(recheck) + len(r3)} rows, driver samples 50"
-    )
-    # ask #6: the head re-samples rows-only-by-design queries
+    r4 = [n for n in entry._DRIVER_VERIFIED_R4 if n not in recheck]
+    assert rotated[len(recheck): len(recheck) + len(r4)] == r4
+    # the 50-row driver sample covers every plan-changed recheck plus the
+    # head of the stalest (r4) block
     head = set(rotated[:50])
-    assert {"q224_semantic_dedup_lsh", "q228_ann_ivf_pq",
-            "q249_winsorize_approx"} <= head
+    assert set(recheck) <= head
+    # the r10-refreshed r3 block now sits at the rotation tail
+    r3_positions = [rotated.index(n) for n in entry._DRIVER_VERIFIED_R3
+                    if n not in recheck]
+    assert min(r3_positions) >= len(rotated) - len(entry._DRIVER_VERIFIED_R3)
+
+
+def test_r11_recheck_covers_changed_operator_consumers():
+    """Every registered consumer of the three operators whose plans
+    changed in round 11 (cosine_pairs, cosine_pairs_lsh, the
+    minhash/shingle dedup family incl. curate/incremental_dedup) must be
+    in the recheck head — a changed plan without a fresh driver row is
+    the staleness this mechanism exists to retire."""
+    import __spark_entry__ as entry
+
+    expected = {
+        "q91_ngram_jaccard_dedup", "q92_minhash_lsh_dedup",
+        "q94_cosine_topk", "q95_embedding_near_dup",
+        "q108_near_dup_clusters",
+        "q113_curation_pipeline", "q114_incremental_dedup",
+        "q116_corpus_report", "q219_semantic_dedup_onehop",
+        "q223_near_dup_clusters_star", "q224_semantic_dedup_lsh",
+        "q238_cluster_keep_best", "q243_jaccard_prefix_filter",
+        "q256_ngram_containment", "q268_leakage_safe_split",
+        "q344_dedup_signal_agreement",
+    }
+    assert set(entry._RECHECK_THIS_ROUND) == expected
 
 
 def test_bench_names_exist_in_registry():
