@@ -476,16 +476,26 @@ def test_keyed_spread_shares_one_exchange(spark):
     keyed, rr = set_stage("doc_id"), set_stage(None)
     krows = {(r.did, r.shingle, r.n_sh) for r in keyed.collect()}
     assert krows == {(r.did, r.shingle, r.n_sh) for r in rr.collect()}
-    # the AQE toString repeats the plan (Final + Initial) — count the
-    # final section only
-    plan = (
-        keyed._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("== Initial Plan ==")[0]
-    )
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "roundrobin" not in plan.lower(), plan
+
+    def final_plan(df):
+        # the AQE toString repeats the plan (Final + Initial) — count the
+        # final section only
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    kplan, rplan = final_plan(keyed), final_plan(rr)
+    assert kplan.count("Exchange hashpartitioning") == 1, kplan
+    assert "roundrobin" not in kplan.lower(), kplan
+    # the round-robin form pays THREE exchanges for the same rows: the
+    # spread itself plus one per downstream re-clustering (the (did,
+    # shingle) dedup aggregate, then the (did) window — a superset
+    # partitioning does not satisfy a subset clustering)
+    assert rplan.count("Exchange hashpartitioning") == 2, rplan
+    assert "roundrobin" in rplan.lower(), rplan
 
 
 def test_minhash_precondition_filter_matches_size_filter(spark):
