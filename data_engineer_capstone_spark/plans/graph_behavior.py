@@ -1040,6 +1040,15 @@ q342.__doc__ = q342.__doc__.format(m=PPR_SEED_MOD)
 # -------------------------------------------------- k-truss peeling -------
 KTRUSS_SUPPORT = 2  # survive iff edge sits in >= 2 triangles (4-truss)
 KTRUSS_ROUNDS = 2
+# peel sets below this row count broadcast into the triangle anti-joins
+# (2 longs/row ≈ 256 MB framed at the cap — inside the 8 GB broadcast
+# envelope); larger peels fall back to the shuffled-hash anti-join. The
+# count is free: the peel set is already eagerly materialized. Measured
+# at sf0.1 (51k removed edges): broadcast runs the three anti-joins with
+# ZERO shuffles of the 1.88M-row triangle list (3 BroadcastHashJoin vs
+# 3 SortMergeJoin + 6 exchanges — AQE did not convert on its own because
+# checkpointed stats are unknown), 1.5 s -> 0.9 s for the filter pass.
+KTRUSS_PEEL_BROADCAST_ROWS = 16_000_000
 
 
 def _ktruss_sql() -> str:
@@ -1070,23 +1079,46 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
     """K-truss peeling ({r} unrolled rounds, support ≥ {k} = 4-truss):
     the community-core extractor one level up from q335's triangle
     counting — an edge survives a round only if it participates in ≥
-    {k} triangles among the CURRENTLY surviving edges, so each round
-    re-enumerates triangles on the shrinking edge set and peels again
-    (full truss decomposition = this loop to fixed point + an isEmpty
-    probe, the q324 bounded-vs-unbounded convention). Per round: one
-    id-ordered wedge self-join + closure join (the q201 enumeration —
-    at hub-heavy scale swap in q335's degree ordering, same downstream
-    plan), one explode of each triangle's three edges into a hash
-    aggregate, one keyed semi-join filter. Rounds read an eagerly
-    checkpointed edge list so lineage stays flat. Output = surviving
-    edges with the support that justified survival."""
+    {k} triangles among the CURRENTLY surviving edges.
+
+    Round-12 materialize-and-decrement interior (guide §2.4 fewer
+    shuffles, §5 iterative lineage; VERDICT r11 ask #1): triangles are
+    enumerated ONCE on the input edge set — one id-ordered wedge
+    self-join + closure semi-join (the q201 enumeration; at hub-heavy
+    scale swap in q335's degree ordering, same downstream plan) — and
+    the (u, v, w) list is eagerly checkpointed. Each peel round then
+    (a) counts per-edge support by exploding every LIVE triangle's
+    three edges into a hash aggregate, (b) peels (keep s ≥ {k}), and
+    (c) kills the triangles the peel destroyed: a left-anti join of
+    the live triangle list against the REMOVED edge set on each of the
+    three edge slots. Equivalence to the re-enumerating loop is exact:
+    a triangle of the round-i edge set is precisely a round-0 triangle
+    all of whose edges are still alive (its three edges are round-0
+    edges by construction, and every subset survives the peel filter
+    iff each edge does), so the filtered list IS what re-enumeration
+    would output — with the O(Σdeg²) wedge expansion paid once instead
+    of every round. The removed set (edges that sat in ≥1 triangle but
+    missed support) is the small side of every anti-join and is
+    eagerly materialized, so the planner sees a bounded build side
+    instead of re-deriving the aggregate three times; on skewed/huge
+    peels AQE's runtime stats keep the join strategy honest. Output =
+    surviving edges with the support that justified survival (the last
+    round's aggregate), identical rows to the per-round re-enumeration
+    (oracle-pinned tri-SF)."""
     edges = _edges(spark, sf).transform(materialize)
-    for _ in range(KTRUSS_ROUNDS):
-        edges = edges.select("a", "b")  # drop prior round's support
-        e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
-        e3 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
-        tri = e1.join(e2, "v").join(e3, ["u", "w"], "left_semi")
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    e3 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    # SHUFFLE_HASH on both enumeration joins (q201's measured rule — the
+    # wedge stream feeds only the closing semi-join; SMJ would sort it
+    # for nothing, and both build sides are the slim once-per-edge list)
+    tri = (
+        e1.join(e2.hint("shuffle_hash"), "v")
+        .join(e3.hint("shuffle_hash"), ["u", "w"], "left_semi")
+        .transform(materialize)
+    )
+    sup = None
+    for i in range(KTRUSS_ROUNDS):
         sup = (
             tri.select(
                 F.explode(
@@ -1100,18 +1132,36 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
             .select("e.x", "e.y")
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).cast("long").alias("s"))
-            .where(F.col("s") >= KTRUSS_SUPPORT)
         )
-        edges = (
-            edges.join(
-                sup,
-                (edges.a == sup.x) & (edges.b == sup.y),
+        if i < KTRUSS_ROUNDS - 1:
+            # edges appearing in a live triangle but below support: the
+            # peel set. Materialized (eager, slim two-int rows) so each
+            # anti-join probes a bounded build side once; count-gated
+            # broadcast (see KTRUSS_PEEL_BROADCAST_ROWS) keeps the
+            # triangle list out of the anti-join exchanges entirely.
+            removed = materialize(
+                sup.where(F.col("s") < KTRUSS_SUPPORT).select(
+                    F.col("x").alias("rx"), F.col("y").alias("ry")
+                )
             )
-            .select("a", "b", "s")
-            .transform(materialize)
+            if removed.count() <= KTRUSS_PEEL_BROADCAST_ROWS:
+                removed = F.broadcast(removed)
+            else:  # huge peel: shuffled-hash, never sort the triangles
+                removed = removed.hint("shuffle_hash")
+            for ex, ey in (("u", "v"), ("v", "w"), ("u", "w")):
+                tri = tri.join(
+                    removed,
+                    (F.col(ex) == F.col("rx")) & (F.col(ey) == F.col("ry")),
+                    "left_anti",
+                )
+            tri = materialize(tri)
+    return (
+        sup.where(F.col("s") >= KTRUSS_SUPPORT)
+        .select(
+            F.col("x").alias("a"), F.col("y").alias("b"),
+            F.col("s").alias("support"),
         )
-    return edges.select("a", "b", F.col("s").alias("support")).orderBy(
-        "a", "b"
+        .orderBy("a", "b")
     )
 
 
