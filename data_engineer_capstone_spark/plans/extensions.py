@@ -4522,6 +4522,108 @@ def q391(spark: SparkSession, sf: str) -> DataFrame:
 WIN_K = 8  # k-gram length (chars)
 WIN_W = 4  # winnowing window (k-gram hashes per window)
 WIN_SHARED_T = 5  # report pairs sharing at least this many fingerprints
+WIN_CHUNK = 1024  # hot posting-list chunk rows: one pair task ≤ ~CHUNK² pairs
+
+
+def _chunked_posting_pairs(
+    e: DataFrame, n_part: int, chunk: int = WIN_CHUNK
+) -> DataFrame:
+    """Unordered co-posting pairs (doc_a < doc_b per shared key) from a
+    posting list ``(doc_id, fp)`` with every key's pair space split
+    across tasks — the HOT arm of ``_posting_pairs_skew_split``.
+
+    Triangular chunking: rows of each posting list get a contiguous
+    chunk index (``row_number() over fp`` ordered by doc_id, ``chunk``
+    rows each), the LEFT arm replicates a row of chunk ``ca`` to every
+    target chunk ``tc ∈ [ca, n_chunks)``, the RIGHT arm to every source
+    chunk ``sc ∈ [0, cb]``, and the join key becomes the full
+    ``(fp, chunk, chunk)`` triple — so a df-D list spreads over
+    C(C+1)/2 tasks of ≤ chunk² pairs each (C = ⌈D/chunk⌉) instead of
+    one D²/2 task. Pair-set equivalence to the naive self-join: chunks
+    are contiguous in doc_id order, so a pair a < b has
+    chunk(a) ≤ chunk(b); orientation (left=a, right=b) matches the key
+    exactly once, and the only double-match (diagonal chunks) is killed
+    by the same ``doc_a < doc_b`` filter the naive join uses. Pinned by
+    tests against the naive join on a crafted hot-key corpus."""
+    wfp = W.partitionBy("fp").orderBy("doc_id")
+    ec = (
+        e.repartition(n_part, "fp")
+        .withColumn(
+            "ck",
+            ((F.row_number().over(wfp) - F.lit(1)) / F.lit(chunk)).cast("int"),
+        )
+        .withColumn("nck", F.max("ck").over(W.partitionBy("fp")))
+    )
+    a = (
+        ec.withColumn(
+            "tc", F.explode(F.sequence(F.col("ck"), F.col("nck")))
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "fp",
+            F.col("ck").alias("c_lo"),
+            F.col("tc").alias("c_hi"),
+        )
+        .repartition(n_part, "fp", "c_lo", "c_hi")
+    )
+    b = (
+        ec.withColumn("sc", F.explode(F.sequence(F.lit(0), F.col("ck"))))
+        .select(
+            F.col("doc_id").alias("doc_b"),
+            "fp",
+            F.col("sc").alias("c_lo"),
+            F.col("ck").alias("c_hi"),
+        )
+        .repartition(n_part, "fp", "c_lo", "c_hi")
+        .hint("shuffle_hash")
+    )
+    return (
+        a.join(b, ["fp", "c_lo", "c_hi"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def _posting_pairs_skew_split(
+    e: DataFrame, hist: DataFrame, n_part: int, chunk: int = WIN_CHUNK
+) -> DataFrame:
+    """Co-posting pairs with guide-§2.5 hot-key special-casing:
+    shuffle-join the cold keys exactly as before, triangular-chunk ONLY
+    the hot posting lists (df > ``chunk``), union the two pair streams.
+
+    Why the split instead of chunking everything: chunking un-gated was
+    a measured NON-win at sf0.1 (9.29 → 11.75 s noop-sink on the q397
+    pair+aggregate path) — the window/replication overhead is paid on
+    EVERY posting row while the straggler it fixes (max-task 2.70 s vs
+    0.96 s median on the 127-task pair stage) does not gate a stage
+    that wide. Hot lists are the q397 skew class partitioning cannot
+    split (one join key = one task; AQE skew handling cannot divide a
+    single key): at corpus scale a boilerplate fingerprint with df ≫
+    chunk would put df²/2 pairs on one task — THOSE lists, and only
+    those, pay the chunk machinery; everything else takes the naive
+    single-exchange path unchanged. The hot list (keys of the already-
+    materialized df histogram with df > chunk) is tiny and broadcasts
+    into an anti/semi pair on the posting stream — no extra shuffle of
+    the postings; each pair lands in exactly one arm (its key is hot or
+    cold), so the union is a partition of the naive join's output
+    (pinned by tests on a crafted hot-key corpus)."""
+    hot = F.broadcast(hist.where(F.col("c") > chunk).select("fp"))
+    e_cold = e.join(hot, "fp", "left_anti").repartition(n_part, "fp")
+    a = e_cold.select(F.col("doc_id").alias("doc_a"), "fp")
+    # SHUFFLE_HASH: the pair expansion feeds only the shared-count
+    # aggregate — sorting it is the round-6 q335-class waste (measured
+    # 40-47 s -> 13-18 s at sf0.1 for this query); both arms share the
+    # explicit fp-partitioning, so the join adds no exchange beyond the
+    # one slim posting-list repartition
+    b = e_cold.select(F.col("doc_id").alias("doc_b"), "fp").hint("shuffle_hash")
+    cold_pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    e_hot = e.join(hot, "fp", "left_semi")
+    hot_pairs = _chunked_posting_pairs(e_hot, n_part, chunk)
+    return cold_pairs.unionByName(hot_pairs)
 
 
 @query(
@@ -4572,8 +4674,10 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
     window minima via slice — zero Python); pair generation is the
     inverted-index equi-join on fingerprint (q91's shape), never
     doc×doc. A hot fingerprint (corpus-wide boilerplate) fans out like
-    any hot shingle — the q91 df-cap guard is the documented remedy at
-    corpus scale."""
+    any hot shingle — its pair space is split across tasks by the
+    triangular chunking in ``_chunked_posting_pairs`` (round 12), and
+    the q91 df-cap guard remains the recall-lossy remedy when even the
+    chunked pair VOLUME is unaffordable at corpus scale."""
     from ..functions.text import h64
     from ..operators.dedup import _spread
 
@@ -4604,30 +4708,27 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
     # tasks. Compute the exact pair count from the df histogram (O(1)
     # scalar on the materialized posting list) and run the fingerprint
     # join and the (doc_a, doc_b) aggregate at pairs/750k partitions.
-    # The hot-fingerprint task (max df 3,859 -> 7.4M pairs from one
-    # posting list) remains the straggler floor — producer-side
-    # expansion skew partitioning cannot split; the q91 df cap is the
-    # remedy when a real corpus needs it.
+    # Round 12: the hot-fingerprint straggler (max df 3,859 -> 7.4M
+    # pairs from ONE posting list — producer-side expansion skew that
+    # fp-partitioning cannot split) is special-cased by
+    # _posting_pairs_skew_split: posting lists with df > WIN_CHUNK are
+    # triangular-chunked so their pair space spreads over
+    # ⌈df/WIN_CHUNK⌉·(⌈df/WIN_CHUNK⌉+1)/2 tasks of ≤ WIN_CHUNK² pairs;
+    # sub-chunk lists (the overwhelming majority) keep the naive
+    # single-exchange path. The df histogram that already sizes the
+    # exchanges is materialized so the hot-key list derives from it
+    # without re-aggregating the postings.
     e = materialize(h.select("doc_id", F.explode(fps).alias("fp")))
+    hist = materialize(
+        e.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    )
     n_pairs = (
-        e.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * (F.col("c") - F.lit(1)) / 2).alias("p"))
+        hist.agg(F.sum(F.col("c") * (F.col("c") - F.lit(1)) / 2).alias("p"))
         .collect()[0][0]
     )
     n_part = expansion_partitions(spark, n_pairs)
-    e = e.repartition(n_part, "fp")
-    a = e.select(F.col("doc_id").alias("doc_a"), "fp")
-    # SHUFFLE_HASH: the pair expansion feeds only the shared-count
-    # aggregate — sorting it is the round-6 q335-class waste (measured
-    # 40-47 s -> 13-18 s at sf0.1 for this query); both arms share the
-    # explicit fp-partitioning, so the join adds no exchange beyond the
-    # one slim posting-list repartition
-    b = e.select(F.col("doc_id").alias("doc_b"), "fp").hint("shuffle_hash")
     return (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        _posting_pairs_skew_split(e, hist, n_part)
         # the explicit (doc_a, doc_b) repartition IS the aggregate's
         # exchange — per-task hash-agg state bounded at ~750k pair rows
         .repartition(n_part, "doc_a", "doc_b")

@@ -488,14 +488,16 @@ def test_keyed_spread_shares_one_exchange(spark):
         )
 
     kplan, rplan = final_plan(keyed), final_plan(rr)
-    assert kplan.count("Exchange hashpartitioning") == 1, kplan
+    # Relative assertions (ADVICE r11 #4): the OPTIMIZATION is "the keyed
+    # spread shares one exchange where round-robin pays more", not a
+    # specific node census — exact counts were brittle across Spark/AQE
+    # versions even when the win held. On Spark 4.1 the keyed form runs 1
+    # hash exchange and the round-robin form 2 + the round-robin itself.
+    k_hash = kplan.count("Exchange hashpartitioning")
+    r_hash = rplan.count("Exchange hashpartitioning")
     assert "roundrobin" not in kplan.lower(), kplan
-    # the round-robin form pays THREE exchanges for the same rows: the
-    # spread itself plus one per downstream re-clustering (the (did,
-    # shingle) dedup aggregate, then the (did) window — a superset
-    # partitioning does not satisfy a subset clustering)
-    assert rplan.count("Exchange hashpartitioning") == 2, rplan
     assert "roundrobin" in rplan.lower(), rplan
+    assert 1 <= k_hash < r_hash, (k_hash, r_hash)
 
 
 def test_minhash_precondition_filter_matches_size_filter(spark):
@@ -1121,3 +1123,51 @@ def test_curate_drop_observation_requires_profile(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     with pytest.raises(ValueError, match="drop_observation requires"):
         curate(docs, drop_observation=Observation("orphan"))
+
+
+def test_posting_pairs_skew_split_matches_naive_join(spark):
+    """Round-12 q397 hot-key pin (guide §2.5 special-case-the-hot-keys):
+    ``_posting_pairs_skew_split`` — naive fp self-join for cold keys,
+    triangular chunking for posting lists with df > chunk — must emit
+    exactly the naive join's pair multiset, on a crafted posting list
+    with one HOT key spanning several chunks (including pairs that cross
+    chunk boundaries and duplicate doc-pairs via multiple shared keys)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.materialize import materialize
+    from data_engineer_capstone_spark.plans.extensions import (
+        _posting_pairs_skew_split,
+    )
+
+    rows = (
+        [(d, 777) for d in range(11)]          # hot fp: df=11 > chunk=3
+        + [(d, 100) for d in (1, 2, 3)]        # cold fp
+        + [(d, 200) for d in (2, 3, 9)]        # cold fp, overlapping docs
+        + [(5, 300)]                           # df=1: no pairs
+    )
+    e = materialize(spark.createDataFrame(rows, "doc_id long, fp long"))
+    hist = materialize(e.groupBy("fp").agg(F.count(F.lit(1)).alias("c")))
+
+    def naive(e, n_part):
+        e2 = e.repartition(n_part, "fp")
+        a = e2.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = e2.select(F.col("doc_id").alias("doc_b"), "fp")
+        return (
+            a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    def counted(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    split = _posting_pairs_skew_split(e, hist, n_part=4, chunk=3)
+    assert counted(split) == counted(naive(e, 4))
+    # sanity: the hot fp alone contributes C(11,2)=55 pairs; the crafted
+    # overlaps add multi-key doc pairs (counted twice in the multiset)
+    assert split.count() == 55 + 3 + 3
