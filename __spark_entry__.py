@@ -235,36 +235,35 @@ _DRIVER_VERIFIED_R9 = (
     "q412_seasonal_strength",
 )
 
-# Round-11 recheck head: every query whose PLAN changed in the
-# optimization round AFTER its latest driver row — the full consumer
-# closure of the operator changes (cosine_pairs / brute_force_topk GEMM
-# interiors: q94/q95/q219/q344; cosine_pairs_lsh verify kernel + slim
-# bucket payload: q224; the shingle-set rework — keyed _spread,
-# distributed-dedup set pass, minhash filter fix — and everything
-# composing minhash_lsh_pairs / curate / incremental_dedup:
-# q91/q92/q108/q113/q114/q116/q223/q238/q243/q256/q268). All
-# hash-verified tri-SF locally this round (committed driver-sim sweep
-# logs in artifacts/), but the driver row is the ground truth — they
-# front the rotation ahead of the freshness refresh below.
-# (Round-10 recheck head was q95/q344/q254 for the r9 norms-out change —
-# driver-green in CORRECTNESS_r10.json.)
+# Round-12 recheck head: every query whose PLAN (or Arrow-kernel
+# interior) changed in optimization round 2 AFTER its latest driver row —
+# the full consumer closure of the round's operator changes (k-truss
+# materialize-and-decrement: q345; winnowing hot-key pair split: q397;
+# the batched einsum rescore kernel in lsh/ivf/ivf-pq ANN:
+# q96/q106/q228/q253/q254/q299; the cosine_pairs / brute_force_topk
+# single-step norm division + finite-mask + bounded-collect guard:
+# q94/q95/q219/q344) — plus the two never-resampled rows-only rows the
+# round-11 VERDICT asked to refresh (q107/q208). All hash-verified
+# tri-SF locally this round (committed driver-sim sweep logs in
+# artifacts/), but the driver row is the ground truth — they front the
+# rotation ahead of the freshness refresh below.
+# (Round-11 recheck head was the 16-query GEMM/shingle closure —
+# driver-green in CORRECTNESS_r11.json.)
 _RECHECK_THIS_ROUND = (
+    "q345_ktruss_peel",
+    "q397_winnowing_pairs",
+    "q96_ann_lsh",
+    "q106_ann_ivf",
+    "q228_ann_ivf_pq",
+    "q253_ann_ivf_exhaustive",
+    "q254_ann_ivf_pq_exhaustive",
+    "q299_ann_lsh_exhaustive",
     "q94_cosine_topk",
     "q95_embedding_near_dup",
     "q219_semantic_dedup_onehop",
     "q344_dedup_signal_agreement",
-    "q224_semantic_dedup_lsh",
-    "q91_ngram_jaccard_dedup",
-    "q92_minhash_lsh_dedup",
-    "q243_jaccard_prefix_filter",
-    "q256_ngram_containment",
-    "q108_near_dup_clusters",
-    "q113_curation_pipeline",
-    "q114_incremental_dedup",
-    "q116_corpus_report",
-    "q223_near_dup_clusters_star",
-    "q238_cluster_keep_best",
-    "q268_leakage_safe_split",
+    "q107_approx_sketches",
+    "q208_hll_sketch_union",
 )
 
 # SURVEY §2.9 declared-core numeric range: scalar kits (q63-q69), the
@@ -295,17 +294,19 @@ def _rotate(reg: dict) -> dict:
     1. ``_RECHECK_THIS_ROUND`` leads: queries whose plans changed after
        their latest driver row (local tri-SF hash sweeps are the commit
        gate for such changes, but the driver row is the ground truth this
-       process runs on). Round 11 fronts the 16-query consumer closure of
-       the optimization round's operator changes.
-    2. The STALEST driver block follows — the r3-era rows were refreshed
-       by the round-10 driver block (CORRECTNESS_r10.json 47/47 green),
-       so round 11 fronts the r4-era block (``_DRIVER_VERIFIED_R4``, last
-       driver-hashed seven rounds ago); the ~50-row sample covers the 15
+       process runs on). Round 12 fronts the 12-query consumer closure of
+       optimization round 2's operator changes plus the two
+       never-resampled rows-only rows VERDICT r11 asked to refresh
+       (q107/q208).
+    2. The STALEST driver block follows — the r4-era rows were refreshed
+       by the round-11 driver block (CORRECTNESS_r11.json 49/50 green,
+       1 no-oracle-by-design), so round 12 fronts the r5-era block
+       (``_DRIVER_VERIFIED_R5``); the ~50-row sample covers the 14
        rechecks plus the head of that block.
-    3. The tail orders the remaining blocks stalest-first (r5, r6, r7,
-       r8, then the r9-refreshed r1/r2 names, r9, and finally the
-       r10-refreshed r3 names) so subsequent rounds keep rotating through
-       the board oldest-evidence-first.
+    3. The tail orders the remaining blocks stalest-first (r6, r7, r8,
+       then the r9-refreshed r1/r2 names, r9, the r10-refreshed r3
+       names, and finally the r11-refreshed r4 names) so subsequent
+       rounds keep rotating through the board oldest-evidence-first.
 
     Optional SPARK_GRAFT_QUERY_SUBSET (comma-separated names) narrows to
     an explicit subset. Registry growth remains FROZEN — the rotation is a
@@ -337,7 +338,6 @@ def _rotate(reg: dict) -> dict:
     )
     stale_order = (
         _RECHECK_THIS_ROUND
-        + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5
         + _DRIVER_VERIFIED_R6
         + _DRIVER_VERIFIED_R7
@@ -345,6 +345,7 @@ def _rotate(reg: dict) -> dict:
         + _DRIVER_VERIFIED_R1_R2
         + _DRIVER_VERIFIED_R9
         + _DRIVER_VERIFIED_R3
+        + _DRIVER_VERIFIED_R4
     )
     out = {k: reg[k] for k in core + rest}
     out.update({k: reg[k] for k in stale_order if k in reg and k not in out})

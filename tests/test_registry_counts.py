@@ -129,50 +129,50 @@ def test_verified_r9_matches_driver_record():
     assert (record - set(entry._DRIVER_VERIFIED_R9)) <= r1r2
 
 
-def test_rotation_head_is_r11_recheck_plus_stalest_block():
-    """Round-11 rotation pin: the driver sample (head ~50) must lead with
-    the 16-query consumer closure of the optimization round's operator
-    changes (GEMM cosine interior, LSH verify kernel + slim payload,
-    keyed-spread / set-pass / minhash-filter shingle rework) — every
-    plan that changed after its latest driver row — followed by the
-    stalest driver evidence, the r4-era block (the r3 block was refreshed
-    by the round-10 driver sample, CORRECTNESS_r10.json)."""
+def test_rotation_head_is_r12_recheck_plus_stalest_block():
+    """Round-12 rotation pin: the driver sample (head ~50) must lead with
+    the consumer closure of optimization round 2's operator changes
+    (k-truss materialize-and-decrement, winnowing hot-key split, batched
+    einsum ANN rescore, cosine GEMM single-step division + guard) plus
+    the two never-resampled rows-only rows — every plan/kernel that
+    changed after its latest driver row — followed by the stalest driver
+    evidence, the r5-era block (the r4 block was refreshed by the
+    round-11 driver sample, CORRECTNESS_r11.json)."""
     import __spark_entry__ as entry
 
     rotated = list(entry.queries())
     recheck = list(entry._RECHECK_THIS_ROUND)
-    assert len(recheck) == 16
+    assert len(recheck) == 14
     assert rotated[: len(recheck)] == recheck
-    r4 = [n for n in entry._DRIVER_VERIFIED_R4 if n not in recheck]
-    assert rotated[len(recheck): len(recheck) + len(r4)] == r4
+    r5 = [n for n in entry._DRIVER_VERIFIED_R5 if n not in recheck]
+    assert rotated[len(recheck): len(recheck) + len(r5)] == r5
     # the 50-row driver sample covers every plan-changed recheck plus the
-    # head of the stalest (r4) block
+    # head of the stalest (r5) block
     head = set(rotated[:50])
     assert set(recheck) <= head
-    # the r10-refreshed r3 block now sits at the rotation tail
-    r3_positions = [rotated.index(n) for n in entry._DRIVER_VERIFIED_R3
+    # the r11-refreshed r4 block now sits at the rotation tail
+    r4_positions = [rotated.index(n) for n in entry._DRIVER_VERIFIED_R4
                     if n not in recheck]
-    assert min(r3_positions) >= len(rotated) - len(entry._DRIVER_VERIFIED_R3)
+    assert min(r4_positions) >= len(rotated) - len(entry._DRIVER_VERIFIED_R4)
 
 
-def test_r11_recheck_covers_changed_operator_consumers():
-    """Every registered consumer of the three operators whose plans
-    changed in round 11 (cosine_pairs, cosine_pairs_lsh, the
-    minhash/shingle dedup family incl. curate/incremental_dedup) must be
-    in the recheck head — a changed plan without a fresh driver row is
-    the staleness this mechanism exists to retire."""
+def test_r12_recheck_covers_changed_operator_consumers():
+    """Every registered consumer of the operators whose plans or Arrow
+    kernels changed in round 12 (q345's loop, q397's pair generation,
+    the ANN rescore paths, cosine_pairs / brute_force_topk) must be in
+    the recheck head — a changed plan without a fresh driver row is the
+    staleness this mechanism exists to retire. q107/q208 ride along as
+    the never-resampled rows-only refresh (VERDICT r11 ask #7)."""
     import __spark_entry__ as entry
 
     expected = {
-        "q91_ngram_jaccard_dedup", "q92_minhash_lsh_dedup",
+        "q345_ktruss_peel", "q397_winnowing_pairs",
+        "q96_ann_lsh", "q106_ann_ivf", "q228_ann_ivf_pq",
+        "q253_ann_ivf_exhaustive", "q254_ann_ivf_pq_exhaustive",
+        "q299_ann_lsh_exhaustive",
         "q94_cosine_topk", "q95_embedding_near_dup",
-        "q108_near_dup_clusters",
-        "q113_curation_pipeline", "q114_incremental_dedup",
-        "q116_corpus_report", "q219_semantic_dedup_onehop",
-        "q223_near_dup_clusters_star", "q224_semantic_dedup_lsh",
-        "q238_cluster_keep_best", "q243_jaccard_prefix_filter",
-        "q256_ngram_containment", "q268_leakage_safe_split",
-        "q344_dedup_signal_agreement",
+        "q219_semantic_dedup_onehop", "q344_dedup_signal_agreement",
+        "q107_approx_sketches", "q208_hll_sketch_union",
     }
     assert set(entry._RECHECK_THIS_ROUND) == expected
 
