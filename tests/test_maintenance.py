@@ -625,3 +625,63 @@ def test_bounded_side_guard_raises(spark, monkeypatch):
     monkeypatch.setattr(sim, "BOUNDED_SIDE_MAX_ROWS", 32)
     assert sim.cosine_pairs(df, threshold=0.99).count() > 0
     assert sim.brute_force_topk(df.limit(2), df, k=2).count() == 4
+
+
+def test_edges_aggregate_derivation_matches_join_twin(spark):
+    """Round-12 `_edges` rewrite pin (guide §2.4): the per-order
+    collect_set + HOF pair expansion must produce exactly the lineitem
+    self-join derivation's edge set — on the real sf0.001 lineitem AND
+    on a crafted frame exercising the divergence candidates: a part
+    appearing on TWO lineitems of one order (collect_set dedups it
+    before expansion; the join crossed it and a<b+distinct collapsed
+    it), unsorted input order, single-part orders (no pairs), and the
+    same pair arising from two different orders (distinct)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.plans import graph_behavior as gb
+
+    def join_twin(li):
+        x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+        y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+        return (
+            x.join(y, "k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    shipped = gb._edges(spark, "/root/testdata/sf0.001")
+    from data_engineer_capstone_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    real = canon(shipped)
+    assert real == canon(join_twin(li))
+    assert len(real) > 0
+
+    rows = [
+        (1, 30), (1, 10), (1, 20), (1, 10),   # dup part in one order, unsorted
+        (2, 10), (2, 20),                      # same pair minted by order 2 too
+        (3, 7),                                # single-part order: no pairs
+    ]
+    crafted = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    # re-run the shipped derivation body on the crafted frame
+    parts = crafted.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    crafted_edges = (
+        parts.select(F.explode(pairs).alias("e")).select("e.a", "e.b").distinct()
+    )
+    assert canon(crafted_edges) == canon(join_twin(crafted)) == [
+        (10, 20), (10, 30), (20, 30)
+    ]

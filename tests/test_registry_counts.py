@@ -142,7 +142,7 @@ def test_rotation_head_is_r12_recheck_plus_stalest_block():
 
     rotated = list(entry.queries())
     recheck = list(entry._RECHECK_THIS_ROUND)
-    assert len(recheck) == 14
+    assert len(recheck) == 25
     assert rotated[: len(recheck)] == recheck
     r5 = [n for n in entry._DRIVER_VERIFIED_R5 if n not in recheck]
     assert rotated[len(recheck): len(recheck) + len(r5)] == r5
@@ -172,6 +172,14 @@ def test_r12_recheck_covers_changed_operator_consumers():
         "q299_ann_lsh_exhaustive",
         "q94_cosine_topk", "q95_embedding_near_dup",
         "q219_semantic_dedup_onehop", "q344_dedup_signal_agreement",
+        # the `_edges` aggregate-derivation closure (every registered
+        # consumer of the shared co-purchase edge list)
+        "q200_pagerank_two_rounds", "q201_triangle_count",
+        "q202_degree_distribution", "q242_common_neighbors",
+        "q261_kcore_peel", "q324_bfs_shortest_path",
+        "q335_triangle_count", "q336_clustering_coefficient",
+        "q342_personalized_pagerank", "q367_dag_longest_path",
+        "q399_harmonic_centrality",
         "q107_approx_sketches", "q208_hll_sketch_union",
     }
     assert set(entry._RECHECK_THIS_ROUND) == expected
