@@ -242,9 +242,10 @@ _DRIVER_VERIFIED_R9 = (
 # the batched einsum rescore kernel in lsh/ivf/ivf-pq ANN:
 # q96/q106/q228/q253/q254/q299; the cosine_pairs / brute_force_topk
 # single-step norm division + finite-mask + bounded-collect guard:
-# q94/q95/q219/q344; the `_edges` aggregate derivation shared by the
-# whole co-purchase graph family:
-# q200/q201/q202/q242/q261/q324/q335/q336/q342/q367/q399) — plus the
+# q94/q95/q219/q344; the `_edges`/`_weighted_edge_counts` aggregate
+# derivations shared by the co-purchase graph family:
+# q200/q201/q202/q242/q261/q324/q335/q336/q342/q367/q374/q389/q399) —
+# plus the
 # two never-resampled rows-only rows the round-11 VERDICT asked to
 # refresh (q107/q208). All hash-verified tri-SF locally this round
 # (committed driver-sim sweep logs in artifacts/), but the driver row
@@ -275,6 +276,8 @@ _RECHECK_THIS_ROUND = (
     "q336_clustering_coefficient",
     "q342_personalized_pagerank",
     "q367_dag_longest_path",
+    "q374_boruvka_round",
+    "q389_bellman_ford_sssp",
     "q399_harmonic_centrality",
     "q107_approx_sketches",
     "q208_hll_sketch_union",
@@ -308,14 +311,14 @@ def _rotate(reg: dict) -> dict:
     1. ``_RECHECK_THIS_ROUND`` leads: queries whose plans changed after
        their latest driver row (local tri-SF hash sweeps are the commit
        gate for such changes, but the driver row is the ground truth this
-       process runs on). Round 12 fronts the 23-query consumer closure of
+       process runs on). Round 12 fronts the 25-query consumer closure of
        optimization round 2's operator changes (including the `_edges`
        graph-family derivation rewrite) plus the two never-resampled
        rows-only rows VERDICT r11 asked to refresh (q107/q208).
     2. The STALEST driver block follows — the r4-era rows were refreshed
        by the round-11 driver block (CORRECTNESS_r11.json 49/50 green,
        1 no-oracle-by-design), so round 12 fronts the r5-era block
-       (``_DRIVER_VERIFIED_R5``); the ~50-row sample covers the 25
+       (``_DRIVER_VERIFIED_R5``); the ~50-row sample covers the 27
        rechecks plus the head of that block.
     3. The tail orders the remaining blocks stalest-first (r6, r7, r8,
        then the r9-refreshed r1/r2 names, r9, the r10-refreshed r3

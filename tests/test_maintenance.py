@@ -685,3 +685,65 @@ def test_edges_aggregate_derivation_matches_join_twin(spark):
     assert canon(crafted_edges) == canon(join_twin(crafted)) == [
         (10, 20), (10, 30), (20, 30)
     ]
+
+
+def test_weighted_edge_counts_match_join_twin(spark):
+    """Round-12 `_weighted_edge_counts` pin (the q374/q389 weighted twin
+    of the `_edges` rewrite): per-(order, part) pre-counts expanded with
+    product weights must reproduce the lineitem self-join's
+    GROUP BY (a, b) COUNT(*) exactly — including the multiplicative
+    contribution of a part on TWO lineitems of one order (c_a·c_b row
+    pairs), which plain distinct-set expansion would undercount."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_capstone_spark.plans import graph_behavior as gb
+
+    def join_twin(li):
+        x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+        y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+        return (
+            x.join(y, "k")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select("a", "b", "cnt").collect())
+
+    from data_engineer_capstone_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    real = canon(gb._weighted_edge_counts(spark, "/root/testdata/sf0.001"))
+    assert real == canon(join_twin(li))
+    assert len(real) > 0
+
+    # crafted multiset semantics: part 10 on TWO lineitems of order 1
+    # makes (10, 20) count 2 there (2x1 row pairs); order 2 adds 1 more
+    rows = [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (3, 7)]
+    crafted = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    pc = crafted.groupBy("l_orderkey", "l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    parts = pc.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_partkey", "c"))).alias("ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda b: F.struct(
+                    a["l_partkey"].alias("a"), b["l_partkey"].alias("b"),
+                    (a["c"] * b["c"]).alias("cw"),
+                ),
+            ),
+        )
+    )
+    crafted_counts = (
+        parts.select(F.explode(pairs).alias("e"))
+        .select("e.a", "e.b", "e.cw")
+        .groupBy("a", "b")
+        .agg(F.sum("cw").cast("long").alias("cnt"))
+    )
+    assert canon(crafted_counts) == canon(join_twin(crafted)) == [(10, 20, 3)]

@@ -142,7 +142,7 @@ def test_rotation_head_is_r12_recheck_plus_stalest_block():
 
     rotated = list(entry.queries())
     recheck = list(entry._RECHECK_THIS_ROUND)
-    assert len(recheck) == 25
+    assert len(recheck) == 27
     assert rotated[: len(recheck)] == recheck
     r5 = [n for n in entry._DRIVER_VERIFIED_R5 if n not in recheck]
     assert rotated[len(recheck): len(recheck) + len(r5)] == r5
@@ -179,6 +179,7 @@ def test_r12_recheck_covers_changed_operator_consumers():
         "q261_kcore_peel", "q324_bfs_shortest_path",
         "q335_triangle_count", "q336_clustering_coefficient",
         "q342_personalized_pagerank", "q367_dag_longest_path",
+        "q374_boruvka_round", "q389_bellman_ford_sssp",
         "q399_harmonic_centrality",
         "q107_approx_sketches", "q208_hll_sketch_union",
     }
